@@ -1,0 +1,549 @@
+"""Index build: corpus Parquet → docs registry + compressed inverted index.
+
+Ray-Data-native re-expression of the reference's corpus-build entry
+point (/root/reference/build_massive_corpus.py:134-239 →
+ingestion/pipeline_ingest.py:193-315 → index/index_manager.py:44-122),
+replacing its sequential SQLite + FAISS path with:
+
+    read_parquet(corpus)
+      → map_batches(SpimiTokenizer)          # sha256, doc_id, doc_len, tokenize;
+                                             # writes sorted SPIMI posting fragments,
+                                             # returns the docs registry rows
+      → docs.write_parquet(...)              # docs table + dedup winners + corpus_stats
+    read_parquet(fragments)
+      → map_batches(partial df pre-agg) → groupby(term).sum   # hot-term detection
+      → map_batches(AssignGroupKey)          # bucket = hash(term)%P, salt hot terms
+      → groupby("gkey").map_groups(MergeGroup)  # THE wide shuffle: sort, delta+varbyte,
+                                             # block-max; per-group atomic file + manifest
+    read_parquet(partials) → groupby(term).map_groups(merge salted runs) → hot part
+
+Scale notes (designed for 10^12 docs / multi-node, tested single-node):
+  * the corpus is read ONCE; full `content` strings never cross a
+    shuffle (fragments carry only (term, doc_id, tf, doc_len));
+  * the posting merge shuffles bounded-size groups: `gkey` has at most
+    num_buckets * (1 + hot_salt) values, and hot (Zipf-head) terms are
+    salted by doc_id so no single group materializes a corpus-sized
+    posting list in one task (SURVEY.md §4.3, Scarlett-style);
+  * dedup winners / hot-term sets are broadcast via ``ray.put`` and read
+    once per task — never re-shipped per batch, never a shuffle join.
+    (At >10^8 duplicate rows the loser set should become a hash join on
+    doc_id instead; the broadcast is the small-side fast path.)
+  * resume is partition-granular: every output partition commits a
+    manifest after an atomic rename; a rerun skips committed partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from .bm25 import tf_sat_weight as _tf_sat_weight
+from .codec import varbyte_encode, varbyte_lengths
+from .config import EngineConfig
+from .ids import doc_id_from_key, sha256_hex, term_bucket
+from .state.manifest import atomic_write_bytes, committed_parts, write_manifest
+from .tokenizer import tokenize_batch
+
+DOCS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.uint64()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content_sha256", pa.string()),
+        ("doc_len", pa.uint32()),
+    ]
+)
+
+POSTINGS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("df", pa.uint64()),
+        ("doc_ids_vb", pa.binary()),
+        ("tfs_vb", pa.binary()),
+        ("block_max_w", pa.list_(pa.float32())),
+        ("block_last_doc", pa.list_(pa.uint64())),
+        ("bucket", pa.uint32()),
+    ]
+)
+
+
+def tf_sat_weight(tfs: np.ndarray, doc_lens: np.ndarray, avgdl: float, cfg: EngineConfig) -> np.ndarray:
+    """BM25 tf-saturation weight whose block maxima become the
+    block-max metadata (contract lives in docinsight_ray.bm25)."""
+    return _tf_sat_weight(tfs, doc_lens, avgdl, cfg.k1, cfg.b)
+
+
+# --------------------------------------------------------------------------
+# Stage A: tokenize + docs registry + SPIMI fragments
+# --------------------------------------------------------------------------
+
+
+class SpimiTokenizer:
+    """``map_batches`` callable: one pass over the corpus.
+
+    Emits the docs-registry rows as the dataset output and writes one
+    sorted SPIMI posting fragment parquet per input batch as a side
+    output (the classic SPIMI "write sorted run per memory budget"
+    step). Fragment filenames are content-derived, so Ray task retries
+    overwrite rather than duplicate (idempotent).
+    """
+
+    def __init__(self, cfg: EngineConfig, fragments_dir: str):
+        self.cfg = cfg
+        self.fragments_dir = fragments_dir
+        os.makedirs(fragments_dir, exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        repos = batch["repo"].to_pylist()
+        paths = batch["path"].to_pylist()
+        commits = batch["commit"].to_pylist()
+        contents = batch["content"].to_pylist()
+        sha = sha256_hex(contents)
+        if cfg.doc_id_mode == "column":
+            doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            doc_ids = doc_id_from_key(repos, paths, commits)
+
+        terms, doc_idx, tfs, doc_lens = tokenize_batch(contents, cfg)
+
+        if terms.size:
+            frag = pa.table(
+                {
+                    "term": pa.array(terms, type=pa.string()),
+                    "doc_id": pa.array(doc_ids[doc_idx], type=pa.uint64()),
+                    "tf": pa.array(tfs, type=pa.uint32()),
+                    "doc_len": pa.array(doc_lens[doc_idx], type=pa.uint32()),
+                }
+            )
+            name = f"frag-{sha[0][:16]}-{len(contents)}-{terms.size}"
+            tmp = os.path.join(self.fragments_dir, f".{name}.{uuid.uuid4().hex}.tmp")
+            pq.write_table(frag, tmp, compression="zstd")
+            os.replace(tmp, os.path.join(self.fragments_dir, f"{name}.parquet"))
+
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.uint64()),
+                "repo": batch["repo"],
+                "path": batch["path"],
+                "commit": batch["commit"],
+                "lang": batch["lang"],
+                "content_sha256": pa.array(sha, type=pa.string()),
+                "doc_len": pa.array(doc_lens, type=pa.uint32()),
+            }
+        )
+
+
+# --------------------------------------------------------------------------
+# Stage B: merge shuffle
+# --------------------------------------------------------------------------
+
+
+class AssignGroupKey:
+    """Adds the merge-shuffle key and applies dedup / resume filters.
+
+    gkey = bucket * (1 + hot_salt)              for normal terms
+         = bucket * (1 + hot_salt) + 1 + doc_id % hot_salt   for hot terms
+
+    Hot terms (df above threshold — the Zipf head: `def`, `import`, …)
+    are salted so their corpus-sized posting lists are built as
+    ``hot_salt`` parallel sorted runs and merged in a second, tiny pass.
+    """
+
+    def __init__(
+        self,
+        cfg: EngineConfig,
+        hot_ref: "ray.ObjectRef",
+        losers_ref: "ray.ObjectRef",
+        done_ref: "ray.ObjectRef",
+    ):
+        self.cfg = cfg
+        self.hot_terms = ray.get(hot_ref)          # np.ndarray[object]
+        self.losers = ray.get(losers_ref)          # np.ndarray[uint64], sorted
+        self.done = ray.get(done_ref)              # frozenset[int] committed gkeys
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        terms = np.asarray(batch["term"].to_pylist(), dtype=object)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = np.ones(len(terms), dtype=bool)
+        if self.losers.size:
+            keep &= ~np.isin(doc_ids, self.losers)
+        buckets = term_bucket(terms, cfg.num_buckets).astype(np.int64)
+        stride = 1 + cfg.hot_salt
+        gkey = buckets * stride
+        if self.hot_terms.size and cfg.salting_enabled:
+            hot_mask = np.isin(terms, self.hot_terms)
+            gkey = np.where(
+                hot_mask,
+                gkey + 1 + (doc_ids % np.uint64(cfg.hot_salt)).astype(np.int64),
+                gkey,
+            )
+        if self.done:
+            done_arr = np.fromiter(self.done, dtype=np.int64)
+            keep &= ~np.isin(gkey, done_arr)
+        out = batch.append_column("gkey", pa.array(gkey, type=pa.int64()))
+        return out.filter(pa.array(keep))
+
+
+def _encode_sorted_group(
+    terms: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doc_lens: np.ndarray,
+    avgdl: float,
+    cfg: EngineConfig,
+) -> pa.Table:
+    """Sort (term, doc_id), drop exact (term,doc_id) dups, encode all
+    terms' postings. Vectorized: one varbyte pass over the whole group,
+    per-term byte-offset slicing."""
+    codes, uniques = pd.factorize(terms, sort=True)
+    order = np.lexsort((doc_ids, codes))
+    codes, doc_ids, tfs, doc_lens = codes[order], doc_ids[order], tfs[order], doc_lens[order]
+    # drop duplicate (term, doc_id) pairs (identical (repo,path,commit) rows)
+    if codes.size > 1:
+        dup = np.zeros(codes.size, dtype=bool)
+        dup[1:] = (codes[1:] == codes[:-1]) & (doc_ids[1:] == doc_ids[:-1])
+        if dup.any():
+            keep = ~dup
+            codes, doc_ids, tfs, doc_lens = codes[keep], doc_ids[keep], tfs[keep], doc_lens[keep]
+    n = codes.size
+    if n == 0:
+        return POSTINGS_SCHEMA.empty_table()
+    starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+    ends = np.r_[starts[1:], n]
+    if not ((doc_ids[1:] > doc_ids[:-1]) | (codes[1:] != codes[:-1])).all():
+        raise ValueError("postings not strictly increasing within term")
+    deltas = doc_ids.copy()
+    deltas[1:] -= doc_ids[:-1]
+    deltas[starts] = doc_ids[starts]
+    doc_buf = varbyte_encode(deltas)
+    doc_off = np.r_[0, np.cumsum(varbyte_lengths(deltas))]
+    tf64 = tfs.astype(np.uint64)
+    tf_buf = varbyte_encode(tf64)
+    tf_off = np.r_[0, np.cumsum(varbyte_lengths(tf64))]
+    w = tf_sat_weight(tfs, doc_lens, avgdl, cfg)
+
+    bs = cfg.block_size
+    out_terms: list[str] = []
+    dfs = np.empty(starts.size, dtype=np.uint64)
+    doc_vbs: list[bytes] = []
+    tf_vbs: list[bytes] = []
+    bmaxes: list[np.ndarray] = []
+    blasts: list[np.ndarray] = []
+    uniq_arr = np.asarray(uniques, dtype=object)
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        out_terms.append(uniq_arr[codes[s]])
+        dfs[i] = e - s
+        doc_vbs.append(doc_buf[doc_off[s] : doc_off[e]])
+        tf_vbs.append(tf_buf[tf_off[s] : tf_off[e]])
+        bstarts = np.arange(s, e, bs)
+        bmaxes.append(np.maximum.reduceat(w, bstarts).astype(np.float32))
+        blasts.append(doc_ids[np.minimum(bstarts + bs, e) - 1])
+    buckets = term_bucket(np.asarray(out_terms, dtype=object), cfg.num_buckets)
+    return pa.table(
+        {
+            "term": pa.array(out_terms, type=pa.string()),
+            "df": pa.array(dfs, type=pa.uint64()),
+            "doc_ids_vb": pa.array(doc_vbs, type=pa.binary()),
+            "tfs_vb": pa.array(tf_vbs, type=pa.binary()),
+            "block_max_w": pa.array(bmaxes, type=pa.list_(pa.float32())),
+            "block_last_doc": pa.array(blasts, type=pa.list_(pa.uint64())),
+            "bucket": pa.array(buckets, type=pa.uint32()),
+        }
+    )
+
+
+class MergeGroup:
+    """``map_groups`` callable for the wide shuffle: one group = one
+    gkey. Normal groups write their final postings partition atomically
+    and commit a manifest; salted groups write partial sorted runs
+    (with doc_lens preserved for the final hot merge). Returns a tiny
+    stats row either way — final postings never flow back through the
+    object store."""
+
+    def __init__(self, cfg: EngineConfig, out_dir: str, avgdl: float, fingerprint: str):
+        self.cfg = cfg
+        self.out_dir = out_dir
+        self.avgdl = avgdl
+        self.fingerprint = fingerprint
+        self.__name__ = "MergeGroup"  # map_groups wraps fn and reads __name__
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        t0 = time.monotonic()
+        cfg = self.cfg
+        gkey = int(group["gkey"][0].as_py())
+        stride = 1 + cfg.hot_salt
+        is_salted = (gkey % stride) != 0
+        terms = np.asarray(group["term"].to_pylist(), dtype=object)
+        doc_ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        tfs = group["tf"].to_numpy(zero_copy_only=False).astype(np.uint32)
+        doc_lens = group["doc_len"].to_numpy(zero_copy_only=False).astype(np.uint32)
+
+        if is_salted:
+            # partial sorted run for hot terms; keep doc_len for re-weighting
+            codes, uniques = pd.factorize(terms, sort=True)
+            order = np.lexsort((doc_ids, codes))
+            tbl = pa.table(
+                {
+                    "term": pa.array(terms[order], type=pa.string()),
+                    "doc_id": pa.array(doc_ids[order], type=pa.uint64()),
+                    "tf": pa.array(tfs[order], type=pa.uint32()),
+                    "doc_len": pa.array(doc_lens[order], type=pa.uint32()),
+                }
+            )
+            part_dir = os.path.join(self.out_dir, "partial")
+            os.makedirs(part_dir, exist_ok=True)
+            final = os.path.join(part_dir, f"g{gkey}.parquet")
+            tmp = final + f".{uuid.uuid4().hex}.tmp"
+            pq.write_table(tbl, tmp, compression="zstd")
+            os.replace(tmp, final)
+            nbytes = os.path.getsize(final)
+            kind = "partial"
+            n_terms = len(uniques)
+        else:
+            tbl = _encode_sorted_group(terms, doc_ids, tfs, doc_lens, self.avgdl, cfg)
+            part_dir = os.path.join(self.out_dir, "parts", f"g{gkey}")
+            os.makedirs(part_dir, exist_ok=True)
+            final = os.path.join(part_dir, "postings.parquet")
+            tmp = final + f".{uuid.uuid4().hex}.tmp"
+            pq.write_table(tbl, tmp, compression="zstd")
+            os.replace(tmp, final)
+            nbytes = os.path.getsize(final)
+            kind = "final"
+            n_terms = tbl.num_rows
+        write_manifest(
+            os.path.join(self.out_dir, "manifest"),
+            f"g{gkey}",
+            {
+                "part_id": f"g{gkey}",
+                "stage": "merge",
+                "kind": kind,
+                "rows_in": group.num_rows,
+                "rows_out": int(n_terms),
+                "bytes_out": int(nbytes),
+                "fingerprint": self.fingerprint,
+                "config_hash": cfg.config_hash(),
+                "status": "committed",
+                "wall_s": round(time.monotonic() - t0, 4),
+            },
+        )
+        return pa.table(
+            {
+                "gkey": pa.array([gkey], type=pa.int64()),
+                "kind": pa.array([kind]),
+                "rows_in": pa.array([group.num_rows], type=pa.int64()),
+                "n_terms": pa.array([int(n_terms)], type=pa.int64()),
+                "bytes_out": pa.array([int(nbytes)], type=pa.int64()),
+                "wall_s": pa.array([time.monotonic() - t0], type=pa.float64()),
+            }
+        )
+
+
+class MergeHotTerm:
+    """Second (tiny) pass: k-way merge of one hot term's salted runs.
+
+    Runs are doc_id-sorted but interleaved (salt = doc_id % S), so the
+    merge is concatenate + argsort over this term's postings only."""
+
+    def __init__(self, cfg: EngineConfig, avgdl: float):
+        self.cfg = cfg
+        self.avgdl = avgdl
+        self.__name__ = "MergeHotTerm"
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        terms = np.asarray(group["term"].to_pylist(), dtype=object)
+        doc_ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        tfs = group["tf"].to_numpy(zero_copy_only=False).astype(np.uint32)
+        doc_lens = group["doc_len"].to_numpy(zero_copy_only=False).astype(np.uint32)
+        return _encode_sorted_group(terms, doc_ids, tfs, doc_lens, self.avgdl, self.cfg)
+
+
+# --------------------------------------------------------------------------
+# Driver
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class BuildResult:
+    index_dir: str
+    n_docs: int
+    total_len: int
+    avgdl: float
+    n_dup_losers: int
+    hot_terms: list[str]
+    stats: dict[str, Any] = field(default_factory=dict)
+
+
+def _load_stats(index_dir: str) -> dict[str, Any]:
+    with open(os.path.join(index_dir, "corpus_stats.json")) as f:
+        return json.load(f)
+
+
+def build_index(
+    corpus: "ray.data.Dataset",
+    index_dir: str,
+    cfg: EngineConfig | None = None,
+    fingerprint: str = "",
+) -> BuildResult:
+    """Build the full index under ``index_dir``. Resumable: committed
+    partitions (matching fingerprint + config hash) are skipped."""
+    cfg = cfg or EngineConfig()
+    fingerprint = f"{fingerprint}:{cfg.config_hash()}"
+    man_dir = os.path.join(index_dir, "manifest")
+    frag_dir = os.path.join(index_dir, "fragments")
+    docs_dir = os.path.join(index_dir, "docs")
+    os.makedirs(index_dir, exist_ok=True)
+
+    done = committed_parts(man_dir, fingerprint)
+    if "docs" not in done:
+        # no resumable state for THIS (input, config) identity → clean slate
+        import shutil
+        for sub in ("fragments", "docs", "parts", "partial", "manifest"):
+            shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
+        done = set()
+    if "_SUCCESS" in done:
+        st = _load_stats(index_dir)
+        return BuildResult(index_dir, st["n_docs"], st["total_len"], st["avgdl"],
+                           st["n_dup_losers"], st["hot_terms"], st)
+
+    # ---- Stage A: tokenize once; docs registry out, SPIMI fragments aside
+    t0 = time.monotonic()
+    if "docs" not in done:
+        docs_ds = corpus.map_batches(
+            SpimiTokenizer(cfg, frag_dir),
+            batch_format="pyarrow",
+            batch_size=cfg.tokenize_batch_size,
+            zero_copy_batch=True,
+        )
+        docs_ds.write_parquet(docs_dir)
+        write_manifest(man_dir, "docs", {
+            "part_id": "docs", "stage": "tokenize", "status": "committed",
+            "fingerprint": fingerprint, "config_hash": cfg.config_hash(),
+            "wall_s": round(time.monotonic() - t0, 4),
+        })
+    docs_ds = ray.data.read_parquet(docs_dir)
+
+    # ---- Dedup winners (exact, content_sha256, keep min doc_id) + stats.
+    # Narrow projection shuffle only — content never moves.
+    if cfg.dedup:
+        losers_ds = (
+            docs_ds.select_columns(["content_sha256", "doc_id", "doc_len"])
+            .groupby("content_sha256")
+            .map_groups(
+                lambda g: g.sort_values("doc_id").iloc[1:][["doc_id", "doc_len"]],
+                batch_format="pandas",
+            )
+        )
+        losers_tbl = pa.Table.from_pandas(losers_ds.to_pandas())
+        losers = np.sort(losers_tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)) \
+            if losers_tbl.num_rows else np.empty(0, dtype=np.uint64)
+        losers_len = int(losers_tbl["doc_len"].to_numpy(zero_copy_only=False).sum()) if losers_tbl.num_rows else 0
+    else:
+        losers = np.empty(0, dtype=np.uint64)
+        losers_len = 0
+
+    n_total = docs_ds.count()
+    total_len_all = int(docs_ds.sum("doc_len"))
+    n_docs = n_total - int(losers.size)
+    total_len = total_len_all - losers_len
+    avgdl = total_len / n_docs if n_docs else 1.0
+
+    # ---- Hot-term detection: per-batch partial df pre-agg, then a small
+    # groupby(term) over the partials (SURVEY.md §2.5 G3 / §4.3).
+    frags = ray.data.read_parquet(frag_dir)
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        t, c = np.unique(np.asarray(batch["term"].to_pylist(), dtype=object), return_counts=True)
+        return pa.table({"term": pa.array(t, type=pa.string()), "pdf": pa.array(c, type=pa.int64())})
+
+    hot_thresh = max(2, int(cfg.hot_df_ratio * n_docs))
+    if cfg.salting_enabled:
+        df_ds = frags.map_batches(partial_df, batch_format="pyarrow").groupby("term").aggregate(
+            Sum("pdf", alias_name="df")
+        )
+        hot_pdf = df_ds.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["df"], pa.scalar(hot_thresh))),
+            batch_format="pyarrow",
+        ).to_pandas()
+        hot_terms = np.asarray(hot_pdf["term"].tolist(), dtype=object)
+    else:
+        hot_terms = np.empty(0, dtype=object)
+
+    # ---- The wide shuffle: groupby(gkey) → merge/compress/commit
+    hot_ref = ray.put(hot_terms)
+    losers_ref = ray.put(losers)
+    done_ref = ray.put(frozenset(
+        int(p[1:]) for p in done if p.startswith("g") and p[1:].isdigit()
+    ))
+    stats_ds = (
+        frags.map_batches(
+            AssignGroupKey(cfg, hot_ref, losers_ref, done_ref),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("gkey")
+        .map_groups(
+            MergeGroup(cfg, index_dir, avgdl, fingerprint),
+            batch_format="pyarrow",
+        )
+    )
+    merge_stats = stats_ds.to_pandas()  # tiny: one row per gkey
+
+    # ---- Final hot merge (only if salted partials exist)
+    partial_dir = os.path.join(index_dir, "partial")
+    hot_part_dir = os.path.join(index_dir, "parts", "hot")
+    if os.path.isdir(partial_dir) and os.listdir(partial_dir) and "hot" not in done:
+        t0h = time.monotonic()
+        hot_final = (
+            ray.data.read_parquet(partial_dir)
+            .groupby("term")
+            .map_groups(MergeHotTerm(cfg, avgdl), batch_format="pyarrow")
+        )
+        os.makedirs(hot_part_dir, exist_ok=True)
+        hot_final.write_parquet(hot_part_dir)
+        write_manifest(man_dir, "hot", {
+            "part_id": "hot", "stage": "merge_hot", "status": "committed",
+            "fingerprint": fingerprint, "config_hash": cfg.config_hash(),
+            "wall_s": round(time.monotonic() - t0h, 4),
+        })
+
+    stats = {
+        "n_docs": int(n_docs),
+        "total_len": int(total_len),
+        "avgdl": float(avgdl),
+        "n_dup_losers": int(losers.size),
+        "hot_terms": sorted(map(str, hot_terms)),
+        "hot_df_threshold": hot_thresh,
+        "k1": cfg.k1,
+        "b": cfg.b,
+        "tokenizer": cfg.tokenizer,
+        "config_hash": cfg.config_hash(),
+        "fingerprint": fingerprint,
+        "merge_groups": int(len(merge_stats)) if merge_stats is not None else 0,
+    }
+    atomic_write_bytes(
+        os.path.join(index_dir, "corpus_stats.json"),
+        json.dumps(stats, sort_keys=True, indent=1).encode(),
+    )
+    write_manifest(man_dir, "_SUCCESS", {
+        "part_id": "_SUCCESS", "stage": "build", "status": "committed",
+        "fingerprint": fingerprint, "config_hash": cfg.config_hash(),
+    })
+    return BuildResult(index_dir, int(n_docs), int(total_len), float(avgdl),
+                       int(losers.size), stats["hot_terms"], stats)

@@ -1,0 +1,63 @@
+"""Engine configuration.
+
+One frozen dataclass resolved at job submit, recorded (hashed) in the
+build manifest for lineage — replaces the reference's mutable module
+of env-var lookups (/root/reference/config.py:27-88,160-270).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # BM25 parameters (north rule: k1=1.2, b=0.75)
+    k1: float = 1.2
+    b: float = 0.75
+
+    # Tokenizer: "code" = identifier-splitting code tokenizer;
+    # "simple" = lowercase [a-z0-9]+ runs (SQL-parity mode used by the
+    # DuckDB oracle gate).
+    tokenizer: str = "code"
+    min_token_len: int = 2
+    max_token_len: int = 64
+    stopwords: tuple[str, ...] = ()
+    split_identifiers: bool = True
+
+    # Index layout
+    num_buckets: int = 32          # term-hash partitions (the wide shuffle key)
+    block_size: int = 128          # postings per block-max block
+    # Skew: terms whose df exceeds hot_df_ratio * n_docs are salted into
+    # hot_salt sub-groups during the merge shuffle (SURVEY.md §4.3).
+    hot_df_ratio: float = 0.10
+    hot_salt: int = 4
+    salting_enabled: bool = True
+
+    # doc_id assignment: "hash" = first 8 bytes of sha256(repo|path|commit)
+    # (deterministic, cluster-safe); "column" = pass through an existing
+    # int64 `doc_id` column (used for the driver's `documents` table).
+    doc_id_mode: str = "hash"
+
+    # Dedup by content_sha256 (keep-first). Mirrors the reference's
+    # idempotent re-ingest skip (/root/reference/ingestion/pipeline_ingest.py:266-269).
+    dedup: bool = True
+
+    # Execution sizing
+    tokenize_batch_size: int = 256
+    scorer_concurrency: int = 4
+    query_batch_size: int = 64
+
+    def config_hash(self) -> str:
+        return hashlib.sha256(
+            json.dumps(asdict(self), sort_keys=True, default=str).encode()
+        ).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = EngineConfig()
+# SQL-parity configuration used for the DuckDB correctness gate: the
+# simple tokenizer is exactly replicable as
+# regexp_extract_all(lower(text), '[a-z0-9]+') + length>=2 in SQL.
+SQL_PARITY_CONFIG = EngineConfig(tokenizer="simple", doc_id_mode="column", dedup=False)

@@ -1,0 +1,264 @@
+"""BM25 query scoring: stateful actor-pool stage.
+
+The Ray-Data-native replacement for the reference's per-process
+singleton search engine (SBERT + FAISS loaded once,
+/root/reference/enhanced_pipeline.py:214-362, index/index_manager.py:203-286):
+``BM25Scorer`` is a callable CLASS passed to ``map_batches`` — index
+partitions, corpus stats and doc lengths are loaded ONCE per actor in
+``__init__``; ``__call__`` scores a whole Arrow batch of queries.
+
+Two execution strategies, proven rank-identical by tests:
+
+- ``taat`` — exact term-at-a-time: vectorized numpy accumulation over
+  the decoded postings of the query's terms (the fast path at this
+  index size; analogue of the reference's exhaustive fallback scorer,
+  /root/reference/index/fallback_index.py:124-164).
+- ``bmw`` — block-max WAND document-at-a-time with skip pointers and
+  per-block upper bounds (the 10^12-scale path: postings are pruned,
+  not exhaustively scanned).
+
+Scale note: a single actor here holds the whole (test-sized) index.
+On a real cluster each actor would load an assigned subset of term
+partitions (same parquet layout, `bucket` column = shard key) and a
+``groupby(query_id).map_groups(merge_topk)`` stage would combine
+per-shard candidates — SURVEY.md §2.6 T1.
+"""
+
+from __future__ import annotations
+
+import glob
+import heapq
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .bm25 import idf as idf_fn
+from .bm25 import tf_sat_weight, topk_order
+from .codec import decode_posting
+from .config import EngineConfig
+from .tokenizer import tokenize_text
+
+RESULTS_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("rank", pa.uint32()),
+        ("doc_id", pa.uint64()),
+        ("score", pa.float64()),
+    ]
+)
+
+
+class BM25Scorer:
+    def __init__(self, index_dir: str, cfg: EngineConfig | None = None, mode: str = "taat"):
+        self.cfg = cfg or EngineConfig()
+        self.mode = mode
+        with open(os.path.join(index_dir, "corpus_stats.json")) as f:
+            stats = json.load(f)
+        self.n_docs = int(stats["n_docs"])
+        self.avgdl = float(stats["avgdl"])
+
+        # doc lengths (narrow columns only)
+        docs = pq.ParquetDataset(os.path.join(index_dir, "docs")).read(columns=["doc_id", "doc_len"])
+        did = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        dl = docs["doc_len"].to_numpy(zero_copy_only=False).astype(np.uint32)
+        order = np.argsort(did, kind="stable")
+        self._dl_docid = did[order]
+        self._dl = dl[order]
+
+        # postings partitions
+        files = sorted(glob.glob(os.path.join(index_dir, "parts", "**", "*.parquet"), recursive=True))
+        if not files:
+            raise FileNotFoundError(f"no postings partitions under {index_dir}/parts")
+        tbl = pa.concat_tables([pq.read_table(f) for f in files])
+        self._terms: dict[str, int] = {t: i for i, t in enumerate(tbl["term"].to_pylist())}
+        self._df = tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self._doc_vb = tbl["doc_ids_vb"].to_pylist()
+        self._tf_vb = tbl["tfs_vb"].to_pylist()
+        self._bmax = tbl["block_max_w"].to_pylist()
+        self._blast = tbl["block_last_doc"].to_pylist()
+
+    # ---- shared helpers -------------------------------------------------
+
+    def _doc_len_of(self, doc_ids: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(self._dl_docid, doc_ids)
+        return self._dl[pos]
+
+    def _term_arrays(self, term: str):
+        """Decode one term's postings → (doc_ids, contribs float64)."""
+        i = self._terms[term]
+        df = int(self._df[i])
+        doc_ids, tfs = decode_posting(self._doc_vb[i], self._tf_vb[i], df)
+        w = tf_sat_weight(tfs, self._doc_len_of(doc_ids), self.avgdl, self.cfg.k1, self.cfg.b)
+        contrib = (idf_fn(df, self.n_docs) * (self.cfg.k1 + 1.0)) * w
+        return doc_ids, contrib
+
+    def query_terms(self, text: str) -> list[str]:
+        return sorted({t for t in tokenize_text(text, self.cfg) if t in self._terms})
+
+    # ---- exact TAAT -----------------------------------------------------
+
+    def score_taat(self, text: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+        terms = self.query_terms(text)
+        if not terms:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
+        per_term = [self._term_arrays(t) for t in terms]
+        cand = np.unique(np.concatenate([d for d, _ in per_term]))
+        acc = np.zeros(cand.size, dtype=np.float64)
+        for d, c in per_term:  # sorted-term order → deterministic float sums
+            acc[np.searchsorted(cand, d)] += c
+        sel = topk_order(cand, acc, k)
+        return cand[sel], acc[sel]
+
+    # ---- block-max WAND -------------------------------------------------
+
+    def score_bmw(self, text: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+        terms = self.query_terms(text)
+        if not terms:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
+        k = int(k)
+        k1p1 = self.cfg.k1 + 1.0
+        lists = []
+        for t in terms:
+            i = self._terms[t]
+            df = int(self._df[i])
+            doc_ids, tfs = decode_posting(self._doc_vb[i], self._tf_vb[i], df)
+            term_idf = float(idf_fn(df, self.n_docs))
+            contrib = (term_idf * k1p1) * tf_sat_weight(
+                tfs, self._doc_len_of(doc_ids), self.avgdl, self.cfg.k1, self.cfg.b
+            )
+            bmax = np.asarray(self._bmax[i], dtype=np.float64)
+            blast = np.asarray(self._blast[i], dtype=np.uint64)
+            block_ub = term_idf * k1p1 * bmax
+            lists.append(
+                {
+                    "order": len(lists),  # term-sorted position (score-sum order)
+                    "docs": doc_ids,
+                    "contrib": contrib,
+                    "pos": 0,
+                    "n": doc_ids.size,
+                    "ub": float(block_ub.max()),
+                    "block_ub": block_ub,
+                    "blast": blast,
+                }
+            )
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+
+        def theta() -> float:
+            return heap[0][0] if len(heap) >= k else -np.inf
+
+        live = [l for l in lists if l["n"] > 0]
+        while live:
+            live.sort(key=lambda l: int(l["docs"][l["pos"]]))
+            th = theta()
+            # pivot: first prefix whose Σ global-UB can beat θ
+            ub_sum, pivot_idx = 0.0, -1
+            for j, l in enumerate(live):
+                ub_sum += l["ub"]
+                if ub_sum > th:
+                    pivot_idx = j
+                    break
+            if pivot_idx < 0:
+                break  # nothing can beat θ → done
+            pivot_doc = int(live[pivot_idx]["docs"][live[pivot_idx]["pos"]])
+            # extend pivot group to every list currently at pivot_doc
+            while (
+                pivot_idx + 1 < len(live)
+                and int(live[pivot_idx + 1]["docs"][live[pivot_idx + 1]["pos"]]) == pivot_doc
+            ):
+                pivot_idx += 1
+            first_doc = int(live[0]["docs"][live[0]["pos"]])
+            if first_doc == pivot_doc:
+                # shallow (block-max) check over the pivot group.
+                # All doc_id arithmetic in exact ints — float conversion of
+                # 64-bit hash doc_ids loses low bits and breaks skipping.
+                block_sum = 0.0
+                next_boundary: int | None = None
+                for l in live[: pivot_idx + 1]:
+                    bi = int(np.searchsorted(l["blast"], np.uint64(pivot_doc), side="left"))
+                    block_sum += float(l["block_ub"][bi])
+                    blast_i = int(l["blast"][bi])
+                    next_boundary = blast_i if next_boundary is None else min(next_boundary, blast_i)
+                if block_sum <= th and len(heap) >= k:
+                    # the aligned block region can't beat θ → skip past it,
+                    # but never past the next list's current doc (docs in
+                    # between may score together with lists outside the
+                    # pivot group)
+                    skip_to = next_boundary + 1
+                    if pivot_idx + 1 < len(live):
+                        nxt = int(live[pivot_idx + 1]["docs"][live[pivot_idx + 1]["pos"]])
+                        skip_to = min(skip_to, nxt)
+                    for l in live[: pivot_idx + 1]:
+                        l["pos"] = int(np.searchsorted(l["docs"], np.uint64(skip_to)))
+                else:
+                    # full evaluation — accumulate in term-sorted order
+                    group = sorted(live[: pivot_idx + 1], key=lambda l: l["order"])
+                    score = 0.0
+                    for l in group:
+                        score += float(l["contrib"][l["pos"]])
+                    # tie-break: among equal scores the LARGEST doc_id is
+                    # the worst (exact int comparison — no float doc_ids)
+                    if len(heap) < k:
+                        heapq.heappush(heap, (score, -pivot_doc))
+                    elif score > heap[0][0]:
+                        heapq.heapreplace(heap, (score, -pivot_doc))
+                    for l in live[: pivot_idx + 1]:
+                        l["pos"] += 1
+            else:
+                # advance lists before the pivot up to pivot_doc (galloping)
+                for l in live[:pivot_idx]:
+                    if int(l["docs"][l["pos"]]) < pivot_doc:
+                        l["pos"] = int(np.searchsorted(l["docs"], np.uint64(pivot_doc)))
+            live = [l for l in live if l["pos"] < l["n"]]
+
+        if not heap:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
+        docs = np.array([-h[1] for h in heap], dtype=np.uint64)
+        scores = np.array([h[0] for h in heap], dtype=np.float64)
+        sel = topk_order(docs, scores, k)
+        return docs[sel], scores[sel]
+
+    # ---- map_batches entry ---------------------------------------------
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        score = self.score_bmw if self.mode == "bmw" else self.score_taat
+        qids, ranks, docs, scores = [], [], [], []
+        ks = batch["k"].to_pylist() if "k" in batch.column_names else [10] * batch.num_rows
+        for qid, text, k in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist(), ks):
+            d, s = score(text, int(k))
+            qids.append(np.full(d.size, qid, dtype=np.int64))
+            ranks.append(np.arange(d.size, dtype=np.uint32))
+            docs.append(d)
+            scores.append(s)
+        if not qids:
+            return RESULTS_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qids), type=pa.int64()),
+                "rank": pa.array(np.concatenate(ranks), type=pa.uint32()),
+                "doc_id": pa.array(np.concatenate(docs), type=pa.uint64()),
+                "score": pa.array(np.concatenate(scores), type=pa.float64()),
+            }
+        )
+
+
+def query_index(
+    queries,
+    index_dir: str,
+    cfg: EngineConfig | None = None,
+    mode: str = "taat",
+    concurrency: int | None = None,
+):
+    """queries Dataset (query_id, text, k) → results Dataset via the
+    scorer actor pool."""
+    cfg = cfg or EngineConfig()
+    return queries.map_batches(
+        BM25Scorer,
+        fn_constructor_args=(index_dir, cfg, mode),
+        batch_format="pyarrow",
+        batch_size=cfg.query_batch_size,
+        concurrency=concurrency or cfg.scorer_concurrency,
+        num_cpus=1,
+    )

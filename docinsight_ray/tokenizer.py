@@ -1,0 +1,85 @@
+"""Code-aware tokenization.
+
+The analogue of the reference's sentence/word splitting
+(/root/reference/enhanced_pipeline.py:81-94, ingestion/pipeline_ingest.py:42-61)
+re-targeted at source code per the north rule: identifier splitting
+(camelCase / snake_case / SCREAMING_CASE / digit boundaries),
+lowercasing, length + stopword filtering. The document's ``content``
+is never mutated (sha256 invariant holds against the source table);
+tokens are derived values only.
+
+Two modes:
+
+- ``code`` — single pass of ``CAMEL_RE`` over the raw text: splits on
+  non-alphanumerics (incl. ``_``) *and* camel-case / digit boundaries.
+- ``simple`` — ``[a-z0-9]+`` runs of ``text.lower()``; exactly
+  replicable in ANSI SQL as
+  ``regexp_extract_all(lower(text), '[a-z0-9]+')`` (the DuckDB oracle
+  gate uses this mode).
+
+Per-batch term-frequency counting is vectorized via pandas ``factorize``
++ a single ``np.unique`` over composite (doc, term) codes — no Python
+loop over (doc, term) pairs.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from .config import EngineConfig
+
+# Splits "parseHTTPResponse_v2" -> parse, HTTP, Response, v, 2
+CAMEL_RE = re.compile(r"[A-Z]+(?=[A-Z][a-z])|[A-Z][a-z]+|[a-z]+|[A-Z]+|[0-9]+")
+SIMPLE_RE = re.compile(r"[a-z0-9]+")
+WORD_RE = re.compile(r"[A-Za-z0-9_]+")
+
+
+def tokenize_text(text: str, cfg: EngineConfig) -> list[str]:
+    """Tokenize one string (query path / oracle / tests)."""
+    if cfg.tokenizer == "simple":
+        toks = SIMPLE_RE.findall(text.lower())
+    elif cfg.split_identifiers:
+        toks = [t.lower() for t in CAMEL_RE.findall(text)]
+    else:
+        toks = [t.lower() for t in WORD_RE.findall(text)]
+    lo, hi = cfg.min_token_len, cfg.max_token_len
+    if cfg.stopwords:
+        stop = set(cfg.stopwords)
+        return [t for t in toks if lo <= len(t) <= hi and t not in stop]
+    return [t for t in toks if lo <= len(t) <= hi]
+
+
+def tokenize_batch(
+    contents: list[str], cfg: EngineConfig
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Tokenize a batch of documents into (term, doc_idx, tf) triples.
+
+    Returns ``(terms: object ndarray, doc_idx: int64, tfs: int64,
+    doc_lens: int64)`` where ``doc_lens[i]`` is the kept-token count of
+    document ``i`` (Σ tf per doc — the BM25 ``dl``).
+    """
+    n = len(contents)
+    doc_lens = np.zeros(n, dtype=np.int64)
+    all_tokens: list[str] = []
+    owners: list[np.ndarray] = []
+    for i, text in enumerate(contents):
+        toks = tokenize_text(text, cfg)
+        doc_lens[i] = len(toks)
+        if toks:
+            all_tokens.extend(toks)
+            owners.append(np.full(len(toks), i, dtype=np.int64))
+    if not all_tokens:
+        e = np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=object), e, e, doc_lens
+    doc_idx = np.concatenate(owners)
+    codes, uniques = pd.factorize(np.asarray(all_tokens, dtype=object), sort=False)
+    # composite key: one np.unique pass gives per-(doc, term) counts
+    key = doc_idx * np.int64(len(uniques)) + codes
+    uniq_keys, tfs = np.unique(key, return_counts=True)
+    out_doc = uniq_keys // np.int64(len(uniques))
+    out_code = uniq_keys % np.int64(len(uniques))
+    terms = np.asarray(uniques, dtype=object)[out_code]
+    return terms, out_doc, tfs.astype(np.int64), doc_lens

