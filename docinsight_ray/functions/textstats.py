@@ -1,0 +1,209 @@
+"""Text-analysis operators over the ``documents`` table.
+
+The training-data-pipeline analysis suite: token counting, quality
+scoring (stopword/char ratios — the BM25-relevant subset of the
+reference's stylometry features, /root/reference/stylometry/features.py:28-203
+and enhanced_pipeline.py:136-211), n-gram-profile language ID
+(replacing the reference's langdetect call,
+/root/reference/ingestion/pipeline_ingest.py:63-75), and rolling-hash
+document fingerprinting. All vectorized ``map_batches`` stages;
+SQL-parity entries round floats to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+# Fixed stopword profiles (deterministic heuristic language ID).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "los", "es"),
+    "de": ("der", "die", "und", "das", "ist", "ein"),
+    "fr": ("le", "la", "les", "des", "est", "une"),
+}
+EN_STOP = LANG_PROFILES["en"]
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+_WS_RE = re.compile(r"\S+")
+
+
+def _read_documents(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def q_token_count(sf_dir: str) -> pa.Table:
+    """Whitespace + alnum-run token counts per document (SURVEY.md §2.8 F3:
+    replaces the reference's len//4 token estimate with real counts)."""
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "n_ws_tokens": text.str.findall(_WS_RE).str.len().astype("int64"),
+                "n_alnum_tokens": text.str.lower().str.findall(_TOKEN_RE).str.len().astype("int64"),
+            }
+        )
+
+    return pa.Table.from_pandas(
+        _read_documents(sf_dir).map_batches(counts, batch_format="pandas").to_pandas(),
+        preserve_index=False,
+    )
+
+
+def q_quality_score(sf_dir: str) -> pa.Table:
+    """Per-doc quality features. Gate-exactness: ratios are emitted as
+    integer numerator/denominator pairs (n_stop/n_tokens,
+    total_token_len/n_tokens) — cross-engine float rounding (numpy
+    half-even vs DuckDB half-away-from-zero) can flip a 6th-decimal
+    boundary, integers cannot. ``quality_ratios`` (non-gate) derives
+    the float ratios."""
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(_TOKEN_RE)
+        n = toks.str.len()
+        stop = set(EN_STOP)
+        n_stop = toks.map(lambda ts: sum(1 for t in ts if t in stop))
+        total_len = toks.map(lambda ts: sum(len(t) for t in ts))
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "n_tokens": n.astype("int64"),
+                "n_stop": n_stop.astype("int64"),
+                "total_token_len": total_len.astype("int64"),
+            }
+        )
+
+    return pa.Table.from_pandas(
+        _read_documents(sf_dir).map_batches(score, batch_format="pandas").to_pandas(),
+        preserve_index=False,
+    )
+
+
+def quality_ratios(sf_dir: str) -> pd.DataFrame:
+    """Library API: float quality ratios derived from q_quality_score."""
+    t = q_quality_score(sf_dir).to_pandas()
+    n = t["n_tokens"].replace(0, 1)
+    t["stop_ratio"] = t["n_stop"] / n
+    t["mean_token_len"] = t["total_token_len"] / n
+    return t
+
+
+def q_lang_id(sf_dir: str) -> pa.Table:
+    """Heuristic language ID: stopword-profile hit counts, argmax with
+    fixed priority order en > es > de > fr."""
+
+    def lid(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(_TOKEN_RE)
+        hits = {}
+        for lang, words in LANG_PROFILES.items():
+            ws = set(words)
+            hits[lang] = toks.map(lambda ts: sum(1 for t in ts if t in ws)).astype("int64")
+        en, es, de, fr = hits["en"], hits["es"], hits["de"], hits["fr"]
+        pred = np.where(
+            (en >= es) & (en >= de) & (en >= fr), "en",
+            np.where((es >= de) & (es >= fr), "es", np.where(de >= fr, "de", "fr")),
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "en_hits": en, "es_hits": es, "de_hits": de, "fr_hits": fr,
+                "pred_lang": pred,
+            }
+        )
+
+    return pa.Table.from_pandas(
+        _read_documents(sf_dir).map_batches(lid, batch_format="pandas").to_pandas(),
+        preserve_index=False,
+    )
+
+
+_FP_MOD = (1 << 61) - 1
+_FP_BASE = 1_000_003
+
+
+def rolling_fingerprint(tokens: list[str]) -> int:
+    """Polynomial rolling hash over the token sequence (order-sensitive
+    document fingerprint; mod 2^61-1)."""
+    h = 0
+    for t in tokens:
+        th = 0
+        for ch in t.encode("utf-8"):
+            th = (th * 131 + ch) % _FP_MOD
+        h = (h * _FP_BASE + th + 1) % _FP_MOD
+    return h
+
+
+def q_doc_fingerprint(sf_dir: str) -> pa.Table:
+    """Order-sensitive rolling-hash fingerprint per document (not
+    SQL-expressible → rows-only check; invariants tested in pytest)."""
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(_TOKEN_RE)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "fingerprint": toks.map(rolling_fingerprint).astype("uint64"),
+            }
+        )
+
+    return pa.Table.from_pandas(
+        _read_documents(sf_dir).map_batches(fp, batch_format="pandas").to_pandas(),
+        preserve_index=False,
+    )
+
+
+def _in_list_sql(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+ORACLE_SQL = {
+    "token_count": """
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_ws_tokens,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_alnum_tokens
+        FROM documents
+    """,
+    "quality_score": f"""
+        WITH t AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+        )
+        SELECT doc_id,
+               len(toks)::BIGINT AS n_tokens,
+               len(list_filter(toks, x -> x IN ({_in_list_sql(EN_STOP)})))::BIGINT AS n_stop,
+               coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS total_token_len
+        FROM t
+    """,
+    "lang_id": f"""
+        WITH t AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+        ), h AS (
+          SELECT doc_id,
+               len(list_filter(toks, x -> x IN ({_in_list_sql(LANG_PROFILES['en'])})))::BIGINT AS en_hits,
+               len(list_filter(toks, x -> x IN ({_in_list_sql(LANG_PROFILES['es'])})))::BIGINT AS es_hits,
+               len(list_filter(toks, x -> x IN ({_in_list_sql(LANG_PROFILES['de'])})))::BIGINT AS de_hits,
+               len(list_filter(toks, x -> x IN ({_in_list_sql(LANG_PROFILES['fr'])})))::BIGINT AS fr_hits
+          FROM t
+        )
+        SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+               CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                    WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+                    WHEN de_hits >= fr_hits THEN 'de'
+                    ELSE 'fr' END AS pred_lang
+        FROM h
+    """,
+    # doc_fingerprint: intentionally no SQL (order-sensitive rolling hash)
+}
+
+QUERIES = {
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+}

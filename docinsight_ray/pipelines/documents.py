@@ -1,0 +1,369 @@
+"""Engine pipelines over the driver's ``documents`` test table.
+
+Maps the generic ``documents(doc_id, text, lang, source, n_chars)``
+table into the north-rule corpus shape and runs the real engine
+(build → postings → BM25 actor-pool scoring) over it. These are the
+SQL-parity entries for the correctness gate: the ``simple`` tokenizer
+is exactly ``regexp_extract_all(lower(text), '[a-z0-9]+')`` + length≥2
+in DuckDB, and every aggregate column is named identically in the Ray
+pipeline and the oracle SQL.
+
+Gate-stability note: BM25 ranking for the DuckDB comparison sorts by
+(round(score,6) DESC, doc_id ASC) on BOTH sides — raw float ordering
+is bitwise-stable inside the engine (pytest asserts it vs the oracle
+scorer) but not across two independent SQL/numpy evaluations.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from ..build import build_index
+from ..codec import decode_posting
+from ..config import EngineConfig, SQL_PARITY_CONFIG
+from ..scorer import BM25Scorer, query_index
+
+# The fixed reference query set for the documents table (vocabulary of
+# the driver's synthetic text).
+DOC_QUERIES: list[tuple[int, str]] = [
+    (0, "data query stream"),
+    (1, "merge sort join table"),
+    (2, "the fast key value"),
+    (3, "spark batch window"),
+    (4, "customer order line filter"),
+    (5, "slow big hash scan group"),
+    (6, "row data"),
+    (7, "part supplier region nation"),
+]
+TOPK = 10
+
+SIMPLE_TOK_SQL = "list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> length(t) >= 2)"
+
+
+def documents_as_corpus(sf_dir: str) -> "ray.data.Dataset":
+    """documents → corpus schema (repo,path,commit,lang,content,doc_id)."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def to_corpus(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        doc_ids = batch["doc_id"]
+        return pa.table(
+            {
+                "repo": batch["source"],
+                "path": pc.binary_join_element_wise(
+                    pa.array(["doc"] * n), pc.cast(doc_ids, pa.string()), "/"
+                ),
+                "commit": pa.array([""] * n),
+                "lang": batch["lang"],
+                "content": batch["text"],
+                "doc_id": doc_ids,
+            }
+        )
+
+    return ds.map_batches(to_corpus, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def ensure_index(sf_dir: str, cfg: EngineConfig = SQL_PARITY_CONFIG) -> str:
+    """Build (or resume) the documents-table index for sf_dir; the
+    build fingerprint makes repeated calls no-ops."""
+    key = f"{sf_dir}:{cfg.config_hash()}"
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    safe = sf_dir.strip("/").replace("/", "_")
+    index_dir = os.path.join("/tmp", "docinsight_ray_idx", f"{safe}-{cfg.config_hash()}")
+    build_index(documents_as_corpus(sf_dir), index_dir, cfg, fingerprint=f"documents:{sf_dir}")
+    _INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+# ---- queries() entries ----------------------------------------------------
+
+
+def q_docs_registry(sf_dir: str) -> pa.Table:
+    """docs registry: per-row sha256 invariant + doc_len (SURVEY.md §2.2 M1-M4)."""
+    idx = ensure_index(sf_dir)
+    docs = ray.data.read_parquet(os.path.join(idx, "docs"))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "lang": batch["lang"],
+                "content_sha256": batch["content_sha256"],
+                "doc_len": pc.cast(batch["doc_len"], pa.int64()),
+            }
+        )
+
+    return pa.concat_tables(
+        [b for b in docs.map_batches(project, batch_format="pyarrow").iter_batches(batch_format="pyarrow")]
+    )
+
+
+def q_corpus_stats(sf_dir: str) -> pa.Table:
+    """Corpus stats aggregate (reference analogue: get_corpus_stats,
+    /root/reference/db/db_manager.py:112-143)."""
+    idx = ensure_index(sf_dir)
+    import json
+
+    with open(os.path.join(idx, "corpus_stats.json")) as f:
+        st = json.load(f)
+    return pa.table(
+        {
+            "n_docs": pa.array([st["n_docs"]], type=pa.int64()),
+            "total_len": pa.array([st["total_len"]], type=pa.int64()),
+            "avgdl": pa.array([st["avgdl"]], type=pa.float64()),
+        }
+    )
+
+
+def _postings_ds(idx: str) -> "ray.data.Dataset":
+    import glob
+
+    files = sorted(glob.glob(os.path.join(idx, "parts", "**", "*.parquet"), recursive=True))
+    return ray.data.read_parquet(files)
+
+
+def q_term_df_top100(sf_dir: str) -> pa.Table:
+    """Top-100 document frequencies from the merged postings (df is
+    stored on the posting row — SURVEY.md §2.5 G3)."""
+    idx = ensure_index(sf_dir)
+    ds = _postings_ds(idx).select_columns(["term", "df"])
+    out = ds.sort(["df", "term"], descending=[True, False]).limit(100).to_pandas()
+    return pa.table(
+        {
+            "term": pa.array(out["term"], type=pa.string()),
+            "df": pa.array(out["df"].astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+PROBE_TERMS = ["data", "query", "merge", "stream", "window"]
+
+
+def q_postings_probe(sf_dir: str) -> pa.Table:
+    """Decode the stored (delta+varbyte) postings of a fixed term set
+    back to (term, doc_id, tf) rows — the codec round-trips through the
+    correctness gate."""
+    idx = ensure_index(sf_dir)
+    ds = _postings_ds(idx)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        terms, dids, tfs = [], [], []
+        for t, df, dvb, tvb in zip(
+            batch["term"].to_pylist(),
+            batch["df"].to_pylist(),
+            batch["doc_ids_vb"].to_pylist(),
+            batch["tfs_vb"].to_pylist(),
+        ):
+            if t in PROBE_TERMS:
+                d, f = decode_posting(dvb, tvb, df)
+                terms += [t] * d.size
+                dids.append(d)
+                tfs.append(f)
+        if not terms:
+            return pa.table(
+                {"term": pa.array([], type=pa.string()),
+                 "doc_id": pa.array([], type=pa.int64()),
+                 "tf": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {
+                "term": pa.array(terms, type=pa.string()),
+                "doc_id": pa.array(np.concatenate(dids).astype(np.int64), type=pa.int64()),
+                "tf": pa.array(np.concatenate(tfs).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    tables = list(ds.map_batches(explode, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    if not tables:
+        return pa.table(
+            {"term": pa.array([], type=pa.string()),
+             "doc_id": pa.array([], type=pa.int64()),
+             "tf": pa.array([], type=pa.int64())}
+        )
+    return pa.concat_tables(tables)
+
+
+def q_bm25_topk(sf_dir: str, mode: str = "taat") -> pa.Table:
+    """Full engine path: build → actor-pool scorers → top-10 per fixed
+    query; ranked by (round(score,6) desc, doc_id asc) for SQL parity."""
+    idx = ensure_index(sf_dir)
+    scorer = BM25Scorer(idx, SQL_PARITY_CONFIG, mode=mode)
+    qids, ranks, dids, scores = [], [], [], []
+    for qid, text in DOC_QUERIES:
+        d, s = (scorer.score_bmw if mode == "bmw" else scorer.score_taat)(text, scorer.n_docs)
+        s6 = np.round(s, 6)
+        order = np.lexsort((d, -s6))[:TOPK]
+        d, s6 = d[order], s6[order]
+        qids += [qid] * d.size
+        ranks += list(range(d.size))
+        dids.append(d.astype(np.int64))
+        scores.append(s6)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(dids), type=pa.int64()),
+            "score": pa.array(np.concatenate(scores), type=pa.float64()),
+        }
+    )
+
+
+def q_bm25_topk_bmw(sf_dir: str) -> pa.Table:
+    return q_bm25_topk(sf_dir, mode="bmw")
+
+
+def q_bm25_hydrated(sf_dir: str) -> pa.Table:
+    """Top-k results joined back to document metadata — the reference's
+    chunk-detail hydration join (J1, /root/reference/index/index_manager.py:258-286)
+    as a broadcast-small-side join."""
+    res = q_bm25_topk(sf_dir)
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet")).select_columns(
+        ["doc_id", "lang", "source"]
+    )
+    # results are tiny (queries × k) → broadcast them; stream the docs side
+    wanted = set(res["doc_id"].to_pylist())
+    meta = docs.map_batches(
+        lambda t: t.filter(pc.is_in(t["doc_id"], pa.array(list(wanted), type=pa.int64()))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    meta_t = pa.Table.from_pandas(meta, preserve_index=False)
+    return res.join(meta_t, keys=["doc_id"], join_type="left outer").sort_by(
+        [("query_id", "ascending"), ("rank", "ascending")]
+    )
+
+
+def q_exact_dedup(sf_dir: str) -> pa.Table:
+    """Exact dedup groups: sha256 → (winner doc_id, n_copies)
+    (SURVEY.md §2.7 D1; reference /root/reference/ingestion/pipeline_ingest.py:266-269)."""
+    from ..ids import sha256_hex
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def add_sha(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "content_sha256": pa.array(sha256_hex(batch["text"].to_pylist()), type=pa.string()),
+                "doc_id": batch["doc_id"],
+            }
+        )
+
+    out = (
+        ds.map_batches(add_sha, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("content_sha256")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "content_sha256": pa.array(out["content_sha256"], type=pa.string()),
+            "doc_id": pa.array(out["doc_id"].astype(np.int64), type=pa.int64()),
+            "n_copies": pa.array(out["n_copies"].astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+# ---- oracle SQL -----------------------------------------------------------
+
+_BM25_VALUES = ", ".join(f"({qid}, '{text}')" for qid, text in DOC_QUERIES)
+
+BM25_CTE = f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest({SIMPLE_TOK_SQL}) AS t(term)
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM tok)::DOUBLE / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term),
+q(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qt AS (
+  SELECT q.query_id, t.term
+  FROM q, unnest(list_filter(regexp_extract_all(lower(q.qtext), '[a-z0-9]+'), t -> length(t) >= 2)) AS t(term)
+  GROUP BY q.query_id, t.term
+),
+scores AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * 2.2
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+  FROM qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df d ON d.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(raw, 6) DESC, doc_id ASC) - 1 AS rank,
+         doc_id, round(raw, 6) AS score
+  FROM scores
+)
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "docs_registry": f"""
+        SELECT doc_id, lang, sha256(text) AS content_sha256,
+               len({SIMPLE_TOK_SQL})::BIGINT AS doc_len
+        FROM documents
+    """,
+    "corpus_stats": f"""
+        WITH d AS (SELECT len({SIMPLE_TOK_SQL})::BIGINT AS doc_len FROM documents)
+        SELECT count(*)::BIGINT AS n_docs, sum(doc_len)::BIGINT AS total_len,
+               sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl
+        FROM d
+    """,
+    "term_df_top100": f"""
+        WITH tok AS (
+          SELECT doc_id, t.term FROM documents, unnest({SIMPLE_TOK_SQL}) AS t(term)
+        )
+        SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+        FROM tok GROUP BY term
+        ORDER BY df DESC, term ASC LIMIT 100
+    """,
+    "postings_probe": f"""
+        WITH tok AS (
+          SELECT doc_id, t.term FROM documents, unnest({SIMPLE_TOK_SQL}) AS t(term)
+        )
+        SELECT term, doc_id, count(*)::BIGINT AS tf
+        FROM tok
+        WHERE term IN ({", ".join(repr(t) for t in PROBE_TERMS)})
+        GROUP BY term, doc_id
+    """,
+    "bm25_topk": BM25_CTE + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}",
+    "bm25_topk_bmw": BM25_CTE + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}",
+    "bm25_hydrated": BM25_CTE + f"""
+        SELECT r.query_id, r.rank, r.doc_id, r.score, d.lang, d.source
+        FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+        WHERE r.rank < {TOPK}
+    """,
+    "exact_dedup": """
+        SELECT sha256(text) AS content_sha256, min(doc_id)::BIGINT AS doc_id,
+               count(*)::BIGINT AS n_copies
+        FROM documents GROUP BY sha256(text)
+    """,
+}
+
+QUERIES = {
+    "docs_registry": q_docs_registry,
+    "corpus_stats": q_corpus_stats,
+    "term_df_top100": q_term_df_top100,
+    "postings_probe": q_postings_probe,
+    "bm25_topk": q_bm25_topk,
+    "bm25_topk_bmw": q_bm25_topk_bmw,
+    "bm25_hydrated": q_bm25_hydrated,
+    "exact_dedup": q_exact_dedup,
+}

@@ -1,0 +1,151 @@
+"""Generic relational operators demonstrated on the star-schema tables.
+
+The engine's general data-processing surface (grouped aggregates,
+broadcast hash joins, sort/limit) — the shapes behind SURVEY.md §2.5
+G1/G4 and §2.4 J1/J5, expressed on the driver's TPC-H-ish tables.
+
+Gate-exactness: money sums are computed in integer cents
+(round(x*100) → int64) so aggregation order cannot perturb a float
+sum; consumers divide by 100.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def q_lineitem_agg(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-shaped grouped aggregate: per (returnflag, linestatus)
+    integer-exact sums + counts."""
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        # DuckDB round() is half-away-from-zero; match it (pc.round
+        # defaults to half-even, which differs on exact .5 like 12.5;
+        # pyarrow's name for half-away-from-zero is half_towards_infinity)
+        away = "half_towards_infinity"
+        qty = pc.cast(pc.round(batch["l_quantity"], round_mode=away), pa.int64())
+        price_c = pc.cast(
+            pc.round(pc.multiply(batch["l_extendedprice"], pa.scalar(100.0)), round_mode=away), pa.int64()
+        )
+        disc_c = pc.cast(
+            pc.round(pc.multiply(batch["l_discount"], pa.scalar(100.0)), round_mode=away), pa.int64()
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": qty,
+                "price_cents": price_c,
+                "disc_cents": disc_c,
+            }
+        )
+
+    out = (
+        _read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+        .map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    for c in ["sum_qty", "sum_price_cents", "sum_disc_cents", "count_order"]:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_orders_by_nation(sf_dir: str) -> pa.Table:
+    """Broadcast hash join: orders ⋈ customer ⋈ nation → order count +
+    total price (cents) per nation. customer/nation are the small
+    sides: ray.put once, dict-lookup per batch — never a shuffle join
+    (SURVEY.md §2.4 J1/J5 pattern)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust_map = dict(zip(cust["c_custkey"].astype(np.int64), cust["c_nationkey"].astype(np.int64)))
+    nation_map = dict(zip(nation["n_nationkey"].astype(np.int64), nation["n_name"]))
+    maps_ref = ray.put((cust_map, nation_map))
+
+    class JoinOrders:
+        def __init__(self, ref):
+            self.cust_map, self.nation_map = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            nk = batch["o_custkey"].map(self.cust_map)
+            return pd.DataFrame(
+                {
+                    "n_name": nk.map(self.nation_map),
+                    # floor(x+0.5) = round-half-away for positive prices (DuckDB round())
+                    "price_cents": np.floor(batch["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64),
+                }
+            )
+
+    out = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(JoinOrders, fn_constructor_args=(maps_ref,), batch_format="pandas", concurrency=2)
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_cents", alias_name="total_price_cents"))
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["total_price_cents"] = out["total_price_cents"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_top_parts_by_size(sf_dir: str) -> pa.Table:
+    """Sort + limit: 25 largest parts by (p_size desc, p_partkey asc)."""
+    out = (
+        _read(sf_dir, "part", ["p_partkey", "p_name", "p_size"])
+        .sort(["p_size", "p_partkey"], descending=[True, False])
+        .limit(25)
+        .to_pandas()
+    )
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    out["p_size"] = out["p_size"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ORACLE_SQL = {
+    "lineitem_agg": """
+        SELECT l_returnflag, l_linestatus,
+               sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty,
+               sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_price_cents,
+               sum(round(l_discount * 100)::BIGINT)::BIGINT AS sum_disc_cents,
+               count(*)::BIGINT AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "orders_by_nation": """
+        SELECT n.n_name, count(*)::BIGINT AS n_orders,
+               sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS total_price_cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+    """,
+    "top_parts_by_size": """
+        SELECT p_partkey, p_name, p_size
+        FROM part ORDER BY p_size DESC, p_partkey ASC LIMIT 25
+    """,
+}
+
+QUERIES = {
+    "lineitem_agg": q_lineitem_agg,
+    "orders_by_nation": q_orders_by_nation,
+    "top_parts_by_size": q_top_parts_by_size,
+}
