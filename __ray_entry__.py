@@ -48,10 +48,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docinsight_ray.functions.dedup import QUERIES as DEDUP_Q
     from docinsight_ray.functions.knn import QUERIES as KNN_Q
     from docinsight_ray.functions.windows import QUERIES as WIN_Q
+    from docinsight_ray.functions.multimodal import QUERIES as MM_Q
+    from docinsight_ray.functions.chunking import QUERIES as CHUNK_Q
     from docinsight_ray.pipelines.relational import QUERIES as REL_Q
 
     out: dict[str, Callable[[str], Any]] = {}
-    for d in (DOC_Q, TEXT_Q, DEDUP_Q, KNN_Q, WIN_Q, REL_Q):
+    for d in (DOC_Q, TEXT_Q, DEDUP_Q, KNN_Q, WIN_Q, MM_Q, CHUNK_Q, REL_Q):
         out.update(d)
     return out
 
@@ -62,9 +64,11 @@ def oracle_sql() -> dict[str, str]:
     from docinsight_ray.functions.dedup import ORACLE_SQL as DEDUP_S
     from docinsight_ray.functions.knn import ORACLE_SQL as KNN_S
     from docinsight_ray.functions.windows import ORACLE_SQL as WIN_S
+    from docinsight_ray.functions.multimodal import ORACLE_SQL as MM_S
+    from docinsight_ray.functions.chunking import ORACLE_SQL as CHUNK_S
     from docinsight_ray.pipelines.relational import ORACLE_SQL as REL_S
 
     out: dict[str, str] = {}
-    for d in (DOC_S, TEXT_S, DEDUP_S, KNN_S, WIN_S, REL_S):
+    for d in (DOC_S, TEXT_S, DEDUP_S, KNN_S, WIN_S, MM_S, CHUNK_S, REL_S):
         out.update(d)
     return out

@@ -1,0 +1,187 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline pipelines over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
+plus the engine's own synthetic bench corpus (deterministic, cached in
+/tmp), at ``$RAY_GRAFT_CPUS`` CPUs (default 32):
+
+- ``index_build``      full inverted-index build (code tokenizer, hash
+                       doc ids, dedup, hot-term salting) over the
+                       synthetic corpus → also reported as docs/sec
+- ``bm25_taat`` / ``bm25_bmw``  query throughput through the actor-pool
+                       scorers (also p50/p99 per-query latency)
+- ``dedup_minhash``    MinHash+LSH near-dup pipeline over documents
+- ``knn_cosine``       brute-force cosine top-k over embeddings
+- ``windowed_agg`` / ``sessionize``  event-stream shapes
+- ``tokenize_docs``    docs-registry pass over the documents table
+
+``--scaling``: runs the headline suite twice in fresh processes at 8
+and 32 CPUs on identical input and reports throughput + efficiency
+(the in-sandbox stand-in for the N vs 4N cluster criterion —
+BASELINE.md). Caveat recorded there: this host exposes few physical
+cores, so efficiency measures scheduler/shuffle overhead scaling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "20000"))
+BENCH_QUERIES = int(os.environ.get("BENCH_QUERIES", "400"))
+
+
+def bench_corpus_path(n_docs: int) -> str:
+    """Deterministic synthetic corpus, generated once and cached."""
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/docinsight_bench/corpus-{n_docs}-s42"
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        from docinsight_ray.fixtures import gen_corpus
+
+        os.makedirs(path, exist_ok=True)
+        tbl = gen_corpus(n_docs, seed=42)
+        # shard so both parallelism levels have plenty of input blocks
+        n_shards = 64
+        rows = tbl.num_rows
+        per = (rows + n_shards - 1) // n_shards
+        for s in range(n_shards):
+            pq.write_table(tbl.slice(s * per, per), os.path.join(path, f"part-{s:03d}.parquet"))
+        with open(done, "w") as f:
+            f.write("ok")
+    return path
+
+
+def run_suite(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import numpy as np
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from docinsight_ray.build import build_index
+    from docinsight_ray.config import EngineConfig
+    from docinsight_ray.fixtures import gen_queries, queries_table
+    from docinsight_ray.scorer import BM25Scorer
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.monotonic()
+
+            def __exit__(self, *a):
+                timings[name] = round(time.monotonic() - self.t0, 3)
+
+        return _T()
+
+    # ---- index build over the synthetic corpus (fresh dir per run)
+    corpus_path = bench_corpus_path(BENCH_DOCS)
+    ray.data.read_parquet(corpus_path).count()  # warm page cache (untimed)
+    idx_dir = f"/tmp/docinsight_bench/idx-{num_cpus}-{os.getpid()}"
+    cfg = EngineConfig(num_buckets=max(32, num_cpus * 2), hot_salt=4)
+    with timed("index_build"):
+        res = build_index(ray.data.read_parquet(corpus_path), idx_dir, cfg,
+                          fingerprint=f"bench-{BENCH_DOCS}")
+    extra["build_docs_per_sec"] = round(BENCH_DOCS / timings["index_build"], 1)
+
+    # ---- query throughput (actor pool; per-query latency on one actor)
+    import pyarrow.parquet as pq_mod
+
+    corpus_tbl = pq_mod.ParquetDataset(corpus_path).read()
+    queries = gen_queries(corpus_tbl, n_keyword=BENCH_QUERIES, seed=42)
+    # keyword subset for single-actor latency stats (BMW is a Python
+    # DAAT loop — cap the measured set so the suite stays bounded)
+    kw_queries = [q for q in queries if len(q[1]) < 200][:100]
+    for mode in ("taat", "bmw"):
+        with timed(f"bm25_{mode}"):
+            scorer = BM25Scorer(idx_dir, cfg, mode=mode)
+            lats = []
+            for qid, text, k in kw_queries:
+                t0 = time.monotonic()
+                (scorer.score_bmw if mode == "bmw" else scorer.score_taat)(text, k)
+                lats.append(time.monotonic() - t0)
+        extra[f"bm25_{mode}_qps"] = round(len(kw_queries) / sum(lats), 1)
+        extra[f"bm25_{mode}_p50_ms"] = round(float(np.percentile(lats, 50)) * 1e3, 3)
+        extra[f"bm25_{mode}_p99_ms"] = round(float(np.percentile(lats, 99)) * 1e3, 3)
+
+    # distributed scoring pass through the Dataset actor-pool path
+    from docinsight_ray.scorer import query_index
+
+    with timed("bm25_actor_pool"):
+        qds = ray.data.from_arrow(queries_table(queries)).repartition(max(8, num_cpus))
+        n = query_index(qds, idx_dir, cfg, mode="taat",
+                        concurrency=max(2, num_cpus // 4)).count()
+    extra["actor_pool_qps"] = round(len(queries) / timings["bm25_actor_pool"], 1)
+
+    # ---- breadth pipelines over the sf tables
+    from docinsight_ray.functions.dedup import q_minhash_lsh_pairs
+    from docinsight_ray.functions.knn import q_knn_cosine
+    from docinsight_ray.functions.windows import q_sessionize, q_windowed_agg
+    from docinsight_ray.pipelines.documents import q_docs_registry, ensure_index, _INDEX_CACHE
+
+    with timed("dedup_minhash"):
+        q_minhash_lsh_pairs(sf_dir)
+    with timed("knn_cosine"):
+        q_knn_cosine(sf_dir)
+    with timed("windowed_agg"):
+        q_windowed_agg(sf_dir)
+    with timed("sessionize"):
+        q_sessionize(sf_dir)
+    with timed("tokenize_docs"):
+        q_docs_registry(sf_dir)
+
+    ray.shutdown()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "engine suite wall time (index build + BM25 + breadth pipelines)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "bench_docs": BENCH_DOCS,
+        "stats": extra,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for n in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            results[n] = json.loads(out.strip().splitlines()[-1])
+        t8, t32 = results[8]["value"], results[32]["value"]
+        eff = (t8 / t32) / (32 / 8)
+        print(json.dumps({
+            "metric": "scaling efficiency (8 vs 32 CPUs, fresh processes, same input)",
+            "sec_8": t8,
+            "sec_32": t32,
+            "scaling_efficiency": round(eff, 3),
+            "detail_8": results[8]["queries"],
+            "detail_32": results[32]["queries"],
+        }))
+        return
+
+    print(json.dumps(run_suite(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,191 @@
+"""CLI entry points: build / query / validate / bench.
+
+The Ray-Data-native replacement for the reference CLI
+(/root/reference/docinsight_cli.py:291-354 — search/validate/embed/
+reindex/purge): submit with ``python -m docinsight_ray.cli <cmd>`` (or
+``ray job submit -- python -m docinsight_ray.cli ...`` on a cluster).
+
+``validate`` recomputes manifest/invariant checks the way the
+reference's validate command checks orphan chunks and coverage
+(/root/reference/docinsight_cli.py:209-266): partition manifests
+present + committed, postings decode cleanly, df == decoded lengths,
+Σ tf == Σ doc_len, sha256 spot-checks against the source table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import hashlib
+import json
+import os
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_build(args) -> int:
+    _init_ray(args.num_cpus)
+    import ray.data
+
+    from .build import build_index
+    from .config import EngineConfig
+
+    cfg = EngineConfig(
+        tokenizer=args.tokenizer,
+        num_buckets=args.num_buckets,
+        doc_id_mode=args.doc_id_mode,
+        dedup=not args.no_dedup,
+    )
+    ds = ray.data.read_parquet(args.corpus)
+    res = build_index(ds, args.index_dir, cfg, fingerprint=args.fingerprint or args.corpus)
+    print(json.dumps(res.stats, indent=1))
+    return 0
+
+
+def cmd_query(args) -> int:
+    _init_ray(args.num_cpus)
+    from .config import EngineConfig
+    from .scorer import BM25Scorer
+
+    cfg = EngineConfig(tokenizer=args.tokenizer)
+    scorer = BM25Scorer(args.index_dir, cfg, mode=args.mode)
+    for text in args.text:
+        d, s = (scorer.score_bmw if args.mode == "bmw" else scorer.score_taat)(text, args.k)
+        print(json.dumps({
+            "query": text,
+            "hits": [{"doc_id": int(x), "score": round(float(y), 6)} for x, y in zip(d, s)],
+        }))
+    return 0
+
+
+def cmd_validate(args) -> int:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .codec import decode_posting
+
+    idx = args.index_dir
+    problems: list[str] = []
+    man_dir = os.path.join(idx, "manifest")
+    manifests = glob.glob(os.path.join(man_dir, "*.json"))
+    if not os.path.exists(os.path.join(man_dir, "_SUCCESS.json")):
+        problems.append("no _SUCCESS manifest")
+    n_uncommitted = 0
+    for m in manifests:
+        with open(m) as f:
+            rec = json.load(f)
+        if rec.get("status") != "committed":
+            n_uncommitted += 1
+    if n_uncommitted:
+        problems.append(f"{n_uncommitted} uncommitted manifests")
+
+    with open(os.path.join(idx, "corpus_stats.json")) as f:
+        stats = json.load(f)
+    docs = pq.ParquetDataset(os.path.join(idx, "docs")).read(columns=["doc_id", "doc_len"])
+    total_tf = 0
+    n_terms = 0
+    for fpath in glob.glob(os.path.join(idx, "parts", "**", "*.parquet"), recursive=True):
+        t = pq.read_table(fpath)
+        n_terms += t.num_rows
+        for df, dvb, tvb in zip(t["df"].to_pylist(), t["doc_ids_vb"].to_pylist(), t["tfs_vb"].to_pylist()):
+            d, f = decode_posting(dvb, tvb, df)
+            if d.size > 1 and not (d[1:] > d[:-1]).all():
+                problems.append("non-increasing doc_ids in a posting")
+            total_tf += int(f.sum())
+    if total_tf != stats["total_len"]:
+        problems.append(f"Σtf {total_tf} != total_len {stats['total_len']}")
+
+    if args.corpus:
+        _init_ray(args.num_cpus)
+        import ray.data
+
+        sample = ray.data.read_parquet(args.corpus).limit(args.spot_checks).to_pandas()
+        docs_full = pq.ParquetDataset(os.path.join(idx, "docs")).read().to_pandas()
+        by_key = {
+            (r, p, c): s
+            for r, p, c, s in zip(docs_full["repo"], docs_full["path"], docs_full["commit"], docs_full["content_sha256"])
+        }
+        for row in sample.itertuples():
+            want = hashlib.sha256(row.content.encode()).hexdigest()
+            got = by_key.get((row.repo, row.path, row.commit))
+            if got != want:
+                problems.append(f"sha256 mismatch for {row.repo}/{row.path}")
+
+    report = {
+        "index_dir": idx,
+        "n_manifests": len(manifests),
+        "n_terms": n_terms,
+        "n_docs": stats["n_docs"],
+        "total_len": stats["total_len"],
+        "problems": problems,
+        "ok": not problems,
+    }
+    print(json.dumps(report, indent=1))
+    return 0 if not problems else 1
+
+
+def cmd_bench(args) -> int:
+    os.environ.setdefault("RAY_GRAFT_CPUS", str(args.num_cpus or 32))
+    sys.argv = ["bench.py"] + (["--scaling"] if args.scaling else [])
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo_root)
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="docinsight_ray", description=__doc__)
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build index from a corpus parquet path")
+    b.add_argument("corpus")
+    b.add_argument("index_dir")
+    b.add_argument("--tokenizer", default="code", choices=["code", "simple"])
+    b.add_argument("--num-buckets", type=int, default=32)
+    b.add_argument("--doc-id-mode", default="hash", choices=["hash", "column"])
+    b.add_argument("--no-dedup", action="store_true")
+    b.add_argument("--fingerprint", default="")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="run BM25 queries against an index")
+    q.add_argument("index_dir")
+    q.add_argument("text", nargs="+")
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--mode", default="taat", choices=["taat", "bmw"])
+    q.add_argument("--tokenizer", default="code", choices=["code", "simple"])
+    q.set_defaults(fn=cmd_query)
+
+    v = sub.add_parser("validate", help="check index invariants + manifests")
+    v.add_argument("index_dir")
+    v.add_argument("--corpus", default=None, help="source corpus for sha256 spot checks")
+    v.add_argument("--spot-checks", type=int, default=50)
+    v.set_defaults(fn=cmd_validate)
+
+    be = sub.add_parser("bench", help="run the bench suite")
+    be.add_argument("--scaling", action="store_true")
+    be.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

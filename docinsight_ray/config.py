@@ -26,6 +26,11 @@ class EngineConfig:
     max_token_len: int = 64
     stopwords: tuple[str, ...] = ()
     split_identifiers: bool = True
+    # Strip //…, /*…*/ comments and string literals before tokenizing
+    # (the code-corpus analogue of the reference's citation masking,
+    # /root/reference/ingestion/citation_mask.py:47-136). Default off:
+    # tokens stay derivable from the sha256-traceable raw content.
+    strip_comments: bool = False
 
     # Index layout
     num_buckets: int = 32          # term-hash partitions (the wide shuffle key)

@@ -35,20 +35,36 @@ _WORDS = [
 ]
 
 
+_SYL = [c + v for c in "bcdfgklmnprstvz" for v in ("a", "e", "i", "o", "u", "ar", "en", "or")]
+
+
+def _atom(i: int) -> str:
+    """Unique pronounceable lowercase word for index i — atoms survive
+    identifier splitting intact, so the post-split term vocabulary has
+    the same cardinality as the identifier vocabulary (needed for
+    realistic Zipf df distributions under the code tokenizer)."""
+    s = _SYL[i % len(_SYL)] + _SYL[(i // len(_SYL)) % len(_SYL)]
+    j = i // (len(_SYL) ** 2)
+    while j:
+        s += _SYL[j % len(_SYL)]
+        j //= len(_SYL)
+    return s
+
+
 def _make_vocab(size: int) -> list[str]:
     vocab = []
-    n = len(_WORDS)
     for i in range(size):
-        a, b, c = _WORDS[i % n], _WORDS[(i // n) % n], _WORDS[(i // (n * n)) % n]
+        a, b = _atom(2 * i), _atom(2 * i + 1)
+        w = _WORDS[i % len(_WORDS)]
         shape = i % 4
-        if shape == 0:  # camelCase
-            ident = a + b.capitalize() + c.capitalize() + (str(i % 97) if i % 7 == 0 else "")
+        if shape == 0:  # camelCase (splits back into a, w, b)
+            ident = a + w.capitalize() + b.capitalize()
         elif shape == 1:  # snake_case
-            ident = f"{a}_{b}_{c}{i % 53 if i % 5 == 0 else ''}"
+            ident = f"{a}_{w}_{b}"
         elif shape == 2:  # SCREAMING_CASE
             ident = f"{a.upper()}_{b.upper()}{i % 31}"
         else:  # PascalCase w/ digits
-            ident = a.capitalize() + b.capitalize() + str(i % 89)
+            ident = a.capitalize() + str(i % 89) + b.capitalize()
         vocab.append(ident)
     return vocab
 
@@ -140,17 +156,49 @@ def gen_corpus(n_docs: int = 1000, seed: int = 42, with_cases: bool = True) -> p
                 )
                 add(f"cases/case-0{k}", f"non-plagiarized/{v:02d}/Main.java", unrel)
 
-    # ---- bulk corpus
+    # ---- bulk corpus (identifier draws vectorized across all docs —
+    # one Zipf choice() call instead of one per doc)
     n_bulk = max(0, n_docs - len(repos))
-    for i in range(n_bulk):
-        if i > 0 and i % 100 == 99:  # 1% exact duplicates of an earlier row
-            j = int(rng.integers(0, len(contents)))
-            add(f"org{i % 97:02d}/dup{i}", f"src/dup/Copy{i}.java", contents[j], langs[j])
-            continue
-        lang = "java" if rng.random() < 0.9 else langs_pool[int(rng.integers(0, 4))]
-        n_lines = int(rng.integers(8, 60)) if rng.random() > 0.02 else int(rng.integers(200, 400))
-        body = _doc_body(rng, vocab, probs, n_lines, f"Gen{i}")
-        add(f"org{i % 97:02d}/repo{i % 50:03d}", f"src/pkg{i % 17}/Gen{i}.java", body, lang)
+    if n_bulk:
+        n_lines_arr = np.where(
+            rng.random(n_bulk) > 0.02,
+            rng.integers(8, 60, size=n_bulk),
+            rng.integers(200, 400, size=n_bulk),
+        )
+        is_dup = np.zeros(n_bulk, dtype=bool)
+        is_dup[99::100] = True  # 1% exact duplicates
+        total_ids = int((n_lines_arr[~is_dup] * 3).sum())
+        all_ids = np.array(vocab, dtype=object)[rng.choice(len(vocab), size=total_ids, p=probs)]
+        kinds_all = rng.integers(0, 4, size=int(n_lines_arr[~is_dup].sum()))
+        lang_draw = rng.random(n_bulk)
+        lang_pick = rng.integers(0, 4, size=n_bulk)
+        off = 0
+        koff = 0
+        for i in range(n_bulk):
+            if is_dup[i] and contents:
+                j = int(rng.integers(0, len(contents)))
+                add(f"org{i % 97:02d}/dup{i}", f"src/dup/Copy{i}.java", contents[j], langs[j])
+                continue
+            nl = int(n_lines_arr[i])
+            ids = all_ids[off : off + nl * 3]
+            kinds = kinds_all[koff : koff + nl]
+            off += nl * 3
+            koff += nl
+            lines = [f"import core.{ids[0]};", f"public class Gen{i} {{"]
+            for j in range(nl):
+                a, b, c = ids[3 * j], ids[3 * j + 1], ids[3 * j + 2]
+                k = kinds[j]
+                if k == 0:
+                    lines.append(f"    public static int {a}({b} x) {{ return {c}.of(x); }}")
+                elif k == 1:
+                    lines.append(f"    private {a} {b} = new {a}({c});")
+                elif k == 2:
+                    lines.append(f"    void {a}() {{ {b}.apply({c}); }}")
+                else:
+                    lines.append(f"    static final String {a} = \"{b}-{c}\";")
+            lines.append("}")
+            lang = "java" if lang_draw[i] < 0.9 else langs_pool[int(lang_pick[i])]
+            add(f"org{i % 97:02d}/repo{i % 50:03d}", f"src/pkg{i % 17}/Gen{i}.java", "\n".join(lines), lang)
 
     return pa.table(
         {

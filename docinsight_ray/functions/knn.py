@@ -110,35 +110,43 @@ def q_knn_cosine(sf_dir: str) -> pa.Table:
 
 
 class LshBucketCosine:
-    """Approximate variant: random-hyperplane LSH — each vector lands in
-    a bucket; queries probe only their own bucket (multi-probe over the
-    nearest ``probes`` sign-flips). The 10^12-scale path: candidate set
-    per query is |corpus| / 2^bits on average."""
+    """Approximate variant: multi-table random-hyperplane LSH.
+    ``n_tables`` independent sign-hash tables of ``n_bits`` planes;
+    a vector is a candidate if it shares a bucket with the query in ANY
+    table (plus 1-bit multi-probe flips). The 10^12-scale path: each
+    table's candidate set is ~|corpus| / 2^bits, and bucket membership
+    is a hash-partitionable key."""
 
-    def __init__(self, q_ref, k: int, planes_ref, probes: int = 8):
+    def __init__(self, q_ref, k: int, planes_ref):
         self.qids, Q = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
         self.planes = ray.get(planes_ref) if isinstance(planes_ref, ray.ObjectRef) else planes_ref
         self.Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-        qb = (self.Qn @ self.planes.T) > 0
-        base = np.packbits(qb, axis=1, bitorder="little")[:, 0].astype(np.int64)
-        # multi-probe: own bucket + single-bit flips
-        nbits = self.planes.shape[0]
-        self.buckets = [
-            {int(b)} | {int(b) ^ (1 << f) for f in range(min(probes, nbits))} for b in base
-        ]
         self.k = k
+        self.n_tables, self.n_bits, _ = self.planes.shape
+        # per-query accepted buckets per table: own code + 1-bit flips
+        self.buckets: list[list[set[int]]] = []
+        for qi in range(self.Qn.shape[0]):
+            per_table = []
+            for t in range(self.n_tables):
+                code = self._codes(self.Qn[qi : qi + 1], t)[0]
+                per_table.append({int(code)} | {int(code) ^ (1 << f) for f in range(self.n_bits)})
+            self.buckets.append(per_table)
+
+    def _codes(self, Xn: np.ndarray, table: int) -> np.ndarray:
+        bits = (Xn @ self.planes[table].T) > 0
+        return (bits @ (1 << np.arange(self.n_bits))).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vids = batch["vec_id"].to_numpy(zero_copy_only=False)
         X = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        xb = (Xn @ self.planes.T) > 0
-        xbuck = np.packbits(xb, axis=1, bitorder="little")[:, 0].astype(np.int64)
+        codes = np.stack([self._codes(Xn, t) for t in range(self.n_tables)])  # (T, n)
         out_q, out_v, out_c = [], [], []
         for qi, qid in enumerate(self.qids):
-            cand = np.flatnonzero(
-                np.isin(xbuck, list(self.buckets[qi])) & (vids != qid)
-            )
+            hit = np.zeros(vids.size, dtype=bool)
+            for t in range(self.n_tables):
+                hit |= np.isin(codes[t], list(self.buckets[qi][t]))
+            cand = np.flatnonzero(hit & (vids != qid))
             if cand.size == 0:
                 continue
             c = Xn[cand] @ self.Qn[qi]
@@ -161,20 +169,20 @@ class LshBucketCosine:
         )
 
 
-def q_knn_cosine_lsh(sf_dir: str, n_planes: int = 6, probes: int = 6) -> pa.Table:
-    """Approximate LSH-bucketed cosine top-10 (rows-only check; pytest
-    asserts recall ≥ 0.8 vs the exact baseline)."""
+def q_knn_cosine_lsh(sf_dir: str, n_tables: int = 8, n_bits: int = 6) -> pa.Table:
+    """Approximate multi-table LSH cosine top-10 (rows-only check;
+    pytest asserts mean recall vs the exact baseline)."""
     qmat = _query_matrix(sf_dir)
     rng = np.random.default_rng(42)
     dim = qmat[1].shape[1]
-    planes = rng.standard_normal((n_planes, dim))
+    planes = rng.standard_normal((n_tables, n_bits, dim))
     q_ref = ray.put(qmat)
     p_ref = ray.put(planes)
     partials = (
         _read_embeddings(sf_dir)
         .map_batches(
             LshBucketCosine,
-            fn_constructor_args=(q_ref, KNN_K, p_ref, probes),
+            fn_constructor_args=(q_ref, KNN_K, p_ref),
             batch_format="pyarrow",
             batch_size=1024,
             concurrency=2,

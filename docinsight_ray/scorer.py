@@ -79,6 +79,10 @@ class BM25Scorer:
         self._tf_vb = tbl["tfs_vb"].to_pylist()
         self._bmax = tbl["block_max_w"].to_pylist()
         self._blast = tbl["block_last_doc"].to_pylist()
+        from collections import OrderedDict
+
+        self.cache_terms = 512
+        self._cache: OrderedDict[str, tuple[np.ndarray, np.ndarray]] = OrderedDict()
 
     # ---- shared helpers -------------------------------------------------
 
@@ -87,12 +91,25 @@ class BM25Scorer:
         return self._dl[pos]
 
     def _term_arrays(self, term: str):
-        """Decode one term's postings → (doc_ids, contribs float64)."""
+        """Decode one term's postings → (doc_ids, contribs float64).
+
+        LRU-cached per actor: a term's contribution vector depends only
+        on the term (idf, tfs, doc lens, avgdl are all fixed at build),
+        so hot terms — which recur in most queries — decode once per
+        actor instead of once per query. Bounded by cache_terms entries
+        (a hot list at n_docs postings is 16 B/posting decoded)."""
+        cached = self._cache.get(term)
+        if cached is not None:
+            self._cache.move_to_end(term)
+            return cached
         i = self._terms[term]
         df = int(self._df[i])
         doc_ids, tfs = decode_posting(self._doc_vb[i], self._tf_vb[i], df)
         w = tf_sat_weight(tfs, self._doc_len_of(doc_ids), self.avgdl, self.cfg.k1, self.cfg.b)
         contrib = (idf_fn(df, self.n_docs) * (self.cfg.k1 + 1.0)) * w
+        self._cache[term] = (doc_ids, contrib)
+        if len(self._cache) > self.cache_terms:
+            self._cache.popitem(last=False)
         return doc_ids, contrib
 
     def query_terms(self, text: str) -> list[str]:
@@ -124,11 +141,8 @@ class BM25Scorer:
         for t in terms:
             i = self._terms[t]
             df = int(self._df[i])
-            doc_ids, tfs = decode_posting(self._doc_vb[i], self._tf_vb[i], df)
+            doc_ids, contrib = self._term_arrays(t)  # shared decoded-postings cache
             term_idf = float(idf_fn(df, self.n_docs))
-            contrib = (term_idf * k1p1) * tf_sat_weight(
-                tfs, self._doc_len_of(doc_ids), self.avgdl, self.cfg.k1, self.cfg.b
-            )
             bmax = np.asarray(self._bmax[i], dtype=np.float64)
             blast = np.asarray(self._blast[i], dtype=np.uint64)
             block_ub = term_idf * k1p1 * bmax

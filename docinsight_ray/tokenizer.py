@@ -35,10 +35,27 @@ from .config import EngineConfig
 CAMEL_RE = re.compile(r"[A-Z]+(?=[A-Z][a-z])|[A-Z][a-z]+|[a-z]+|[A-Z]+|[0-9]+")
 SIMPLE_RE = re.compile(r"[a-z0-9]+")
 WORD_RE = re.compile(r"[A-Za-z0-9_]+")
+# comment / string-literal stripper (code-corpus citation-mask analogue):
+# block comments, line comments, double/single-quoted literals w/ escapes
+STRIP_RE = re.compile(
+    r"/\*.*?\*/"            # /* block */
+    r"|//[^\n]*"            # // line
+    r'|"(?:\\.|[^"\\])*"'   # "string"
+    r"|'(?:\\.|[^'\\])*'",  # 'char'
+    re.S,
+)
+
+
+def strip_code_noise(text: str) -> str:
+    """Remove comments and string literals (replaced by a space so
+    token boundaries survive)."""
+    return STRIP_RE.sub(" ", text)
 
 
 def tokenize_text(text: str, cfg: EngineConfig) -> list[str]:
     """Tokenize one string (query path / oracle / tests)."""
+    if cfg.strip_comments:
+        text = strip_code_noise(text)
     if cfg.tokenizer == "simple":
         toks = SIMPLE_RE.findall(text.lower())
     elif cfg.split_identifiers:
@@ -61,25 +78,29 @@ def tokenize_batch(
     doc_lens: int64)`` where ``doc_lens[i]`` is the kept-token count of
     document ``i`` (Σ tf per doc — the BM25 ``dl``).
     """
+    from collections import Counter
+
     n = len(contents)
     doc_lens = np.zeros(n, dtype=np.int64)
-    all_tokens: list[str] = []
+    terms_out: list[str] = []
+    tfs_out: list[int] = []
     owners: list[np.ndarray] = []
     for i, text in enumerate(contents):
         toks = tokenize_text(text, cfg)
         doc_lens[i] = len(toks)
         if toks:
-            all_tokens.extend(toks)
-            owners.append(np.full(len(toks), i, dtype=np.int64))
-    if not all_tokens:
+            # C-speed per-doc tf counting (beats a sort-based unique
+            # over the concatenated token stream by ~2x)
+            cnt = Counter(toks)
+            terms_out.extend(cnt.keys())
+            tfs_out.extend(cnt.values())
+            owners.append(np.full(len(cnt), i, dtype=np.int64))
+    if not terms_out:
         e = np.empty(0, dtype=np.int64)
         return np.empty(0, dtype=object), e, e, doc_lens
-    doc_idx = np.concatenate(owners)
-    codes, uniques = pd.factorize(np.asarray(all_tokens, dtype=object), sort=False)
-    # composite key: one np.unique pass gives per-(doc, term) counts
-    key = doc_idx * np.int64(len(uniques)) + codes
-    uniq_keys, tfs = np.unique(key, return_counts=True)
-    out_doc = uniq_keys // np.int64(len(uniques))
-    out_code = uniq_keys % np.int64(len(uniques))
-    terms = np.asarray(uniques, dtype=object)[out_code]
-    return terms, out_doc, tfs.astype(np.int64), doc_lens
+    return (
+        np.asarray(terms_out, dtype=object),
+        np.concatenate(owners),
+        np.asarray(tfs_out, dtype=np.int64),
+        doc_lens,
+    )

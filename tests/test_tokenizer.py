@@ -58,3 +58,16 @@ def test_batch_matches_single():
         want = Counter(single)
         got = {t: int(f) for t, dx, f in zip(terms, doc_idx, tfs) if dx == i}
         assert got == dict(want)
+
+
+def test_strip_comments_flag():
+    from docinsight_ray.tokenizer import strip_code_noise
+
+    src = 'int x = 1; // fooBar comment\n/* block\nspan */ String s = "strLit";\nchar c = \'q\';'
+    cleaned = strip_code_noise(src)
+    assert "fooBar" not in cleaned and "block" not in cleaned
+    assert "strLit" not in cleaned and "q" not in cleaned.split()
+    cfg = EngineConfig(tokenizer="code", strip_comments=True)
+    toks = tokenize_text(src, cfg)
+    assert "foo" not in toks and "str" not in toks and "lit" not in toks
+    assert "int" in toks and "string" in toks  # code survives
