@@ -123,6 +123,16 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
                         concurrency=max(2, num_cpus // 4)).count()
     extra["actor_pool_qps"] = round(len(queries) / timings["bm25_actor_pool"], 1)
 
+    if os.environ.get("BENCH_PIPELINES") == "core":
+        ray.shutdown()
+        total = round(sum(timings.values()), 3)
+        return {
+            "metric": "engine core wall time (index build + BM25)",
+            "value": total, "unit": "sec", "queries": timings,
+            "sf": sf_dir, "num_cpus": num_cpus, "bench_docs": BENCH_DOCS,
+            "stats": extra,
+        }
+
     # ---- breadth pipelines over the sf tables
     from docinsight_ray.functions.dedup import q_minhash_lsh_pairs
     from docinsight_ray.functions.knn import q_knn_cosine
@@ -157,6 +167,31 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--weak-scaling" in sys.argv:
+        # single-core-meaningful complement to --scaling: grow the data
+        # 4x at fixed CPUs; efficiency = 4*t_small / t_big (1.0 = cost
+        # grows linearly with data, <0.8 = a shuffle is superlinear)
+        results = {}
+        for n_docs in (5000, 20000):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus), BENCH_DOCS=str(n_docs),
+                       BENCH_PIPELINES="core")
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            results[n_docs] = json.loads(out.strip().splitlines()[-1])
+        t_s = results[5000]["queries"]["index_build"]
+        t_b = results[20000]["queries"]["index_build"]
+        print(json.dumps({
+            "metric": "weak scaling (4x corpus at fixed CPUs, index build)",
+            "sec_5k": t_s,
+            "sec_20k": t_b,
+            "weak_scaling_efficiency": round(4 * t_s / t_b, 3),
+            "num_cpus": num_cpus,
+        }))
+        return
 
     if "--scaling" in sys.argv:
         results = {}

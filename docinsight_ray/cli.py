@@ -62,6 +62,10 @@ def cmd_query(args) -> int:
     from .config import EngineConfig
     from .scorer import BM25Scorer
 
+    if not os.path.exists(os.path.join(args.index_dir, "corpus_stats.json")):
+        print(f"error: {args.index_dir!r} is not a built index "
+              f"(no corpus_stats.json — run `build` first)", file=sys.stderr)
+        return 2
     cfg = EngineConfig(tokenizer=args.tokenizer)
     scorer = BM25Scorer(args.index_dir, cfg, mode=args.mode)
     for text in args.text:

@@ -1,0 +1,149 @@
+"""Document-sharded query serving — the multi-node scale architecture.
+
+At 10^12 files no single actor holds the whole index (SURVEY.md §2.6
+T1). The scale-out layout partitions DOCUMENTS (not terms) into S
+shards — each shard is a complete sub-index over its doc subset, so a
+shard scorer produces complete, final BM25 scores for its docs (idf /
+avgdl use the GLOBAL corpus stats, injected at shard-build time via a
+shared stats override) and a per-shard top-k. The merge is then an
+exact global top-k over S·k candidates per query:
+
+    queries ─▶ every shard's actor pool ─▶ per-shard top-k
+            ─▶ groupby(query_id) ─▶ merge_topk (score desc, doc_id asc)
+
+This is rank-identical to the single-index engine because BM25 scores
+depend only on (term stats, doc stats) — both global — and every doc
+is scored by exactly one shard. tests/test_sharded.py proves it.
+
+Sharding key: hash doc_id % S — even at Zipfian term skew, documents
+spread uniformly, so shard sizes are balanced by construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..build import build_index
+from ..config import EngineConfig
+from ..ids import doc_id_from_key
+from ..scorer import RESULTS_SCHEMA, BM25Scorer
+from ..state.manifest import atomic_write_bytes
+
+
+def build_sharded_index(
+    corpus: "ray.data.Dataset",
+    index_dir: str,
+    n_shards: int,
+    cfg: EngineConfig | None = None,
+    fingerprint: str = "",
+) -> list[str]:
+    """Build S doc-partitioned sub-indexes. Global corpus stats
+    (n_docs, avgdl) are computed over the union and written into every
+    shard so per-shard scoring uses global BM25 statistics."""
+    cfg = cfg or EngineConfig()
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        if cfg.doc_id_mode == "column":
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            ids = doc_id_from_key(
+                batch["repo"].to_pylist(), batch["path"].to_pylist(), batch["commit"].to_pylist()
+            )
+        return batch.append_column(
+            "shard", pa.array((ids % np.uint64(n_shards)).astype(np.int32), type=pa.int32())
+        )
+
+    sharded = corpus.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+    shard_dirs = []
+    for s in range(n_shards):
+        sub = sharded.filter(expr=f"shard == {s}").drop_columns(["shard"])
+        d = os.path.join(index_dir, f"shard={s}")
+        build_index(sub, d, cfg, fingerprint=f"{fingerprint}:shard{s}/{n_shards}")
+        shard_dirs.append(d)
+
+    # overwrite per-shard stats with GLOBAL stats (idf/avgdl must be
+    # corpus-wide for rank identity with the unsharded engine)
+    stats = [json.load(open(os.path.join(d, "corpus_stats.json"))) for d in shard_dirs]
+    g_docs = sum(s["n_docs"] for s in stats)
+    g_len = sum(s["total_len"] for s in stats)
+    for d, s in zip(shard_dirs, stats):
+        s.update({
+            "shard_n_docs": s["n_docs"], "shard_total_len": s["total_len"],
+            "n_docs": g_docs, "total_len": g_len,
+            "avgdl": g_len / g_docs if g_docs else 1.0,
+        })
+        atomic_write_bytes(os.path.join(d, "corpus_stats.json"),
+                           json.dumps(s, sort_keys=True, indent=1).encode())
+
+    # global document frequencies: idf must use corpus-wide df, not the
+    # shard-local one. Aggregate (term, df) across shards — a tiny
+    # narrow-column pass — and drop global_df.parquet into every shard
+    # (the distributed-term-stats broadcast every sharded engine does).
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    dfs: dict[str, int] = {}
+    for d in shard_dirs:
+        for f in _glob.glob(os.path.join(d, "parts", "**", "*.parquet"), recursive=True):
+            t = pq.read_table(f, columns=["term", "df"])
+            for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+                dfs[term] = dfs.get(term, 0) + int(df)
+    gdf = pa.table(
+        {"term": pa.array(list(dfs.keys()), type=pa.string()),
+         "df": pa.array(list(dfs.values()), type=pa.uint64())}
+    )
+    for d in shard_dirs:
+        pq.write_table(gdf, os.path.join(d, "global_df.parquet"))
+    return shard_dirs
+
+
+def query_sharded(
+    queries: "ray.data.Dataset",
+    index_dir: str,
+    n_shards: int,
+    cfg: EngineConfig | None = None,
+    mode: str = "taat",
+    concurrency_per_shard: int = 1,
+) -> "ray.data.Dataset":
+    """Fan every query out to all shard scorers, then exact-merge the
+    per-shard top-k candidates per query."""
+    cfg = cfg or EngineConfig()
+    shard_results = []
+    for s in range(n_shards):
+        d = os.path.join(index_dir, f"shard={s}")
+        shard_results.append(
+            queries.map_batches(
+                BM25Scorer,
+                fn_constructor_args=(d, cfg, mode),
+                batch_format="pyarrow",
+                batch_size=cfg.query_batch_size,
+                concurrency=concurrency_per_shard,
+                num_cpus=1,
+            )
+        )
+    union = shard_results[0].union(*shard_results[1:]) if len(shard_results) > 1 else shard_results[0]
+
+    # k per query travels with the query set; re-derive from rank counts
+    def merge_topk(g: pa.Table) -> pa.Table:
+        docs = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        scores = g["score"].to_numpy(zero_copy_only=False)
+        k = int(pa.compute.max(g["rank"]).as_py()) + 1
+        order = np.lexsort((docs, -scores))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(g["query_id"][0].as_py(), order.size), type=pa.int64()),
+                "rank": pa.array(np.arange(order.size, dtype=np.uint32), type=pa.uint32()),
+                "doc_id": pa.array(docs[order], type=pa.uint64()),
+                "score": pa.array(scores[order], type=pa.float64()),
+            }
+        )
+
+    merge_topk.__name__ = "merge_topk"
+    return union.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")

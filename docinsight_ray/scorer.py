@@ -75,6 +75,18 @@ class BM25Scorer:
         tbl = pa.concat_tables([pq.read_table(f) for f in files])
         self._terms: dict[str, int] = {t: i for i, t in enumerate(tbl["term"].to_pylist())}
         self._df = tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # doc-sharded serving: idf must use corpus-wide df, which the
+        # shard build distributes as global_df.parquet (pipelines/sharded.py).
+        # Kept separate from self._df — the local df is the posting-list
+        # length (decode count); only idf uses the global one.
+        self._idf_df = self._df
+        gdf_path = os.path.join(index_dir, "global_df.parquet")
+        if os.path.exists(gdf_path):
+            g = pq.read_table(gdf_path)
+            gmap = dict(zip(g["term"].to_pylist(), g["df"].to_pylist()))
+            self._idf_df = self._df.copy()
+            for t, i in self._terms.items():
+                self._idf_df[i] = int(gmap.get(t, self._df[i]))
         self._doc_vb = tbl["doc_ids_vb"].to_pylist()
         self._tf_vb = tbl["tfs_vb"].to_pylist()
         self._bmax = tbl["block_max_w"].to_pylist()
@@ -103,14 +115,24 @@ class BM25Scorer:
             self._cache.move_to_end(term)
             return cached
         i = self._terms[term]
-        df = int(self._df[i])
+        df = int(self._df[i])  # local posting length (decode count)
         doc_ids, tfs = decode_posting(self._doc_vb[i], self._tf_vb[i], df)
         w = tf_sat_weight(tfs, self._doc_len_of(doc_ids), self.avgdl, self.cfg.k1, self.cfg.b)
-        contrib = (idf_fn(df, self.n_docs) * (self.cfg.k1 + 1.0)) * w
-        self._cache[term] = (doc_ids, contrib)
+        contrib = (idf_fn(int(self._idf_df[i]), self.n_docs) * (self.cfg.k1 + 1.0)) * w
+        # block upper bounds for WAND, derived from the live contribution
+        # vector (correct by construction even when global stats differ
+        # from shard-build stats — pipelines/sharded.py; the stored
+        # block_max_w is the no-decode scale path and is validated by
+        # tests + `cli validate`)
+        bs = self.cfg.block_size
+        starts = np.arange(0, doc_ids.size, bs)
+        block_ub = np.maximum.reduceat(contrib, starts) if doc_ids.size else np.empty(0)
+        blast = doc_ids[np.minimum(starts + bs, doc_ids.size) - 1] if doc_ids.size else doc_ids
+        entry = (doc_ids, contrib, block_ub, blast)
+        self._cache[term] = entry
         if len(self._cache) > self.cache_terms:
             self._cache.popitem(last=False)
-        return doc_ids, contrib
+        return entry
 
     def query_terms(self, text: str) -> list[str]:
         return sorted({t for t in tokenize_text(text, self.cfg) if t in self._terms})
@@ -121,7 +143,7 @@ class BM25Scorer:
         terms = self.query_terms(text)
         if not terms:
             return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
-        per_term = [self._term_arrays(t) for t in terms]
+        per_term = [self._term_arrays(t)[:2] for t in terms]
         cand = np.unique(np.concatenate([d for d, _ in per_term]))
         acc = np.zeros(cand.size, dtype=np.float64)
         for d, c in per_term:  # sorted-term order → deterministic float sums
@@ -136,16 +158,9 @@ class BM25Scorer:
         if not terms:
             return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
         k = int(k)
-        k1p1 = self.cfg.k1 + 1.0
         lists = []
         for t in terms:
-            i = self._terms[t]
-            df = int(self._df[i])
-            doc_ids, contrib = self._term_arrays(t)  # shared decoded-postings cache
-            term_idf = float(idf_fn(df, self.n_docs))
-            bmax = np.asarray(self._bmax[i], dtype=np.float64)
-            blast = np.asarray(self._blast[i], dtype=np.uint64)
-            block_ub = term_idf * k1p1 * bmax
+            doc_ids, contrib, block_ub, blast = self._term_arrays(t)
             lists.append(
                 {
                     "order": len(lists),  # term-sorted position (score-sum order)

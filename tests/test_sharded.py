@@ -1,0 +1,73 @@
+"""Doc-sharded serving is rank-identical to the single-index engine."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from docinsight_ray.config import EngineConfig
+from docinsight_ray.fixtures import gen_corpus, gen_queries, queries_table
+from docinsight_ray.oracle import OracleIndex
+from docinsight_ray.pipelines.sharded import build_sharded_index, query_sharded
+
+# global dedup across shards needs a pre-shard sha pass (documented in
+# pipelines/sharded.py) — test with dedup off so both engines see the
+# same doc set
+CFG = EngineConfig(num_buckets=8, dedup=False)
+N_SHARDS = 3
+
+
+@pytest.fixture(scope="module")
+def sharded(ray_session, tmp_path_factory):
+    import ray.data
+
+    corpus = gen_corpus(300, seed=11)
+    idx = str(tmp_path_factory.mktemp("sharded") / "index")
+    dirs = build_sharded_index(ray.data.from_arrow(corpus), idx, N_SHARDS, CFG, fingerprint="sh")
+    assert len(dirs) == N_SHARDS
+    return corpus, idx
+
+
+def test_shard_stats_are_global(sharded):
+    import json
+    import os
+
+    corpus, idx = sharded
+    stats = [json.load(open(os.path.join(idx, f"shard={s}", "corpus_stats.json"))) for s in range(N_SHARDS)]
+    assert len({s["n_docs"] for s in stats}) == 1
+    assert len({s["avgdl"] for s in stats}) == 1
+    assert sum(s["shard_n_docs"] for s in stats) == stats[0]["n_docs"]
+    # shards are balanced (hash partitioning)
+    sizes = [s["shard_n_docs"] for s in stats]
+    assert max(sizes) - min(sizes) < 0.5 * max(sizes)
+
+
+def test_sharded_rank_identity(sharded):
+    import ray.data
+
+    corpus, idx = sharded
+    queries = gen_queries(corpus, n_keyword=12, seed=11)
+    qds = ray.data.from_arrow(queries_table(queries))
+    out = query_sharded(qds, idx, N_SHARDS, CFG, mode="taat").to_pandas()
+    oracle = OracleIndex(corpus, CFG)
+    for qid, text, k in queries:
+        od, osc = oracle.score(text, k)
+        sub = out[out.query_id == qid].sort_values("rank")
+        np.testing.assert_array_equal(
+            sub.doc_id.to_numpy(dtype=np.uint64), od, err_msg=f"sharded doc mismatch q{qid}"
+        )
+        np.testing.assert_array_equal(sub.score.to_numpy(), osc, err_msg=f"sharded score mismatch q{qid}")
+
+
+def test_sharded_bmw_rank_identity(sharded):
+    import ray.data
+
+    corpus, idx = sharded
+    queries = gen_queries(corpus, n_keyword=5, seed=11)[7:]  # keyword queries only
+    qds = ray.data.from_arrow(queries_table(queries))
+    out = query_sharded(qds, idx, N_SHARDS, CFG, mode="bmw").to_pandas()
+    oracle = OracleIndex(corpus, CFG)
+    for qid, text, k in queries:
+        od, osc = oracle.score(text, k)
+        sub = out[out.query_id == qid].sort_values("rank")
+        np.testing.assert_array_equal(sub.doc_id.to_numpy(dtype=np.uint64), od)
+        np.testing.assert_array_equal(sub.score.to_numpy(), osc)
