@@ -206,7 +206,77 @@ def q_knn_cosine_lsh(sf_dir: str, n_tables: int = 8, n_bits: int = 6) -> pa.Tabl
     )
 
 
+# real near-dup corpora use ~0.9; the driver's random embeddings max
+# out at cos≈0.51, so the gate threshold sits where pairs exist
+COS_DUP_T = 0.4
+
+
+def q_embedding_near_dup(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs (cos ≥ COS_DUP_T, a < b).
+
+    Per-batch numpy matmul against the full (broadcast) normalized
+    matrix — each batch computes its rows' similarities to ALL vectors
+    and emits only pairs (i < j) to avoid double-counting. At 10^12
+    scale this becomes LSH-bucketed candidate generation (see
+    LshBucketCosine) + exact verification; the brute-force pass is the
+    exact baseline the gate checks."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    vids_all = t["vec_id"].to_numpy()
+    M = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ref = ray.put((vids_all, Mn))
+
+    class NearDup:
+        def __init__(self, ref):
+            self.vids_all, self.Mn = ray.get(ref)
+            self.index_of = {int(v): i for i, v in enumerate(self.vids_all)}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            rows = np.array([self.index_of[int(v)] for v in vids])
+            cos = self.Mn[rows] @ self.Mn.T  # (batch, all)
+            a_out, b_out, c_out = [], [], []
+            for bi, va in enumerate(vids):
+                hits = np.flatnonzero(cos[bi] >= COS_DUP_T)
+                for j in hits:
+                    vb = int(self.vids_all[j])
+                    if vb > int(va):
+                        a_out.append(int(va))
+                        b_out.append(vb)
+                        c_out.append(np.round(cos[bi, j], 6))
+            return pa.table(
+                {
+                    "a_id": pa.array(a_out, type=pa.int64()),
+                    "b_id": pa.array(b_out, type=pa.int64()),
+                    "cos": pa.array(c_out, type=pa.float64()),
+                }
+            )
+
+    out = (
+        _read_embeddings(sf_dir)
+        .map_batches(NearDup, fn_constructor_args=(ref,), batch_format="pyarrow",
+                     batch_size=512, concurrency=2)
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(
+        out.sort_values(["a_id", "b_id"]).reset_index(drop=True), preserve_index=False
+    )
+
+
 ORACLE_SQL = {
+    "embedding_near_dup": f"""
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round(
+                 list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                 / sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+              / sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) >= {COS_DUP_T}
+    """,
     "knn_cosine": f"""
         WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
         s AS (
@@ -230,4 +300,5 @@ ORACLE_SQL = {
 QUERIES = {
     "knn_cosine": q_knn_cosine,
     "knn_cosine_lsh": q_knn_cosine_lsh,
+    "embedding_near_dup": q_embedding_near_dup,
 }
