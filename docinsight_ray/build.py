@@ -48,6 +48,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
+from ray.data.aggregate import Count as RayCount
 from ray.data.aggregate import Sum
 
 from .bm25 import tf_sat_weight as _tf_sat_weight
@@ -179,16 +180,19 @@ class AssignGroupKey:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        terms = np.asarray(batch["term"].to_pylist(), dtype=object)
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        keep = np.ones(len(terms), dtype=bool)
+        keep = np.ones(batch.num_rows, dtype=bool)
         if self.losers.size:
             keep &= ~np.isin(doc_ids, self.losers)
+        terms = np.asarray(batch["term"].to_pylist(), dtype=object)
         buckets = term_bucket(terms, cfg.num_buckets).astype(np.int64)
         stride = 1 + cfg.hot_salt
         gkey = buckets * stride
         if self.hot_terms.size and cfg.salting_enabled:
-            hot_mask = np.isin(terms, self.hot_terms)
+            # Arrow is_in kernel (hash set in C) beats np.isin on objects
+            hot_mask = pc.is_in(
+                batch["term"], value_set=pa.array(self.hot_terms, type=pa.string())
+            ).to_numpy(zero_copy_only=False)
             gkey = np.where(
                 hot_mask,
                 gkey + 1 + (doc_ids % np.uint64(cfg.hot_salt)).astype(np.int64),
@@ -440,20 +444,37 @@ def build_index(
     docs_ds = ray.data.read_parquet(docs_dir)
 
     # ---- Dedup winners (exact, content_sha256, keep min doc_id) + stats.
-    # Narrow projection shuffle only — content never moves.
+    # Narrow projection shuffle only — content never moves. Duplicate
+    # shas are rare (the reference's re-ingest skip semantics), so:
+    # aggregate count per sha (no per-group Python), keep only shas with
+    # count > 1 (small), fetch just their rows, pick losers driver-side.
     if cfg.dedup:
-        losers_ds = (
-            docs_ds.select_columns(["content_sha256", "doc_id", "doc_len"])
+        sha_counts = (
+            docs_ds.select_columns(["content_sha256"])
             .groupby("content_sha256")
-            .map_groups(
-                lambda g: g.sort_values("doc_id").iloc[1:][["doc_id", "doc_len"]],
-                batch_format="pandas",
-            )
+            .aggregate(RayCount(alias_name="n"))
         )
-        losers_tbl = pa.Table.from_pandas(losers_ds.to_pandas())
-        losers = np.sort(losers_tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)) \
-            if losers_tbl.num_rows else np.empty(0, dtype=np.uint64)
-        losers_len = int(losers_tbl["doc_len"].to_numpy(zero_copy_only=False).sum()) if losers_tbl.num_rows else 0
+        dup_shas = set(
+            sha_counts.map_batches(
+                lambda t: t.filter(pc.greater(t["n"], pa.scalar(1))),
+                batch_format="pyarrow",
+            ).to_pandas()["content_sha256"]
+        )
+        if dup_shas:
+            dup_ref = ray.put(pa.array(sorted(dup_shas), type=pa.string()))
+
+            def only_dups(batch: pa.Table, *, _ref=dup_ref) -> pa.Table:
+                mask = pc.is_in(batch["content_sha256"], value_set=ray.get(_ref))
+                return batch.select(["content_sha256", "doc_id", "doc_len"]).filter(mask)
+
+            dup_rows = docs_ds.map_batches(only_dups, batch_format="pyarrow").to_pandas()
+            dup_rows = dup_rows.sort_values("doc_id")
+            losers_df = dup_rows[dup_rows.duplicated("content_sha256", keep="first")]
+            losers = np.sort(losers_df["doc_id"].to_numpy().astype(np.uint64))
+            losers_len = int(losers_df["doc_len"].sum())
+        else:
+            losers = np.empty(0, dtype=np.uint64)
+            losers_len = 0
     else:
         losers = np.empty(0, dtype=np.uint64)
         losers_len = 0
@@ -469,8 +490,8 @@ def build_index(
     frags = ray.data.read_parquet(frag_dir)
 
     def partial_df(batch: pa.Table) -> pa.Table:
-        t, c = np.unique(np.asarray(batch["term"].to_pylist(), dtype=object), return_counts=True)
-        return pa.table({"term": pa.array(t, type=pa.string()), "pdf": pa.array(c, type=pa.int64())})
+        vc = pc.value_counts(batch["term"])  # C-speed, no python objects
+        return pa.table({"term": vc.field("values"), "pdf": vc.field("counts")})
 
     hot_thresh = max(2, int(cfg.hot_df_ratio * n_docs))
     if cfg.salting_enabled:

@@ -11,6 +11,11 @@ import hashlib
 import json
 from dataclasses import asdict, dataclass, field
 
+# Bump when tokenizer / codec / scoring semantics change: the version is
+# folded into config_hash, which is part of every build fingerprint, so
+# cached /tmp indexes from older engine semantics can never be resumed.
+ENGINE_VERSION = "r1.1"
+
 
 @dataclass(frozen=True)
 class EngineConfig:
@@ -56,8 +61,9 @@ class EngineConfig:
     query_batch_size: int = 64
 
     def config_hash(self) -> str:
+        payload = {"engine_version": ENGINE_VERSION, **asdict(self)}
         return hashlib.sha256(
-            json.dumps(asdict(self), sort_keys=True, default=str).encode()
+            json.dumps(payload, sort_keys=True, default=str).encode()
         ).hexdigest()[:16]
 
 

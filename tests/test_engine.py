@@ -210,3 +210,51 @@ def test_noop_rebuild(built, ray_session):
     for p, mt in before.items():
         assert os.path.getmtime(p) == mt
     assert res2.n_docs == res.n_docs
+
+
+def test_stored_blockmax_dominates(built):
+    """Stored block-max metadata bounds every posting's live weight
+    (the no-decode WAND scale path must never under-estimate)."""
+    from docinsight_ray.bm25 import tf_sat_weight
+
+    corpus, idx, res = built
+    docs = pq.ParquetDataset(os.path.join(idx, "docs")).read(columns=["doc_id", "doc_len"])
+    did = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    dl = docs["doc_len"].to_numpy(zero_copy_only=False)
+    order = np.argsort(did)
+    did, dl = did[order], dl[order]
+    tbl = _load_all_postings(idx)
+    for df, dvb, tvb, bmax, blast in zip(
+        tbl["df"].to_pylist(), tbl["doc_ids_vb"].to_pylist(), tbl["tfs_vb"].to_pylist(),
+        tbl["block_max_w"].to_pylist(), tbl["block_last_doc"].to_pylist(),
+    ):
+        doc_ids, tfs = decode_posting(dvb, tvb, df)
+        w = tf_sat_weight(tfs, dl[np.searchsorted(did, doc_ids)], res.avgdl, CFG.k1, CFG.b)
+        bs = CFG.block_size
+        for bi in range(len(bmax)):
+            seg = w[bi * bs : (bi + 1) * bs]
+            assert np.float32(seg.max()) <= np.float32(bmax[bi]) * (1 + 1e-6)
+            assert blast[bi] == doc_ids[min((bi + 1) * bs, len(doc_ids)) - 1]
+
+
+def test_rank_identity_second_scale(ray_session, tmp_path):
+    """Oracle conformance at a second corpus scale (SURVEY §5.2 item 2)."""
+    import ray.data
+
+    from docinsight_ray.oracle import OracleIndex
+    from docinsight_ray.scorer import BM25Scorer
+
+    corpus = gen_corpus(150, seed=99, with_cases=False)
+    idx = str(tmp_path / "idx150")
+    build_index(ray.data.from_arrow(corpus), idx, CFG, fingerprint="scale150")
+    oracle = OracleIndex(corpus, CFG)
+    scorer = BM25Scorer(idx, CFG, mode="taat")
+    bmw = BM25Scorer(idx, CFG, mode="bmw")
+    for qid, text, k in gen_queries(corpus, n_keyword=15, seed=99):
+        od, osc = oracle.score(text, k)
+        td, tsc = scorer.score_taat(text, k)
+        bd, bsc = bmw.score_bmw(text, k)
+        np.testing.assert_array_equal(td, od)
+        np.testing.assert_array_equal(tsc, osc)
+        np.testing.assert_array_equal(bd, od)
+        np.testing.assert_array_equal(bsc, osc)
