@@ -39,7 +39,7 @@ def entry() -> Any:
         }
     )
     qds = ray.data.from_arrow(qtbl)
-    return query_index(qds, index_dir, cfg, mode="bmw", concurrency=2)
+    return query_index(qds, index_dir, cfg, mode="maxscore", concurrency=2)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

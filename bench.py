@@ -102,13 +102,16 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     # keyword subset for single-actor latency stats (BMW is a Python
     # DAAT loop — cap the measured set so the suite stays bounded)
     kw_queries = [q for q in queries if len(q[1]) < 200][:100]
-    for mode in ("taat", "bmw"):
+    for mode in ("taat", "maxscore", "bmw"):
         with timed(f"bm25_{mode}"):
             scorer = BM25Scorer(idx_dir, cfg, mode=mode)
+            fn = {"bmw": scorer.score_bmw, "maxscore": scorer.score_maxscore}.get(
+                mode, scorer.score_taat
+            )
             lats = []
             for qid, text, k in kw_queries:
                 t0 = time.monotonic()
-                (scorer.score_bmw if mode == "bmw" else scorer.score_taat)(text, k)
+                fn(text, k)
                 lats.append(time.monotonic() - t0)
         extra[f"bm25_{mode}_qps"] = round(len(kw_queries) / sum(lats), 1)
         extra[f"bm25_{mode}_p50_ms"] = round(float(np.percentile(lats, 50)) * 1e3, 3)
@@ -119,7 +122,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
 
     with timed("bm25_actor_pool"):
         qds = ray.data.from_arrow(queries_table(queries)).repartition(max(8, num_cpus))
-        n = query_index(qds, idx_dir, cfg, mode="taat",
+        n = query_index(qds, idx_dir, cfg, mode="maxscore",
                         concurrency=max(2, num_cpus // 4)).count()
     extra["actor_pool_qps"] = round(len(queries) / timings["bm25_actor_pool"], 1)
 

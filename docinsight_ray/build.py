@@ -454,12 +454,13 @@ def build_index(
             .groupby("content_sha256")
             .aggregate(RayCount(alias_name="n"))
         )
-        dup_shas = set(
-            sha_counts.map_batches(
-                lambda t: t.filter(pc.greater(t["n"], pa.scalar(1))),
-                batch_format="pyarrow",
-            ).to_pandas()["content_sha256"]
-        )
+        dup_df = sha_counts.map_batches(
+            lambda t: t.filter(pc.greater(t["n"], pa.scalar(1))),
+            batch_format="pyarrow",
+        ).to_pandas()
+        # an all-filtered Dataset can come back as a 0-column frame —
+        # no duplicates then
+        dup_shas = set(dup_df["content_sha256"]) if "content_sha256" in dup_df.columns else set()
         if dup_shas:
             dup_ref = ray.put(pa.array(sorted(dup_shas), type=pa.string()))
 

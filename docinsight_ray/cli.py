@@ -68,8 +68,11 @@ def cmd_query(args) -> int:
         return 2
     cfg = EngineConfig(tokenizer=args.tokenizer)
     scorer = BM25Scorer(args.index_dir, cfg, mode=args.mode)
+    score = {"bmw": scorer.score_bmw, "maxscore": scorer.score_maxscore}.get(
+        args.mode, scorer.score_taat
+    )
     for text in args.text:
-        d, s = (scorer.score_bmw if args.mode == "bmw" else scorer.score_taat)(text, args.k)
+        d, s = score(text, args.k)
         print(json.dumps({
             "query": text,
             "hits": [{"doc_id": int(x), "score": round(float(y), 6)} for x, y in zip(d, s)],
@@ -173,7 +176,7 @@ def main(argv=None) -> int:
     q.add_argument("index_dir")
     q.add_argument("text", nargs="+")
     q.add_argument("-k", type=int, default=10)
-    q.add_argument("--mode", default="taat", choices=["taat", "bmw"])
+    q.add_argument("--mode", default="taat", choices=["taat", "bmw", "maxscore"])
     q.add_argument("--tokenizer", default="code", choices=["code", "simple"])
     q.set_defaults(fn=cmd_query)
 

@@ -7,15 +7,20 @@ singleton search engine (SBERT + FAISS loaded once,
 partitions, corpus stats and doc lengths are loaded ONCE per actor in
 ``__init__``; ``__call__`` scores a whole Arrow batch of queries.
 
-Two execution strategies, proven rank-identical by tests:
+Three execution strategies, all proven rank-identical (docs AND
+bitwise scores) by tests:
 
 - ``taat`` — exact term-at-a-time: vectorized numpy accumulation over
-  the decoded postings of the query's terms (the fast path at this
-  index size; analogue of the reference's exhaustive fallback scorer,
+  the decoded postings of the query's terms (the exhaustive baseline;
+  analogue of the reference's fallback scorer,
   /root/reference/index/fallback_index.py:124-164).
+- ``maxscore`` — vectorized MaxScore dynamic pruning: high-UB (rare)
+  lists generate candidates, low-UB (hot) lists are only probed — the
+  default serving mode (~2x TAAT at Zipfian skew, more at scale).
 - ``bmw`` — block-max WAND document-at-a-time with skip pointers and
-  per-block upper bounds (the 10^12-scale path: postings are pruned,
-  not exhaustively scanned).
+  per-block upper bounds (the classic 10^12-scale skipping algorithm,
+  kept as the per-posting-block pruning demonstration; its Python
+  cursor loop makes it the slowest mode at this index size).
 
 Scale note: a single actor here holds the whole (test-sized) index.
 On a real cluster each actor would load an assigned subset of term
@@ -151,6 +156,58 @@ class BM25Scorer:
         sel = topk_order(cand, acc, k)
         return cand[sel], acc[sel]
 
+    # ---- MaxScore (vectorized dynamic pruning) --------------------------
+
+    def score_maxscore(self, text: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Exact MaxScore-style pruning, batch-vectorized.
+
+        Lists ordered by upper bound (max contribution) descending are
+        opened as candidate *generators* one at a time; after each
+        round every candidate is fully scored (accumulating in sorted-
+        term order — the determinism contract) and θ = current k-th
+        best. A doc outside the opened lists can score at most the sum
+        of the remaining lists' upper bounds, so once that falls
+        STRICTLY below θ no unopened list needs to generate candidates
+        — its postings are only probed via searchsorted for docs
+        already in the candidate set. For rare∧hot queries the hot
+        (low-idf ⇒ low-UB) lists are therefore never scanned, which is
+        the practical pruning win at Zipfian skew. Strict `<` keeps
+        doc_id-ascending tie-breaks exact (an unopened doc could tie θ
+        with a smaller doc_id and deserve the slot)."""
+        terms = self.query_terms(text)
+        if not terms:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
+        k = int(k)
+        arrays = {t: self._term_arrays(t) for t in terms}  # sorted-term order
+        ubs = {t: (float(arrays[t][1].max()) if arrays[t][1].size else 0.0) for t in terms}
+        by_ub = sorted(terms, key=lambda t: (-ubs[t], t))
+        # rem_ub[i] = max possible score using only lists i+1..m
+        rem = np.cumsum([ubs[t] for t in by_ub][::-1])[::-1]
+
+        def score_full(cands: np.ndarray) -> np.ndarray:
+            acc = np.zeros(cands.size, dtype=np.float64)
+            for t in terms:  # alphabetical — bitwise-identical to TAAT/oracle
+                docs_t, contrib_t = arrays[t][0], arrays[t][1]
+                pos = np.searchsorted(docs_t, cands)
+                pos_c = np.minimum(pos, docs_t.size - 1)
+                hit = docs_t[pos_c] == cands
+                acc[hit] += contrib_t[pos_c[hit]]
+            return acc
+
+        cands = np.empty(0, dtype=np.uint64)
+        scores = np.empty(0, dtype=np.float64)
+        for i, t in enumerate(by_ub):
+            new = np.setdiff1d(arrays[t][0], cands, assume_unique=False)
+            if new.size:
+                cands = np.concatenate([cands, new])
+                scores = np.concatenate([scores, score_full(new)])
+            if cands.size >= k:
+                theta = np.partition(scores, -k)[-k]
+                if i + 1 < len(by_ub) and rem[i + 1] < theta:
+                    break  # unopened lists cannot produce a winner
+        sel = topk_order(cands, scores, k)
+        return cands[sel], scores[sel]
+
     # ---- block-max WAND -------------------------------------------------
 
     def score_bmw(self, text: str, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -252,7 +309,10 @@ class BM25Scorer:
     # ---- map_batches entry ---------------------------------------------
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        score = self.score_bmw if self.mode == "bmw" else self.score_taat
+        score = {
+            "bmw": self.score_bmw,
+            "maxscore": self.score_maxscore,
+        }.get(self.mode, self.score_taat)
         qids, ranks, docs, scores = [], [], [], []
         ks = batch["k"].to_pylist() if "k" in batch.column_names else [10] * batch.num_rows
         for qid, text, k in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist(), ks):

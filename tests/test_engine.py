@@ -258,3 +258,27 @@ def test_rank_identity_second_scale(ray_session, tmp_path):
         np.testing.assert_array_equal(tsc, osc)
         np.testing.assert_array_equal(bd, od)
         np.testing.assert_array_equal(bsc, osc)
+
+
+def test_maxscore_rank_identity(built):
+    """MaxScore pruning is rank-identical (docs AND bitwise scores) to
+    TAAT/oracle on every fixture query."""
+    corpus, idx, res = built
+    oracle = OracleIndex(corpus, CFG)
+    sc = BM25Scorer(idx, CFG, mode="maxscore")
+    for qid, text, k in gen_queries(corpus, n_keyword=25, seed=42):
+        od, osc = oracle.score(text, k)
+        md, msc = sc.score_maxscore(text, k)
+        np.testing.assert_array_equal(md, od, err_msg=f"maxscore doc mismatch q{qid}")
+        np.testing.assert_array_equal(msc, osc, err_msg=f"maxscore score mismatch q{qid}")
+
+
+def test_build_dup_free_corpus(ray_session, tmp_path):
+    """Regression: a corpus with ZERO duplicate contents must build
+    (empty dup-sha Dataset loses its schema in to_pandas)."""
+    import ray.data
+
+    corpus = gen_corpus(60, seed=123, with_cases=False)
+    assert len(set(corpus["content"].to_pylist())) == corpus.num_rows
+    res = build_index(ray.data.from_arrow(corpus), str(tmp_path / "idx"), CFG, fingerprint="nodups")
+    assert res.n_dup_losers == 0 and res.n_docs == corpus.num_rows
