@@ -34,6 +34,7 @@ Scale notes (designed for 10^12 docs / multi-node, tested single-node):
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -132,7 +133,10 @@ class SpimiTokenizer:
                     "doc_len": pa.array(doc_lens[doc_idx], type=pa.uint32()),
                 }
             )
-            name = f"frag-{sha[0][:16]}-{len(contents)}-{terms.size}"
+            # content-addressed fragment name: retries of the same batch
+            # overwrite idempotently; distinct batches can never collide
+            batch_id = hashlib.sha256(doc_ids.tobytes()).hexdigest()[:20]
+            name = f"frag-{batch_id}-{terms.size}"
             tmp = os.path.join(self.fragments_dir, f".{name}.{uuid.uuid4().hex}.tmp")
             pq.write_table(frag, tmp, compression="zstd")
             os.replace(tmp, os.path.join(self.fragments_dir, f"{name}.parquet"))
