@@ -160,9 +160,15 @@ def cmd_bench(args) -> int:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="docinsight_ray", description=__doc__)
     p.add_argument("--num-cpus", type=int, default=None)
+    # also accepted after the subcommand (common first-use stumble)
+    common = argparse.ArgumentParser(add_help=False)
+    # SUPPRESS: don't let the subparser's default overwrite a value
+    # already parsed at the top level
+    common.add_argument("--num-cpus", type=int, default=argparse.SUPPRESS)
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    b = sub.add_parser("build", help="build index from a corpus parquet path")
+    b = sub.add_parser("build", parents=[common],
+                       help="build index from a corpus parquet path")
     b.add_argument("corpus")
     b.add_argument("index_dir")
     b.add_argument("--tokenizer", default="code", choices=["code", "simple"])
@@ -172,7 +178,7 @@ def main(argv=None) -> int:
     b.add_argument("--fingerprint", default="")
     b.set_defaults(fn=cmd_build)
 
-    q = sub.add_parser("query", help="run BM25 queries against an index")
+    q = sub.add_parser("query", parents=[common], help="run BM25 queries against an index")
     q.add_argument("index_dir")
     q.add_argument("text", nargs="+")
     q.add_argument("-k", type=int, default=10)
@@ -180,13 +186,13 @@ def main(argv=None) -> int:
     q.add_argument("--tokenizer", default="code", choices=["code", "simple"])
     q.set_defaults(fn=cmd_query)
 
-    v = sub.add_parser("validate", help="check index invariants + manifests")
+    v = sub.add_parser("validate", parents=[common], help="check index invariants + manifests")
     v.add_argument("index_dir")
     v.add_argument("--corpus", default=None, help="source corpus for sha256 spot checks")
     v.add_argument("--spot-checks", type=int, default=50)
     v.set_defaults(fn=cmd_validate)
 
-    be = sub.add_parser("bench", help="run the bench suite")
+    be = sub.add_parser("bench", parents=[common], help="run the bench suite")
     be.add_argument("--scaling", action="store_true")
     be.set_defaults(fn=cmd_bench)
 
