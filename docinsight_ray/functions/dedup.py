@@ -77,6 +77,36 @@ def _emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a_id": ids[a].astype("int64"), "b_id": ids[b].astype("int64")})
 
 
+N_PAIR_BUCKETS = 16
+
+
+def _emit_pairs_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    """Pair emission for a whole hash-bucket of shingles: one Ray group
+    per bucket (16 total) instead of one per shingle — per-group
+    dispatch overhead disappears; inside, a numpy loop over shingle
+    segments. Groups larger than MAX_GROUP are stop-shingles (dropped,
+    as in _emit_pairs)."""
+    codes, _ = pd.factorize(group["key"].to_numpy(), sort=True)
+    order = np.lexsort((group["doc_id"].to_numpy(), codes))
+    codes = codes[order]
+    ids = group["doc_id"].to_numpy()[order]
+    starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+    ends = np.r_[starts[1:], codes.size]
+    a_out, b_out = [], []
+    for s, e in zip(starts, ends):
+        n = e - s
+        if n < 2 or n > MAX_GROUP:
+            continue
+        a, b = np.triu_indices(n, k=1)
+        a_out.append(ids[s + a])
+        b_out.append(ids[s + b])
+    if not a_out:
+        return pd.DataFrame({"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64")})
+    return pd.DataFrame(
+        {"a_id": np.concatenate(a_out).astype("int64"), "b_id": np.concatenate(b_out).astype("int64")}
+    )
+
+
 def _sizes_map(sf_dir: str) -> dict[int, int]:
     sizes = (
         _read_documents(sf_dir)
@@ -106,15 +136,56 @@ def _verified_pairs_table(pairs: pd.DataFrame, sizes: dict[int, int]) -> pa.Tabl
 
 
 def q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
-    """Exact n-gram Jaccard near-dup pairs (J ≥ 0.6, a_id < b_id)."""
-    ds = _read_documents(sf_dir).map_batches(_shingle_rows, batch_format="pyarrow")
-    pair_counts = (
-        ds.groupby("shingle")
-        .map_groups(_emit_pairs, batch_format="pandas")
-        .groupby(["a_id", "b_id"])
-        .aggregate(Count(alias_name="inter"))
+    """Exact n-gram Jaccard near-dup pairs (J ≥ 0.6, a_id < b_id).
+
+    Most shingles are unique; a bare groupby(shingle).map_groups would
+    spend its time on singleton groups. Pre-filter: count per shingle,
+    keep shingles with count ≥ 2 (broadcast via ray.put), THEN group —
+    only shared shingles reach the per-group pair emission."""
+    import ray as _ray
+
+    # materialize the narrow (doc_id, shingle) table once — it is
+    # consumed twice (df pre-filter + pair emission) and tiny relative
+    # to the documents it came from
+    ds = _read_documents(sf_dir).map_batches(_shingle_rows, batch_format="pyarrow").materialize()
+    shared = ds.groupby("shingle").aggregate(Count(alias_name="n")).map_batches(
+        lambda t: t.filter(pa.compute.greater(t["n"], pa.scalar(1))).select(["shingle"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if shared.empty:
+        return pa.table({c: pa.array([], type=pa.int64()) for c in ["a_id", "b_id", "inter", "size_a", "size_b"]})
+    shared_ref = _ray.put(pa.array(sorted(shared["shingle"]), type=pa.string()))
+    def filter_and_key(t: pa.Table, _r=shared_ref) -> pa.Table:
+        t = t.filter(pa.compute.is_in(t["shingle"], value_set=_ray.get(_r)))
+        h = pd.util.hash_array(np.asarray(t["shingle"].to_pylist(), dtype=object))
+        return pa.table(
+            {
+                "key": t["shingle"],
+                "doc_id": t["doc_id"],
+                "bucket": pa.array((h % np.uint64(N_PAIR_BUCKETS)).astype(np.int32), type=pa.int32()),
+            }
+        )
+
+    # per-batch partial pair counts (C-speed pandas groupby), final sum
+    # on the driver — the pair-count table is result-sized by
+    # construction, and Ray's multi-key groupby costs seconds of
+    # per-group overhead at thousands of tiny groups
+    def partial_pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["a_id", "b_id"], sort=False).size().reset_index(name="pinter")
+
+    partials = (
+        ds.map_batches(filter_and_key, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_emit_pairs_bucket, batch_format="pandas")
+        .map_batches(partial_pair_counts, batch_format="pandas")
         .to_pandas()
     )
+    if partials.empty:
+        pair_counts = pd.DataFrame({"a_id": [], "b_id": [], "inter": []})
+    else:
+        pair_counts = (
+            partials.groupby(["a_id", "b_id"], sort=False)["pinter"].sum().reset_index(name="inter")
+        )
     if pair_counts.empty:
         return pa.table({c: pa.array([], type=pa.int64()) for c in ["a_id", "b_id", "inter", "size_a", "size_b"]})
     return _verified_pairs_table(pair_counts, _sizes_map(sf_dir))
@@ -171,11 +242,24 @@ class MinHashLSH:
 def q_minhash_lsh_pairs(sf_dir: str) -> pa.Table:
     """MinHash-LSH candidates → exact-Jaccard verification; equals the
     exact pipeline's output at J≥0.6 (miss prob ≈ 6e-7 per pair)."""
+    def band_bucket(t: pa.Table) -> pa.Table:
+        bid = t["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bkey = t["band_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = (bkey << np.uint64(6)) | bid  # band_id < 64 → exact combined key
+        return pa.table(
+            {
+                "key": pa.array(key, type=pa.uint64()),
+                "doc_id": t["doc_id"],
+                "bucket": pa.array((key % np.uint64(N_PAIR_BUCKETS)).astype(np.int32), type=pa.int32()),
+            }
+        )
+
     cands = (
         _read_documents(sf_dir)
         .map_batches(MinHashLSH, batch_format="pyarrow", concurrency=2)
-        .groupby(["band_id", "band_key"])
-        .map_groups(_emit_pairs, batch_format="pandas")
+        .map_batches(band_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_emit_pairs_bucket, batch_format="pandas")
         .to_pandas()
     )
     if cands.empty:

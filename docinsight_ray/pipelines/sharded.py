@@ -48,13 +48,59 @@ def build_sharded_index(
     shard so per-shard scoring uses global BM25 statistics."""
     cfg = cfg or EngineConfig()
 
-    def add_shard(batch: pa.Table) -> pa.Table:
+    def batch_ids(batch: pa.Table) -> np.ndarray:
         if cfg.doc_id_mode == "column":
-            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        else:
-            ids = doc_id_from_key(
-                batch["repo"].to_pylist(), batch["path"].to_pylist(), batch["commit"].to_pylist()
+            return batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return doc_id_from_key(
+            batch["repo"].to_pylist(), batch["path"].to_pylist(), batch["commit"].to_pylist()
+        )
+
+    # ---- GLOBAL exact dedup BEFORE the shard split: duplicates with
+    # different doc_ids land in different shards, so per-shard dedup
+    # cannot see them. Narrow pre-pass: (sha, doc_id) → dup shas →
+    # loser doc_ids broadcast; content never shuffles.
+    losers = np.empty(0, dtype=np.uint64)
+    if cfg.dedup:
+        from ..ids import sha256_hex
+        from ray.data.aggregate import Count as _Count
+        import pyarrow.compute as pc
+
+        def sha_ids(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "content_sha256": pa.array(sha256_hex(batch["content"].to_pylist())),
+                    "doc_id": pa.array(batch_ids(batch), type=pa.uint64()),
+                }
             )
+
+        narrow = corpus.map_batches(sha_ids, batch_format="pyarrow", zero_copy_batch=True).materialize()
+        dup_df = narrow.groupby("content_sha256").aggregate(_Count(alias_name="n")).map_batches(
+            lambda t: t.filter(pc.greater(t["n"], pa.scalar(1))), batch_format="pyarrow"
+        ).to_pandas()
+        dup_shas = set(dup_df["content_sha256"]) if "content_sha256" in dup_df.columns else set()
+        if dup_shas:
+            dset = ray.put(pa.array(sorted(dup_shas), type=pa.string()))
+            rows = narrow.map_batches(
+                lambda t, _r=dset: t.filter(pc.is_in(t["content_sha256"], value_set=ray.get(_r))),
+                batch_format="pyarrow",
+            ).to_pandas().sort_values("doc_id")
+            losers = np.sort(
+                rows[rows.duplicated("content_sha256", keep="first")]["doc_id"]
+                .to_numpy().astype(np.uint64)
+            )
+    losers_ref = ray.put(losers)
+    # shards build with dedup off — global dedup already applied above
+    import dataclasses
+
+    shard_cfg = cfg if not cfg.dedup else dataclasses.replace(cfg, dedup=False)
+
+    def add_shard(batch: pa.Table, _l=losers_ref) -> pa.Table:
+        ids = batch_ids(batch)
+        lo = ray.get(_l)
+        if lo.size:
+            keep = ~np.isin(ids, lo)
+            batch = batch.filter(pa.array(keep))
+            ids = ids[keep]
         return batch.append_column(
             "shard", pa.array((ids % np.uint64(n_shards)).astype(np.int32), type=pa.int32())
         )
@@ -64,7 +110,7 @@ def build_sharded_index(
     for s in range(n_shards):
         sub = sharded.filter(expr=f"shard == {s}").drop_columns(["shard"])
         d = os.path.join(index_dir, f"shard={s}")
-        build_index(sub, d, cfg, fingerprint=f"{fingerprint}:shard{s}/{n_shards}")
+        build_index(sub, d, shard_cfg, fingerprint=f"{fingerprint}:shard{s}/{n_shards}")
         shard_dirs.append(d)
 
     # overwrite per-shard stats with GLOBAL stats (idf/avgdl must be

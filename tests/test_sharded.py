@@ -9,9 +9,6 @@ from docinsight_ray.fixtures import gen_corpus, gen_queries, queries_table
 from docinsight_ray.oracle import OracleIndex
 from docinsight_ray.pipelines.sharded import build_sharded_index, query_sharded
 
-# global dedup across shards needs a pre-shard sha pass (documented in
-# pipelines/sharded.py) — test with dedup off so both engines see the
-# same doc set
 CFG = EngineConfig(num_buckets=8, dedup=False)
 N_SHARDS = 3
 
@@ -66,6 +63,32 @@ def test_sharded_bmw_rank_identity(sharded):
     qds = ray.data.from_arrow(queries_table(queries))
     out = query_sharded(qds, idx, N_SHARDS, CFG, mode="bmw").to_pandas()
     oracle = OracleIndex(corpus, CFG)
+    for qid, text, k in queries:
+        od, osc = oracle.score(text, k)
+        sub = out[out.query_id == qid].sort_values("rank")
+        np.testing.assert_array_equal(sub.doc_id.to_numpy(dtype=np.uint64), od)
+        np.testing.assert_array_equal(sub.score.to_numpy(), osc)
+
+
+def test_sharded_global_dedup(ray_session, tmp_path):
+    """Duplicates whose copies land in DIFFERENT shards are still
+    deduped (global pre-shard sha pass), matching the single-index
+    engine with dedup on."""
+    import ray.data
+
+    cfg = EngineConfig(num_buckets=8, dedup=True)
+    corpus = gen_corpus(300, seed=21)  # fixture injects cross-row dups
+    idx = str(tmp_path / "dd")
+    build_sharded_index(ray.data.from_arrow(corpus), idx, N_SHARDS, cfg, fingerprint="dd")
+    oracle = OracleIndex(corpus, cfg)  # oracle dedups too
+    import json
+    import os
+
+    stats = json.load(open(os.path.join(idx, "shard=0", "corpus_stats.json")))
+    assert stats["n_docs"] == oracle.n_docs  # global count matches post-dedup
+    queries = gen_queries(corpus, n_keyword=8, seed=21)
+    qds = ray.data.from_arrow(queries_table(queries))
+    out = query_sharded(qds, idx, N_SHARDS, cfg, mode="taat").to_pandas()
     for qid, text, k in queries:
         od, osc = oracle.score(text, k)
         sub = out[out.query_id == qid].sort_values("rank")
