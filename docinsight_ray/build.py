@@ -79,6 +79,12 @@ POSTINGS_SCHEMA = pa.schema(
         ("tfs_vb", pa.binary()),
         ("block_max_w", pa.list_(pa.float32())),
         ("block_last_doc", pa.list_(pa.uint64())),
+        # byte offset of each block's start inside doc_ids_vb / tfs_vb —
+        # blocks are independently decodable (block i's doc base is
+        # block_last_doc[i-1]), which is what lets WAND skip DECODING
+        # pruned blocks, not just scoring them
+        ("block_doc_off", pa.list_(pa.uint32())),
+        ("block_tf_off", pa.list_(pa.uint32())),
         ("bucket", pa.uint32()),
     ]
 )
@@ -254,6 +260,8 @@ def _encode_sorted_group(
     tf_vbs: list[bytes] = []
     bmaxes: list[np.ndarray] = []
     blasts: list[np.ndarray] = []
+    bdoffs: list[np.ndarray] = []
+    btoffs: list[np.ndarray] = []
     uniq_arr = np.asarray(uniques, dtype=object)
     for i, (s, e) in enumerate(zip(starts, ends)):
         out_terms.append(uniq_arr[codes[s]])
@@ -261,8 +269,17 @@ def _encode_sorted_group(
         doc_vbs.append(doc_buf[doc_off[s] : doc_off[e]])
         tf_vbs.append(tf_buf[tf_off[s] : tf_off[e]])
         bstarts = np.arange(s, e, bs)
-        bmaxes.append(np.maximum.reduceat(w, bstarts).astype(np.float32))
+        # float32 block maxima rounded UP — a downward float32 rounding
+        # would make the bound unsafe (a posting could exceed it by 1ulp
+        # and be wrongly pruned)
+        bm = np.maximum.reduceat(w, bstarts)
+        bm32 = bm.astype(np.float32)
+        low = bm32.astype(np.float64) < bm
+        bm32[low] = np.nextafter(bm32[low], np.float32(np.inf))
+        bmaxes.append(bm32)
         blasts.append(doc_ids[np.minimum(bstarts + bs, e) - 1])
+        bdoffs.append((doc_off[bstarts] - doc_off[s]).astype(np.uint32))
+        btoffs.append((tf_off[bstarts] - tf_off[s]).astype(np.uint32))
     buckets = term_bucket(np.asarray(out_terms, dtype=object), cfg.num_buckets)
     return pa.table(
         {
@@ -272,6 +289,8 @@ def _encode_sorted_group(
             "tfs_vb": pa.array(tf_vbs, type=pa.binary()),
             "block_max_w": pa.array(bmaxes, type=pa.list_(pa.float32())),
             "block_last_doc": pa.array(blasts, type=pa.list_(pa.uint64())),
+            "block_doc_off": pa.array(bdoffs, type=pa.list_(pa.uint32())),
+            "block_tf_off": pa.array(btoffs, type=pa.list_(pa.uint32())),
             "bucket": pa.array(buckets, type=pa.uint32()),
         }
     )
@@ -553,6 +572,10 @@ def build_index(
         "n_docs": int(n_docs),
         "total_len": int(total_len),
         "avgdl": float(avgdl),
+        # the avgdl the block-max metadata was computed with — scorers
+        # may only trust stored block maxima when it matches the serving
+        # avgdl (sharded builds overwrite avgdl with the global value)
+        "build_avgdl": float(avgdl),
         "n_dup_losers": int(losers.size),
         "hot_terms": sorted(map(str, hot_terms)),
         "hot_df_threshold": hot_thresh,

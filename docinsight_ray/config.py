@@ -14,7 +14,7 @@ from dataclasses import asdict, dataclass, field
 # Bump when tokenizer / codec / scoring semantics change: the version is
 # folded into config_hash, which is part of every build fingerprint, so
 # cached /tmp indexes from older engine semantics can never be resumed.
-ENGINE_VERSION = "r1.1"
+ENGINE_VERSION = "r1.2"  # r1.2: block byte offsets in the postings schema
 
 
 @dataclass(frozen=True)

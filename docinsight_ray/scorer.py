@@ -42,7 +42,7 @@ import pyarrow.parquet as pq
 
 from .bm25 import idf as idf_fn
 from .bm25 import tf_sat_weight, topk_order
-from .codec import decode_posting
+from .codec import decode_posting, varbyte_decode
 from .config import EngineConfig
 from .tokenizer import tokenize_text
 
@@ -54,6 +54,79 @@ RESULTS_SCHEMA = pa.schema(
         ("score", pa.float64()),
     ]
 )
+
+
+class _TermPostings:
+    """Block-addressable view of one term's postings for WAND.
+
+    When stored block-max metadata is trustworthy (serving avgdl ==
+    build avgdl) postings decode LAZILY per block via the stored byte
+    offsets — blocks pruned by the shallow check are never decoded,
+    which is the point of the block-max format. Otherwise (sharded
+    global-stat override, legacy index without offsets) it falls back
+    to a full decode through the scorer's term cache."""
+
+    def __init__(self, scorer: "BM25Scorer", term: str):
+        i = scorer._terms[term]
+        self._scorer = scorer
+        self._i = i
+        self.bs = scorer.cfg.block_size
+        self.df = int(scorer._df[i])
+        self.blast = np.asarray(scorer._blast[i], dtype=np.uint64)
+        self.n_blocks = self.blast.size
+        self._idf_mult = float(idf_fn(int(scorer._idf_df[i]), scorer.n_docs)) * (
+            scorer.cfg.k1 + 1.0
+        )
+        if scorer._bmax_safe:
+            self._full: tuple | None = None
+            self.block_ub = self._idf_mult * np.asarray(scorer._bmax[i], dtype=np.float64)
+        else:
+            d, c, ub, _bl = scorer._term_arrays(term)
+            self._full = (d, c)
+            self.block_ub = ub
+        self.ub = float(self.block_ub.max()) if self.block_ub.size else 0.0
+        self._blocks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def block(self, bi: int) -> tuple[np.ndarray, np.ndarray]:
+        blk = self._blocks.get(bi)
+        if blk is not None:
+            return blk
+        s = bi * self.bs
+        e = min(s + self.bs, self.df)
+        if self._full is not None:
+            blk = (self._full[0][s:e], self._full[1][s:e])
+        else:
+            sc = self._scorer
+            i = self._i
+            doff, toff = sc._bdoff[i], sc._btoff[i]
+            d_end = doff[bi + 1] if bi + 1 < len(doff) else len(sc._doc_vb[i])
+            t_end = toff[bi + 1] if bi + 1 < len(toff) else len(sc._tf_vb[i])
+            n = e - s
+            deltas = varbyte_decode(sc._doc_vb[i][doff[bi] : d_end], n)
+            base = self.blast[bi - 1] if bi > 0 else np.uint64(0)
+            docs = base + np.cumsum(deltas, dtype=np.uint64)
+            tfs = varbyte_decode(sc._tf_vb[i][toff[bi] : t_end], n)
+            w = tf_sat_weight(tfs, sc._doc_len_of(docs), sc.avgdl, sc.cfg.k1, sc.cfg.b)
+            blk = (docs, self._idf_mult * w)
+        self._blocks[bi] = blk
+        return blk
+
+    def doc_at(self, pos: int) -> int:
+        bi, wi = divmod(pos, self.bs)
+        return int(self.block(bi)[0][wi])
+
+    def contrib_at(self, pos: int) -> float:
+        bi, wi = divmod(pos, self.bs)
+        return float(self.block(bi)[1][wi])
+
+    def seek(self, d: int) -> int:
+        """First posting position with doc_id >= d (df if exhausted) —
+        decodes only the one block the skip pointer lands in."""
+        bi = int(np.searchsorted(self.blast, np.uint64(d), side="left"))
+        if bi >= self.n_blocks:
+            return self.df
+        docs = self.block(bi)[0]
+        return bi * self.bs + int(np.searchsorted(docs, np.uint64(d)))
 
 
 class BM25Scorer:
@@ -96,10 +169,18 @@ class BM25Scorer:
         self._tf_vb = tbl["tfs_vb"].to_pylist()
         self._bmax = tbl["block_max_w"].to_pylist()
         self._blast = tbl["block_last_doc"].to_pylist()
+        has_offsets = "block_doc_off" in tbl.column_names
+        self._bdoff = tbl["block_doc_off"].to_pylist() if has_offsets else None
+        self._btoff = tbl["block_tf_off"].to_pylist() if has_offsets else None
+        # stored block maxima are only trustworthy when the serving
+        # avgdl equals the build avgdl (sharded builds overwrite stats
+        # with global values) AND block byte offsets exist
+        self._bmax_safe = has_offsets and stats.get("build_avgdl", stats["avgdl"]) == stats["avgdl"]
         from collections import OrderedDict
 
         self.cache_terms = 512
-        self._cache: OrderedDict[str, tuple[np.ndarray, np.ndarray]] = OrderedDict()
+        self._cache: OrderedDict[str, tuple] = OrderedDict()
+        self._tp_cache: OrderedDict[str, _TermPostings] = OrderedDict()
 
     # ---- shared helpers -------------------------------------------------
 
@@ -210,62 +291,84 @@ class BM25Scorer:
 
     # ---- block-max WAND -------------------------------------------------
 
+    def _term_postings(self, term: str) -> _TermPostings:
+        tp = self._tp_cache.get(term)
+        if tp is None:
+            tp = _TermPostings(self, term)
+            self._tp_cache[term] = tp
+            if len(self._tp_cache) > self.cache_terms:
+                self._tp_cache.popitem(last=False)
+        else:
+            self._tp_cache.move_to_end(term)
+        return tp
+
     def score_bmw(self, text: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Block-max WAND over block-addressable cursors: the shallow
+        check and skip targets use only the stored block metadata, so a
+        pruned block's postings are never DECODED (the lazy path; see
+        _TermPostings)."""
         terms = self.query_terms(text)
         if not terms:
             return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
         k = int(k)
+
+        def set_pos(l: dict, pos: int) -> None:
+            # cursor-local cache of the current block's arrays: doc/
+            # contrib accesses in the hot loop are plain array indexing
+            # (exact ints — float conversion of 64-bit doc_ids loses
+            # low bits)
+            tp = l["tp"]
+            l["pos"] = pos
+            if pos >= tp.df:
+                return
+            bi, wi = divmod(pos, tp.bs)
+            if bi != l["bi"]:
+                l["bdocs"], l["bcontrib"] = tp.block(bi)
+                l["bi"] = bi
+            l["wi"] = wi
+            l["cur"] = int(l["bdocs"][wi])
+
         lists = []
-        for t in terms:
-            doc_ids, contrib, block_ub, blast = self._term_arrays(t)
-            lists.append(
-                {
-                    "order": len(lists),  # term-sorted position (score-sum order)
-                    "docs": doc_ids,
-                    "contrib": contrib,
-                    "pos": 0,
-                    "n": doc_ids.size,
-                    "ub": float(block_ub.max()),
-                    "block_ub": block_ub,
-                    "blast": blast,
-                }
-            )
+        for order, t in enumerate(terms):
+            tp = self._term_postings(t)
+            if tp.df > 0:
+                l = {"order": order, "tp": tp, "bi": -1}
+                set_pos(l, 0)
+                lists.append(l)
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
 
         def theta() -> float:
             return heap[0][0] if len(heap) >= k else -np.inf
 
-        live = [l for l in lists if l["n"] > 0]
+        def advance(l: dict, target: int) -> None:
+            set_pos(l, l["tp"].seek(target))
+
+        live = lists
         while live:
-            live.sort(key=lambda l: int(l["docs"][l["pos"]]))
+            live.sort(key=lambda l: l["cur"])
             th = theta()
             # pivot: first prefix whose Σ global-UB can beat θ
             ub_sum, pivot_idx = 0.0, -1
             for j, l in enumerate(live):
-                ub_sum += l["ub"]
+                ub_sum += l["tp"].ub
                 if ub_sum > th:
                     pivot_idx = j
                     break
             if pivot_idx < 0:
                 break  # nothing can beat θ → done
-            pivot_doc = int(live[pivot_idx]["docs"][live[pivot_idx]["pos"]])
+            pivot_doc = live[pivot_idx]["cur"]
             # extend pivot group to every list currently at pivot_doc
-            while (
-                pivot_idx + 1 < len(live)
-                and int(live[pivot_idx + 1]["docs"][live[pivot_idx + 1]["pos"]]) == pivot_doc
-            ):
+            while pivot_idx + 1 < len(live) and live[pivot_idx + 1]["cur"] == pivot_doc:
                 pivot_idx += 1
-            first_doc = int(live[0]["docs"][live[0]["pos"]])
-            if first_doc == pivot_doc:
-                # shallow (block-max) check over the pivot group.
-                # All doc_id arithmetic in exact ints — float conversion of
-                # 64-bit hash doc_ids loses low bits and breaks skipping.
+            if live[0]["cur"] == pivot_doc:
+                # shallow check from stored block metadata only — no decode
                 block_sum = 0.0
                 next_boundary: int | None = None
                 for l in live[: pivot_idx + 1]:
-                    bi = int(np.searchsorted(l["blast"], np.uint64(pivot_doc), side="left"))
-                    block_sum += float(l["block_ub"][bi])
-                    blast_i = int(l["blast"][bi])
+                    tp = l["tp"]
+                    bi = int(np.searchsorted(tp.blast, np.uint64(pivot_doc), side="left"))
+                    block_sum += float(tp.block_ub[bi])
+                    blast_i = int(tp.blast[bi])
                     next_boundary = blast_i if next_boundary is None else min(next_boundary, blast_i)
                 if block_sum <= th and len(heap) >= k:
                     # the aligned block region can't beat θ → skip past it,
@@ -274,30 +377,29 @@ class BM25Scorer:
                     # pivot group)
                     skip_to = next_boundary + 1
                     if pivot_idx + 1 < len(live):
-                        nxt = int(live[pivot_idx + 1]["docs"][live[pivot_idx + 1]["pos"]])
-                        skip_to = min(skip_to, nxt)
+                        skip_to = min(skip_to, live[pivot_idx + 1]["cur"])
                     for l in live[: pivot_idx + 1]:
-                        l["pos"] = int(np.searchsorted(l["docs"], np.uint64(skip_to)))
+                        advance(l, skip_to)
                 else:
                     # full evaluation — accumulate in term-sorted order
                     group = sorted(live[: pivot_idx + 1], key=lambda l: l["order"])
                     score = 0.0
                     for l in group:
-                        score += float(l["contrib"][l["pos"]])
+                        score += float(l["bcontrib"][l["wi"]])
                     # tie-break: among equal scores the LARGEST doc_id is
-                    # the worst (exact int comparison — no float doc_ids)
+                    # the worst (exact int comparison)
                     if len(heap) < k:
                         heapq.heappush(heap, (score, -pivot_doc))
                     elif score > heap[0][0]:
                         heapq.heapreplace(heap, (score, -pivot_doc))
                     for l in live[: pivot_idx + 1]:
-                        l["pos"] += 1
+                        set_pos(l, l["pos"] + 1)
             else:
                 # advance lists before the pivot up to pivot_doc (galloping)
                 for l in live[:pivot_idx]:
-                    if int(l["docs"][l["pos"]]) < pivot_doc:
-                        l["pos"] = int(np.searchsorted(l["docs"], np.uint64(pivot_doc)))
-            live = [l for l in live if l["pos"] < l["n"]]
+                    if l["cur"] < pivot_doc:
+                        advance(l, pivot_doc)
+            live = [l for l in live if l["pos"] < l["tp"].df]
 
         if not heap:
             return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)

@@ -282,3 +282,43 @@ def test_build_dup_free_corpus(ray_session, tmp_path):
     assert len(set(corpus["content"].to_pylist())) == corpus.num_rows
     res = build_index(ray.data.from_arrow(corpus), str(tmp_path / "idx"), CFG, fingerprint="nodups")
     assert res.n_dup_losers == 0 and res.n_docs == corpus.num_rows
+
+
+def test_bmw_lazy_block_decode(ray_session, tmp_path):
+    """WAND must not decode blocks the shallow check prunes: with a
+    selective (rare∧hot) query, the hot list's decoded-block count
+    stays below its total block count."""
+    import ray.data
+
+    from docinsight_ray.scorer import BM25Scorer
+
+    cfg = EngineConfig(num_buckets=4, block_size=16, hot_df_ratio=0.5, dedup=False)
+    corpus = gen_corpus(600, seed=77, with_cases=False)
+    idx = str(tmp_path / "lazy")
+    build_index(ray.data.from_arrow(corpus), idx, cfg, fingerprint="lazy")
+    sc = BM25Scorer(idx, cfg, mode="bmw")
+    assert sc._bmax_safe, "single-index build must enable the lazy path"
+    # rare term: pick one with small df; hot term: 'public'
+    # a rare∧hot two-term query: once top-k fills from rare∧hot docs,
+    # θ > hot-UB and the hot cursor gallops between rare docs, decoding
+    # only the blocks the skip pointers land in
+    # df_rare must exceed k so θ is dominated by rare∧hot scores early
+    rare = min(
+        (t for t in sc._terms if 8 <= sc._df[sc._terms[t]] <= 20),
+        key=lambda t: sc._df[sc._terms[t]],
+    )
+    q = f"{rare} public"
+    d, s = sc.score_bmw(q, 3)
+    assert d.size > 0
+    hot_tp = sc._tp_cache["public"]
+    assert hot_tp.n_blocks >= 10
+    decoded = len(hot_tp._blocks)
+    assert decoded < hot_tp.n_blocks, (
+        f"hot list decoded all {hot_tp.n_blocks} blocks — no skipping happened"
+    )
+    # and the result is still exact
+    from docinsight_ray.oracle import OracleIndex
+
+    od, osc = OracleIndex(corpus, cfg).score(q, 3)
+    np.testing.assert_array_equal(d, od)
+    np.testing.assert_array_equal(s, osc)
