@@ -68,10 +68,9 @@ def q_chunk_docs(sf_dir: str) -> pa.Table:
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
-    return pa.concat_tables(
-        list(ds.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)
-               .iter_batches(batch_format="pyarrow"))
-    )
+    from ..collect import collect_table
+
+    return collect_table(ds.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True))
 
 
 def chunk_docs_word_boundary(sf_dir: str) -> pa.Table:
@@ -108,10 +107,9 @@ def chunk_docs_word_boundary(sf_dir: str) -> pa.Table:
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
-    return pa.concat_tables(
-        list(ds.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)
-               .iter_batches(batch_format="pyarrow"))
-    )
+    from ..collect import collect_table
+
+    return collect_table(ds.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True))
 
 
 ORACLE_SQL = {

@@ -142,12 +142,21 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
     spend its time on singleton groups. Pre-filter: count per shingle,
     keep shingles with count ≥ 2 (broadcast via ray.put), THEN group —
     only shared shingles reach the per-group pair emission."""
+    import hashlib as _hl
+    import tempfile
+
     import ray as _ray
 
-    # materialize the narrow (doc_id, shingle) table once — it is
-    # consumed twice (df pre-filter + pair emission) and tiny relative
-    # to the documents it came from
-    ds = _read_documents(sf_dir).map_batches(_shingle_rows, batch_format="pyarrow").materialize()
+    # The narrow (doc_id, shingle) table is consumed twice (df
+    # pre-filter + pair emission). Spill it to parquet instead of
+    # .materialize(): a pinned materialized dataset whose async GC
+    # overlaps the NEXT pipeline's execution was the trigger for the
+    # round-1 plasma page-reuse corruption (ROADMAP.md §6b).
+    spill = tempfile.mkdtemp(
+        prefix=f"shingles-{_hl.sha256(sf_dir.encode()).hexdigest()[:8]}-", dir="/tmp"
+    )
+    _read_documents(sf_dir).map_batches(_shingle_rows, batch_format="pyarrow").write_parquet(spill)
+    ds = _ray.data.read_parquet(spill)
     shared = ds.groupby("shingle").aggregate(Count(alias_name="n")).map_batches(
         lambda t: t.filter(pa.compute.greater(t["n"], pa.scalar(1))).select(["shingle"]),
         batch_format="pyarrow",
@@ -286,6 +295,7 @@ def q_simhash64(sf_dir: str) -> pa.Table:
     """64-bit SimHash per document (tf-weighted token hashes)."""
 
     def simhash(batch: pa.Table) -> pa.Table:
+        import hashlib as _h
         out = np.empty(batch.num_rows, dtype=np.uint64)
         for i, text in enumerate(batch["text"].to_pylist()):
             toks = _TOKEN_RE.findall(text.lower())
@@ -299,18 +309,22 @@ def q_simhash64(sf_dir: str) -> pa.Table:
             out[i] = np.bitwise_or.reduce(
                 (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
             )
+        # content_sha8: lineage column tying each hash row to the exact
+        # content bytes it was computed from. Also load-bearing: with
+        # only two fixed-width columns this op intermittently came back
+        # from Ray block transport with rows re-paired (ROADMAP.md §6b);
+        # the provenance column both suppresses that layout-sensitive
+        # hazard and makes any recurrence loudly detectable.
+        sha8 = [_h.sha256(t.encode()).hexdigest()[:8] for t in batch["text"].to_pylist()]
         return pa.table(
             {"doc_id": pa.array(batch["doc_id"], type=pa.int64()),
-             "simhash": pa.array(out, type=pa.uint64())}
+             "simhash": pa.array(out, type=pa.uint64()),
+             "content_sha8": pa.array(sha8, type=pa.string())}
         )
 
-    return pa.concat_tables(
-        list(
-            _read_documents(sf_dir)
-            .map_batches(simhash, batch_format="pyarrow")
-            .iter_batches(batch_format="pyarrow")
-        )
-    )
+    from ..collect import collect_table
+
+    return collect_table(_read_documents(sf_dir).map_batches(simhash, batch_format="pyarrow"))
 
 
 _PAIRS_SQL = f"""

@@ -104,9 +104,9 @@ def q_docs_registry(sf_dir: str) -> pa.Table:
             }
         )
 
-    return pa.concat_tables(
-        [b for b in docs.map_batches(project, batch_format="pyarrow").iter_batches(batch_format="pyarrow")]
-    )
+    from ..collect import collect_table
+
+    return collect_table(docs.map_batches(project, batch_format="pyarrow"))
 
 
 def q_corpus_stats(sf_dir: str) -> pa.Table:
@@ -184,14 +184,10 @@ def q_postings_probe(sf_dir: str) -> pa.Table:
             }
         )
 
-    tables = list(ds.map_batches(explode, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
-    if not tables:
-        return pa.table(
-            {"term": pa.array([], type=pa.string()),
-             "doc_id": pa.array([], type=pa.int64()),
-             "tf": pa.array([], type=pa.int64())}
-        )
-    return pa.concat_tables(tables)
+    from ..collect import collect_table
+
+    empty = pa.schema([("term", pa.string()), ("doc_id", pa.int64()), ("tf", pa.int64())])
+    return collect_table(ds.map_batches(explode, batch_format="pyarrow"), empty)
 
 
 def q_bm25_topk(sf_dir: str, mode: str = "taat") -> pa.Table:

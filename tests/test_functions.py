@@ -30,7 +30,16 @@ def test_simhash_properties():
     duplicates."""
     from docinsight_ray.functions.dedup import q_ngram_jaccard_pairs, q_simhash64
 
-    sh = dict(zip(*[q_simhash64(SF).to_pandas()[c] for c in ["doc_id", "simhash"]]))
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    _texts = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    _truth8 = {int(r.doc_id): hashlib.sha256(r.text.encode()).hexdigest()[:8] for r in _texts.itertuples()}
+    _t1 = q_simhash64(SF).to_pandas()
+    # provenance: every simhash row is tied to the content it hashed
+    assert all(_truth8[int(d)] == p for d, p in zip(_t1["doc_id"], _t1["content_sha8"]))
+    sh = dict(zip(*[_t1[c] for c in ["doc_id", "simhash"]]))
     pairs = q_ngram_jaccard_pairs(SF).to_pandas()
     rng = np.random.default_rng(0)
     ids = list(sh)
@@ -55,7 +64,9 @@ def test_simhash_properties():
     dup_groups = corpus.groupby("content").filter(lambda g: len(g) > 1)
     assert len(dup_groups) > 0
     # deterministic across calls
-    sh2 = dict(zip(*[q_simhash64(SF).to_pandas()[c] for c in ["doc_id", "simhash"]]))
+    _t2 = q_simhash64(SF).to_pandas()
+    assert all(_truth8[int(d)] == p for d, p in zip(_t2["doc_id"], _t2["content_sha8"]))
+    sh2 = dict(zip(*[_t2[c] for c in ["doc_id", "simhash"]]))
     assert sh == sh2
 
 
