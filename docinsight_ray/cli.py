@@ -71,12 +71,32 @@ def cmd_query(args) -> int:
     score = {"bmw": scorer.score_bmw, "maxscore": scorer.score_maxscore}.get(
         args.mode, scorer.score_taat
     )
-    for text in args.text:
+    rows = []
+    for qid, text in enumerate(args.text):
         d, s = score(text, args.k)
         print(json.dumps({
             "query": text,
             "hits": [{"doc_id": int(x), "score": round(float(y), 6)} for x, y in zip(d, s)],
         }))
+        rows += [(qid, r, int(x), float(y)) for r, (x, y) in enumerate(zip(d, s))]
+    if args.out:
+        # results sink (reference report-writer analogue, SURVEY §2.1 S8)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(args.out, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "rank": pa.array([r[1] for r in rows], type=pa.uint32()),
+                    "doc_id": pa.array([r[2] for r in rows], type=pa.uint64()),
+                    "score": pa.array([r[3] for r in rows], type=pa.float64()),
+                }
+            ),
+            os.path.join(args.out, "results.parquet"),
+        )
+        print(f"wrote {len(rows)} result rows to {args.out}/results.parquet", file=sys.stderr)
     return 0
 
 
@@ -184,6 +204,7 @@ def main(argv=None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--mode", default="taat", choices=["taat", "bmw", "maxscore"])
     q.add_argument("--tokenizer", default="code", choices=["code", "simple"])
+    q.add_argument("--out", default=None, help="directory to write results.parquet")
     q.set_defaults(fn=cmd_query)
 
     v = sub.add_parser("validate", parents=[common], help="check index invariants + manifests")
