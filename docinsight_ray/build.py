@@ -449,6 +449,12 @@ def build_index(
         return BuildResult(index_dir, st["n_docs"], st["total_len"], st["avgdl"],
                            st["n_dup_losers"], st["hot_terms"], st)
 
+    # per-stage lineage metrics (north rule: row/byte metrics per stage)
+    stage_metrics: dict[str, dict] = {}
+
+    def _stage(name: str, t0: float, **extra) -> None:
+        stage_metrics[name] = {"wall_s": round(time.monotonic() - t0, 3), **extra}
+
     # ---- Stage A: tokenize once; docs registry out, SPIMI fragments aside
     t0 = time.monotonic()
     if "docs" not in done:
@@ -464,8 +470,12 @@ def build_index(
             "fingerprint": fingerprint, "config_hash": cfg.config_hash(),
             "wall_s": round(time.monotonic() - t0, 4),
         })
+    _stage("tokenize_docs", t0,
+           fragment_files=len(os.listdir(frag_dir)) if os.path.isdir(frag_dir) else 0,
+           skipped="docs" in done)
     docs_ds = ray.data.read_parquet(docs_dir)
 
+    t0 = time.monotonic()
     # ---- Dedup winners (exact, content_sha256, keep min doc_id) + stats.
     # Narrow projection shuffle only — content never moves. Duplicate
     # shas are rare (the reference's re-ingest skip semantics), so:
@@ -503,12 +513,18 @@ def build_index(
         losers = np.empty(0, dtype=np.uint64)
         losers_len = 0
 
+    _stage("dedup", t0, losers=int(losers.size))
+
+    t0 = time.monotonic()
     n_total = docs_ds.count()
     total_len_all = int(docs_ds.sum("doc_len"))
     n_docs = n_total - int(losers.size)
     total_len = total_len_all - losers_len
     avgdl = total_len / n_docs if n_docs else 1.0
 
+    _stage("corpus_stats_agg", t0, n_docs=int(n_docs))
+
+    t0 = time.monotonic()
     # ---- Hot-term detection: per-batch partial df pre-agg, then a small
     # groupby(term) over the partials (SURVEY.md §2.5 G3 / §4.3).
     frags = ray.data.read_parquet(frag_dir)
@@ -530,6 +546,9 @@ def build_index(
     else:
         hot_terms = np.empty(0, dtype=object)
 
+    _stage("hot_term_detect", t0, hot_terms=int(hot_terms.size))
+
+    t0 = time.monotonic()
     # ---- The wide shuffle: groupby(gkey) → merge/compress/commit
     hot_ref = ray.put(hot_terms)
     losers_ref = ray.put(losers)
@@ -549,6 +568,15 @@ def build_index(
         )
     )
     merge_stats = stats_ds.to_pandas()  # tiny: one row per gkey
+    _stage(
+        "merge_shuffle", t0,
+        groups=int(len(merge_stats)),
+        rows_in=int(merge_stats["rows_in"].sum()) if len(merge_stats) else 0,
+        terms_out=int(merge_stats["n_terms"].sum()) if len(merge_stats) else 0,
+        bytes_out=int(merge_stats["bytes_out"].sum()) if len(merge_stats) else 0,
+    )
+
+    t0 = time.monotonic()
 
     # ---- Final hot merge (only if salted partials exist)
     partial_dir = os.path.join(index_dir, "partial")
@@ -568,7 +596,10 @@ def build_index(
             "wall_s": round(time.monotonic() - t0h, 4),
         })
 
+    _stage("hot_merge", t0)
+
     stats = {
+        "stages": stage_metrics,
         "n_docs": int(n_docs),
         "total_len": int(total_len),
         "avgdl": float(avgdl),
