@@ -43,9 +43,13 @@ def q_token_count(sf_dir: str) -> pa.Table:
 
     def counts(batch: pd.DataFrame) -> pd.DataFrame:
         text = batch["text"]
+        # `lang` kept as a (string) column: useful output, and it keeps
+        # this table out of the all-fixed-width shape vulnerable to the
+        # Ray row re-pairing hazard (ROADMAP.md §6b)
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].astype("int64"),
+                "lang": batch["lang"],
                 "n_ws_tokens": text.str.findall(_WS_RE).str.len().astype("int64"),
                 "n_alnum_tokens": text.str.lower().str.findall(_TOKEN_RE).str.len().astype("int64"),
             }
@@ -74,6 +78,7 @@ def q_quality_score(sf_dir: str) -> pa.Table:
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].astype("int64"),
+                "lang": batch["lang"],
                 "n_tokens": n.astype("int64"),
                 "n_stop": n_stop.astype("int64"),
                 "total_token_len": total_len.astype("int64"),
@@ -145,11 +150,18 @@ def q_doc_fingerprint(sf_dir: str) -> pa.Table:
     SQL-expressible → rows-only check; invariants tested in pytest)."""
 
     def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
         toks = batch["text"].str.lower().str.findall(_TOKEN_RE)
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].astype("int64"),
                 "fingerprint": toks.map(rolling_fingerprint).astype("uint64"),
+                # provenance ties each fingerprint to its content AND
+                # avoids the two-fixed-width-column hazard (ROADMAP §6b)
+                "content_sha8": batch["text"].map(
+                    lambda t: hashlib.sha256(t.encode()).hexdigest()[:8]
+                ),
             }
         )
 
@@ -165,16 +177,16 @@ def _in_list_sql(words: tuple[str, ...]) -> str:
 
 ORACLE_SQL = {
     "token_count": """
-        SELECT doc_id,
+        SELECT doc_id, lang,
                len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_ws_tokens,
                len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_alnum_tokens
         FROM documents
     """,
     "quality_score": f"""
         WITH t AS (
-          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+          SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
         )
-        SELECT doc_id,
+        SELECT doc_id, lang,
                len(toks)::BIGINT AS n_tokens,
                len(list_filter(toks, x -> x IN ({_in_list_sql(EN_STOP)})))::BIGINT AS n_stop,
                coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS total_token_len
