@@ -68,6 +68,9 @@ def q_sessionize(sf_dir: str) -> pa.Table:
         out = out.reset_index()
         out.insert(0, "user_id", g["user_id"].iloc[0])
         out["n_events"] = out["n_events"].astype("int64")
+        # composite string key: natural session identifier, and keeps
+        # the output out of the all-fixed-width layout (ROADMAP.md §6b)
+        out["session_key"] = out["user_id"].astype(str) + ":" + out["session_id"].astype(str)
         return out
 
     out = (
@@ -101,7 +104,8 @@ ORACLE_SQL = {
           FROM e
         )
         SELECT user_id, session_id::BIGINT AS session_id, count(*)::BIGINT AS n_events,
-               min(ts) AS session_start, max(ts) AS session_end
+               min(ts) AS session_start, max(ts) AS session_end,
+               user_id::VARCHAR || ':' || session_id::VARCHAR AS session_key
         FROM s GROUP BY user_id, session_id
     """,
 }
