@@ -265,6 +265,108 @@ def q_embedding_near_dup(sf_dir: str) -> pa.Table:
     )
 
 
+class IvfCosine:
+    """IVF (inverted-file) ANN stage: vectors are bucketed by nearest
+    centroid at 'index time'; queries probe only the ``nprobe`` nearest
+    centroid buckets. Centroids come from a seeded mini k-means run —
+    at 10^12 scale that training runs on a seeded sample and the
+    assignment/probe stages shuffle by centroid id."""
+
+    def __init__(self, q_ref, cent_ref, k: int, nprobe: int):
+        self.qids, Q = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+        self.C = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+        self.Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        Cn = self.C / np.linalg.norm(self.C, axis=1, keepdims=True)
+        self.Cn = Cn
+        # per-query probe set: nprobe nearest centroids
+        sims = self.Qn @ Cn.T
+        self.probe = np.argsort(-sims, axis=1)[:, :nprobe]
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        X = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        assign = np.argmax(Xn @ self.Cn.T, axis=1)  # IVF bucket per vector
+        out_q, out_v, out_c = [], [], []
+        for qi, qid in enumerate(self.qids):
+            cand = np.flatnonzero(np.isin(assign, self.probe[qi]) & (vids != qid))
+            if cand.size == 0:
+                continue
+            c = Xn[cand] @ self.Qn[qi]
+            take = cand[np.argsort(-c, kind="stable")[: self.k]]
+            out_q.append(np.full(take.size, qid, dtype=np.int64))
+            out_v.append(vids[take].astype(np.int64))
+            out_c.append(Xn[take] @ self.Qn[qi])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], type=pa.int64()),
+                 "vec_id": pa.array([], type=pa.int64()),
+                 "cos": pa.array([], type=pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "cos": pa.array(np.concatenate(out_c), type=pa.float64()),
+            }
+        )
+
+
+def train_centroids(sf_dir: str, n_centroids: int = 8, iters: int = 4, seed: int = 42) -> np.ndarray:
+    """Seeded mini k-means on the (sampled) embedding table. Driver-side
+    at test scale; a seeded ds.random_sample feeds it at cluster scale."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+    X = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    C = Xn[rng.choice(len(Xn), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(Xn @ (C / np.linalg.norm(C, axis=1, keepdims=True)).T, axis=1)
+        for j in range(n_centroids):
+            members = Xn[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def q_knn_cosine_ivf(sf_dir: str, n_centroids: int = 8, nprobe: int = 3) -> pa.Table:
+    """IVF-bucketed approximate cosine top-10 (rows-only check; pytest
+    asserts recall vs the exact baseline)."""
+    qmat = _query_matrix(sf_dir)
+    C = train_centroids(sf_dir, n_centroids=n_centroids)
+    q_ref = ray.put(qmat)
+    c_ref = ray.put(C)
+    partials = (
+        _read_embeddings(sf_dir)
+        .map_batches(
+            IvfCosine,
+            fn_constructor_args=(q_ref, c_ref, KNN_K, nprobe),
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=2,
+        )
+        .to_pandas()
+    )
+    out_rows = []
+    for qid, g in partials.groupby("query_id"):
+        cos6 = np.round(g["cos"].to_numpy(), 6)
+        vids = g["vec_id"].to_numpy()
+        order = np.lexsort((vids, -cos6))[:KNN_K]
+        for r, i in enumerate(order):
+            out_rows.append((int(qid), r, int(vids[i]), float(cos6[i])))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in out_rows], type=pa.int64()),
+            "rank": pa.array([r[1] for r in out_rows], type=pa.int64()),
+            "vec_id": pa.array([r[2] for r in out_rows], type=pa.int64()),
+            "cos": pa.array([r[3] for r in out_rows], type=pa.float64()),
+        }
+    )
+
+
 ORACLE_SQL = {
     "embedding_near_dup": f"""
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -300,5 +402,6 @@ ORACLE_SQL = {
 QUERIES = {
     "knn_cosine": q_knn_cosine,
     "knn_cosine_lsh": q_knn_cosine_lsh,
+    "knn_cosine_ivf": q_knn_cosine_ivf,
     "embedding_near_dup": q_embedding_near_dup,
 }

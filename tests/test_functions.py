@@ -110,3 +110,19 @@ def test_windowed_agg_totals():
     w = q_windowed_agg(SF).to_pandas()
     n_events = ray.data.read_parquet(f"{SF}/events.parquet").count()
     assert w["n"].sum() == n_events
+
+
+def test_knn_ivf_recall():
+    from docinsight_ray.functions.knn import q_knn_cosine, q_knn_cosine_ivf
+
+    exact = q_knn_cosine(SF).to_pandas()
+    approx = q_knn_cosine_ivf(SF).to_pandas()
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        a = set(approx[approx.query_id == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5, f"IVF recall too low: {recalls}"
+    # deterministic (seeded centroids)
+    b = q_knn_cosine_ivf(SF).to_pandas()
+    assert approx.equals(b)
