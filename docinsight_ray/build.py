@@ -473,6 +473,26 @@ def build_index(
     _stage("tokenize_docs", t0,
            fragment_files=len(os.listdir(frag_dir)) if os.path.isdir(frag_dir) else 0,
            skipped="docs" in done)
+    if not (os.path.isdir(docs_dir) and os.listdir(docs_dir)):
+        # empty corpus (e.g. a fully-deduplicated incremental window):
+        # commit an empty-but-valid index so readers see a consistent layout
+        os.makedirs(docs_dir, exist_ok=True)
+        pq.write_table(DOCS_SCHEMA.empty_table(), os.path.join(docs_dir, "empty.parquet"))
+        os.makedirs(os.path.join(index_dir, "parts"), exist_ok=True)
+        stats = {
+            "stages": stage_metrics, "n_docs": 0, "total_len": 0, "avgdl": 1.0,
+            "build_avgdl": 1.0, "n_dup_losers": 0, "hot_terms": [],
+            "hot_df_threshold": 0, "k1": cfg.k1, "b": cfg.b,
+            "tokenizer": cfg.tokenizer, "config_hash": cfg.config_hash(),
+            "fingerprint": fingerprint, "merge_groups": 0,
+        }
+        atomic_write_bytes(os.path.join(index_dir, "corpus_stats.json"),
+                           json.dumps(stats, sort_keys=True, indent=1).encode())
+        write_manifest(man_dir, "_SUCCESS", {
+            "part_id": "_SUCCESS", "stage": "build", "status": "committed",
+            "fingerprint": fingerprint, "config_hash": cfg.config_hash(),
+        })
+        return BuildResult(index_dir, 0, 0, 1.0, 0, [], stats)
     docs_ds = ray.data.read_parquet(docs_dir)
 
     t0 = time.monotonic()

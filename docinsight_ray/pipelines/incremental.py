@@ -1,0 +1,136 @@
+"""Windowed incremental indexing — append-only corpora.
+
+The streaming-shaped build path (brief: "a streaming window" custom
+operator): an append-only corpus arrives as time/ingest windows; each
+window becomes an independent, resumable sub-index
+(``index_root/window=<id>``), and every append re-distributes the
+corpus-wide statistics (n_docs, avgdl, global df) to all windows so
+BM25 scores stay globally correct. Querying fans out over windows and
+exact-merges top-k — identical machinery to doc-sharded serving
+(``sharded.py``), because a window IS a doc-partition keyed by arrival
+time instead of hash.
+
+Contract (tested in tests/test_incremental.py): after appending
+windows W1..Wn, results are rank-identical to a single build over the
+concatenated corpus. This replaces the reference's incremental
+``add_vectors`` path (/root/reference/index/index_manager.py:124-201)
+with window-granular appends that keep the per-partition
+checkpoint/lineage story — no in-place index mutation, ever (the
+reference itself can only rebuild to remove,
+/root/reference/index/faiss_index.py:243-266).
+
+Caveat (documented, matching sharded.py): exact dedup across windows
+requires a global (sha → winner) pre-pass; with dedup enabled, a
+duplicate arriving in a LATER window than its original is dropped via
+the cross-window loser filter below.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..build import build_index
+from ..config import EngineConfig
+from ..scorer import BM25Scorer
+from .sharded import distribute_global_stats
+
+
+def _window_dirs(index_root: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(index_root, "window=*")))
+
+
+def append_window(
+    corpus_window: "ray.data.Dataset",
+    index_root: str,
+    window_id: str,
+    cfg: EngineConfig | None = None,
+) -> list[str]:
+    """Index one corpus window and refresh global stats across all
+    windows. Returns the current window dir list."""
+    cfg = cfg or EngineConfig()
+
+    if cfg.dedup:
+        # cross-window exact dedup: drop rows whose content_sha256
+        # already exists in an earlier window's docs registry
+        seen: set[str] = set()
+        for d in _window_dirs(index_root):
+            import pyarrow.parquet as pq
+
+            docs = pq.ParquetDataset(os.path.join(d, "docs")).read(columns=["content_sha256"])
+            seen.update(docs["content_sha256"].to_pylist())
+        if seen:
+            seen_ref = ray.put(pa.array(sorted(seen), type=pa.string()))
+
+            def drop_seen(batch: pa.Table, _r=seen_ref) -> pa.Table:
+                from ..ids import sha256_hex
+
+                sha = pa.array(sha256_hex(batch["content"].to_pylist()), type=pa.string())
+                keep = pa.compute.invert(pa.compute.is_in(sha, value_set=ray.get(_r)))
+                return batch.filter(keep)
+
+            corpus_window = corpus_window.map_batches(
+                drop_seen, batch_format="pyarrow", zero_copy_batch=True
+            )
+
+    d = os.path.join(index_root, f"window={window_id}")
+    build_index(corpus_window, d, cfg, fingerprint=f"window:{window_id}")
+    dirs = _window_dirs(index_root)
+    distribute_global_stats(dirs)
+    return dirs
+
+
+def query_windows(
+    queries: "ray.data.Dataset",
+    index_root: str,
+    cfg: EngineConfig | None = None,
+    mode: str = "taat",
+    concurrency_per_window: int = 1,
+) -> "ray.data.Dataset":
+    """Fan queries over all window sub-indexes; exact top-k merge
+    (same shape as sharded.query_sharded)."""
+    cfg = cfg or EngineConfig()
+    dirs = [
+        d for d in _window_dirs(index_root)
+        # skip empty windows (e.g. fully-deduplicated appends)
+        if json.load(open(os.path.join(d, "corpus_stats.json"))).get(
+            "shard_n_docs", json.load(open(os.path.join(d, "corpus_stats.json")))["n_docs"]
+        ) > 0
+    ]
+    if not dirs:
+        raise FileNotFoundError(f"no non-empty window=* sub-indexes under {index_root}")
+    results = [
+        queries.map_batches(
+            BM25Scorer,
+            fn_constructor_args=(d, cfg, mode),
+            batch_format="pyarrow",
+            batch_size=cfg.query_batch_size,
+            concurrency=concurrency_per_window,
+            num_cpus=1,
+        )
+        for d in dirs
+    ]
+    union = results[0].union(*results[1:]) if len(results) > 1 else results[0]
+
+    def merge_topk(g: pa.Table) -> pa.Table:
+        docs = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        scores = g["score"].to_numpy(zero_copy_only=False)
+        k = int(pa.compute.max(g["rank"]).as_py()) + 1
+        order = np.lexsort((docs, -scores))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(g["query_id"][0].as_py(), order.size), type=pa.int64()),
+                "rank": pa.array(np.arange(order.size, dtype=np.uint32), type=pa.uint32()),
+                "doc_id": pa.array(docs[order], type=pa.uint64()),
+                "score": pa.array(scores[order], type=pa.float64()),
+            }
+        )
+
+    merge_topk.__name__ = "merge_topk"
+    return union.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")

@@ -113,40 +113,7 @@ def build_sharded_index(
         build_index(sub, d, shard_cfg, fingerprint=f"{fingerprint}:shard{s}/{n_shards}")
         shard_dirs.append(d)
 
-    # overwrite per-shard stats with GLOBAL stats (idf/avgdl must be
-    # corpus-wide for rank identity with the unsharded engine)
-    stats = [json.load(open(os.path.join(d, "corpus_stats.json"))) for d in shard_dirs]
-    g_docs = sum(s["n_docs"] for s in stats)
-    g_len = sum(s["total_len"] for s in stats)
-    for d, s in zip(shard_dirs, stats):
-        s.update({
-            "shard_n_docs": s["n_docs"], "shard_total_len": s["total_len"],
-            "n_docs": g_docs, "total_len": g_len,
-            "avgdl": g_len / g_docs if g_docs else 1.0,
-        })
-        atomic_write_bytes(os.path.join(d, "corpus_stats.json"),
-                           json.dumps(s, sort_keys=True, indent=1).encode())
-
-    # global document frequencies: idf must use corpus-wide df, not the
-    # shard-local one. Aggregate (term, df) across shards — a tiny
-    # narrow-column pass — and drop global_df.parquet into every shard
-    # (the distributed-term-stats broadcast every sharded engine does).
-    import glob as _glob
-
-    import pyarrow.parquet as pq
-
-    dfs: dict[str, int] = {}
-    for d in shard_dirs:
-        for f in _glob.glob(os.path.join(d, "parts", "**", "*.parquet"), recursive=True):
-            t = pq.read_table(f, columns=["term", "df"])
-            for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
-                dfs[term] = dfs.get(term, 0) + int(df)
-    gdf = pa.table(
-        {"term": pa.array(list(dfs.keys()), type=pa.string()),
-         "df": pa.array(list(dfs.values()), type=pa.uint64())}
-    )
-    for d in shard_dirs:
-        pq.write_table(gdf, os.path.join(d, "global_df.parquet"))
+    distribute_global_stats(shard_dirs)
     return shard_dirs
 
 
@@ -193,3 +160,41 @@ def query_sharded(
 
     merge_topk.__name__ = "merge_topk"
     return union.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")
+
+
+def distribute_global_stats(sub_dirs: list[str]) -> None:
+    """Make a set of sub-indexes (doc shards or time windows) score with
+    corpus-WIDE statistics: overwrite each sub-index's n_docs/total_len/
+    avgdl with the global values (preserving build_avgdl for block-max
+    validity checks) and drop an aggregated global_df.parquet into each
+    (the distributed-term-stats broadcast every partitioned engine does).
+    Narrow columns only — posting payloads never move."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    stats = [json.load(open(os.path.join(d, "corpus_stats.json"))) for d in sub_dirs]
+    g_docs = sum(s.get("shard_n_docs", s["n_docs"]) for s in stats)
+    g_len = sum(s.get("shard_total_len", s["total_len"]) for s in stats)
+    for d, s in zip(sub_dirs, stats):
+        s.update({
+            "shard_n_docs": s.get("shard_n_docs", s["n_docs"]),
+            "shard_total_len": s.get("shard_total_len", s["total_len"]),
+            "n_docs": g_docs, "total_len": g_len,
+            "avgdl": g_len / g_docs if g_docs else 1.0,
+        })
+        atomic_write_bytes(os.path.join(d, "corpus_stats.json"),
+                           json.dumps(s, sort_keys=True, indent=1).encode())
+
+    dfs: dict[str, int] = {}
+    for d in sub_dirs:
+        for f in _glob.glob(os.path.join(d, "parts", "**", "*.parquet"), recursive=True):
+            t = pq.read_table(f, columns=["term", "df"])
+            for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+                dfs[term] = dfs.get(term, 0) + int(df)
+    gdf = pa.table(
+        {"term": pa.array(list(dfs.keys()), type=pa.string()),
+         "df": pa.array(list(dfs.values()), type=pa.uint64())}
+    )
+    for d in sub_dirs:
+        pq.write_table(gdf, os.path.join(d, "global_df.parquet"))

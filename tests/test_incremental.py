@@ -1,0 +1,59 @@
+"""Windowed incremental indexing: appends are rank-identical to a
+single build over the concatenated corpus."""
+
+import numpy as np
+import pytest
+
+from docinsight_ray.config import EngineConfig
+from docinsight_ray.fixtures import gen_corpus, gen_queries, queries_table
+from docinsight_ray.oracle import OracleIndex
+from docinsight_ray.pipelines.incremental import append_window, query_windows
+
+CFG = EngineConfig(num_buckets=8, dedup=True)
+
+
+def test_incremental_equals_full_build(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    corpus = gen_corpus(360, seed=13)
+    n = corpus.num_rows
+    windows = [corpus.slice(0, n // 3), corpus.slice(n // 3, n // 3), corpus.slice(2 * (n // 3))]
+    root = str(tmp_path / "inc")
+    for i, w in enumerate(windows):
+        dirs = append_window(ray.data.from_arrow(w), root, f"{i:03d}", CFG)
+        assert len(dirs) == i + 1
+
+    oracle = OracleIndex(corpus, CFG)  # dedup applied over the full corpus
+    queries = gen_queries(corpus, n_keyword=10, seed=13)
+    qds = ray.data.from_arrow(queries_table(queries))
+    out = query_windows(qds, root, CFG, mode="taat").to_pandas()
+    for qid, text, k in queries:
+        od, osc = oracle.score(text, k)
+        sub = out[out.query_id == qid].sort_values("rank")
+        np.testing.assert_array_equal(
+            sub.doc_id.to_numpy(dtype=np.uint64), od, err_msg=f"windowed doc mismatch q{qid}"
+        )
+        np.testing.assert_array_equal(sub.score.to_numpy(), osc, err_msg=f"windowed score mismatch q{qid}")
+
+
+def test_cross_window_dedup(ray_session, tmp_path):
+    """A duplicate arriving in a later window is dropped."""
+    import ray.data
+
+    corpus = gen_corpus(120, seed=17, with_cases=False)
+    root = str(tmp_path / "dd")
+    append_window(ray.data.from_arrow(corpus.slice(0, 60)), root, "000", CFG)
+    # window 2 repeats window 1's rows (same content, different keys)
+    import pyarrow as pa
+
+    w2 = corpus.slice(0, 60).set_column(
+        0, "repo", pa.array(["later/" + r for r in corpus.slice(0, 60)["repo"].to_pylist()])
+    )
+    append_window(ray.data.from_arrow(w2), root, "001", CFG)
+    import json
+    import os
+
+    s1 = json.load(open(os.path.join(root, "window=001", "corpus_stats.json")))
+    assert s1["shard_n_docs"] == 0, "all window-2 rows were duplicates and must be dropped"
+    assert s1["n_docs"] == 60  # global count unchanged
