@@ -608,6 +608,11 @@ def build_index(
             .groupby("term")
             .map_groups(MergeHotTerm(cfg, avgdl), batch_format="pyarrow")
         )
+        # a crash mid-write with the docs manifest committed resumes into
+        # this branch: clear any partial hot output first so the scorer's
+        # recursive parts/ glob never sees duplicated or truncated files
+        import shutil
+        shutil.rmtree(hot_part_dir, ignore_errors=True)
         os.makedirs(hot_part_dir, exist_ok=True)
         hot_final.write_parquet(hot_part_dir)
         write_manifest(man_dir, "hot", {

@@ -134,8 +134,12 @@ def cmd_validate(args) -> int:
             if d.size > 1 and not (d[1:] > d[:-1]).all():
                 problems.append("non-increasing doc_ids in a posting")
             total_tf += int(f.sum())
-    if total_tf != stats["total_len"]:
-        problems.append(f"Σtf {total_tf} != total_len {stats['total_len']}")
+    # sharded/windowed sub-indexes carry corpus-WIDE totals in total_len
+    # (distribute_global_stats) — validate against the sub-index's local
+    # total, preserved as shard_total_len
+    local_total = stats.get("shard_total_len", stats["total_len"])
+    if total_tf != local_total:
+        problems.append(f"Σtf {total_tf} != total_len {local_total}")
 
     if args.corpus:
         _init_ray(args.num_cpus)

@@ -72,6 +72,14 @@ def _shingle_rows(batch: pa.Table) -> pa.Table:
 def _emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
     ids = np.sort(group["doc_id"].to_numpy())
     if ids.size < 2 or ids.size > MAX_GROUP:
+        if ids.size > MAX_GROUP:
+            import warnings
+
+            warnings.warn(
+                f"dedup pair-emit: dropped a group of {ids.size} docs "
+                f"(> MAX_GROUP={MAX_GROUP})",
+                stacklevel=2,
+            )
         return pd.DataFrame({"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64")})
     a, b = np.triu_indices(ids.size, k=1)
     return pd.DataFrame({"a_id": ids[a].astype("int64"), "b_id": ids[b].astype("int64")})
@@ -93,13 +101,30 @@ def _emit_pairs_bucket(group: pd.DataFrame) -> pd.DataFrame:
     starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
     ends = np.r_[starts[1:], codes.size]
     a_out, b_out = [], []
+    n_dropped = 0
     for s, e in zip(starts, ends):
         n = e - s
-        if n < 2 or n > MAX_GROUP:
+        if n < 2:
+            continue
+        if n > MAX_GROUP:
+            n_dropped += 1
             continue
         a, b = np.triu_indices(n, k=1)
         a_out.append(ids[s + a])
         b_out.append(ids[s + b])
+    if n_dropped:
+        # the exact pipeline's contract requires no group above the cap;
+        # a corpus with a stop-shingle shared by >MAX_GROUP docs makes
+        # the output diverge from the no-cap oracle — never silently
+        import warnings
+
+        warnings.warn(
+            f"dedup pair-emit: dropped {n_dropped} shingle/band group(s) "
+            f"larger than MAX_GROUP={MAX_GROUP}; output is no longer the "
+            f"exact no-cap pair set (raise MAX_GROUP or treat these as "
+            f"stop-shingles deliberately)",
+            stacklevel=2,
+        )
     if not a_out:
         return pd.DataFrame({"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64")})
     return pd.DataFrame(

@@ -31,7 +31,6 @@ import glob
 import json
 import os
 
-import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
@@ -39,7 +38,7 @@ import ray.data
 from ..build import build_index
 from ..config import EngineConfig
 from ..scorer import BM25Scorer
-from .sharded import distribute_global_stats
+from .sharded import distribute_global_stats, merge_topk
 
 
 def _window_dirs(index_root: str) -> list[str]:
@@ -108,7 +107,7 @@ def query_windows(
     results = [
         queries.map_batches(
             BM25Scorer,
-            fn_constructor_args=(d, cfg, mode),
+            fn_constructor_args=(d, cfg, mode, True),  # emit_k: carry k to the merge
             batch_format="pyarrow",
             batch_size=cfg.query_batch_size,
             concurrency=concurrency_per_window,
@@ -117,20 +116,4 @@ def query_windows(
         for d in dirs
     ]
     union = results[0].union(*results[1:]) if len(results) > 1 else results[0]
-
-    def merge_topk(g: pa.Table) -> pa.Table:
-        docs = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        scores = g["score"].to_numpy(zero_copy_only=False)
-        k = int(pa.compute.max(g["rank"]).as_py()) + 1
-        order = np.lexsort((docs, -scores))[:k]
-        return pa.table(
-            {
-                "query_id": pa.array(np.repeat(g["query_id"][0].as_py(), order.size), type=pa.int64()),
-                "rank": pa.array(np.arange(order.size, dtype=np.uint32), type=pa.uint32()),
-                "doc_id": pa.array(docs[order], type=pa.uint64()),
-                "score": pa.array(scores[order], type=pa.float64()),
-            }
-        )
-
-    merge_topk.__name__ = "merge_topk"
     return union.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")

@@ -134,7 +134,7 @@ def query_sharded(
         shard_results.append(
             queries.map_batches(
                 BM25Scorer,
-                fn_constructor_args=(d, cfg, mode),
+                fn_constructor_args=(d, cfg, mode, True),  # emit_k: carry k to the merge
                 batch_format="pyarrow",
                 batch_size=cfg.query_batch_size,
                 concurrency=concurrency_per_shard,
@@ -142,24 +142,27 @@ def query_sharded(
             )
         )
     union = shard_results[0].union(*shard_results[1:]) if len(shard_results) > 1 else shard_results[0]
-
-    # k per query travels with the query set; re-derive from rank counts
-    def merge_topk(g: pa.Table) -> pa.Table:
-        docs = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        scores = g["score"].to_numpy(zero_copy_only=False)
-        k = int(pa.compute.max(g["rank"]).as_py()) + 1
-        order = np.lexsort((docs, -scores))[:k]
-        return pa.table(
-            {
-                "query_id": pa.array(np.repeat(g["query_id"][0].as_py(), order.size), type=pa.int64()),
-                "rank": pa.array(np.arange(order.size, dtype=np.uint32), type=pa.uint32()),
-                "doc_id": pa.array(docs[order], type=pa.uint64()),
-                "score": pa.array(scores[order], type=pa.float64()),
-            }
-        )
-
-    merge_topk.__name__ = "merge_topk"
     return union.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")
+
+
+def merge_topk(g: pa.Table) -> pa.Table:
+    """Exact global top-k over one query's per-sub-index candidates.
+
+    The requested k travels WITH each result row (scorer ``emit_k``):
+    inferring it as max(rank)+1 truncates the merge when every
+    sub-index returned fewer than k rows but their union has more."""
+    docs = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    scores = g["score"].to_numpy(zero_copy_only=False)
+    k = int(g["k"][0].as_py())
+    order = np.lexsort((docs, -scores))[:k]
+    return pa.table(
+        {
+            "query_id": pa.array(np.repeat(g["query_id"][0].as_py(), order.size), type=pa.int64()),
+            "rank": pa.array(np.arange(order.size, dtype=np.uint32), type=pa.uint32()),
+            "doc_id": pa.array(docs[order], type=pa.uint64()),
+            "score": pa.array(scores[order], type=pa.float64()),
+        }
+    )
 
 
 def distribute_global_stats(sub_dirs: list[str]) -> None:

@@ -130,9 +130,20 @@ class _TermPostings:
 
 
 class BM25Scorer:
-    def __init__(self, index_dir: str, cfg: EngineConfig | None = None, mode: str = "taat"):
+    def __init__(
+        self,
+        index_dir: str,
+        cfg: EngineConfig | None = None,
+        mode: str = "taat",
+        emit_k: bool = False,
+    ):
         self.cfg = cfg or EngineConfig()
         self.mode = mode
+        # emit_k: append the requested k as a per-row column so a
+        # downstream sharded/windowed top-k merge knows the TRUE k even
+        # when this sub-index returned fewer than k rows (inferring k
+        # from max(rank)+1 under-merges in that case).
+        self.emit_k = emit_k
         with open(os.path.join(index_dir, "corpus_stats.json")) as f:
             stats = json.load(f)
         self.n_docs = int(stats["n_docs"])
@@ -415,7 +426,7 @@ class BM25Scorer:
             "bmw": self.score_bmw,
             "maxscore": self.score_maxscore,
         }.get(self.mode, self.score_taat)
-        qids, ranks, docs, scores = [], [], [], []
+        qids, ranks, docs, scores, out_ks = [], [], [], [], []
         ks = batch["k"].to_pylist() if "k" in batch.column_names else [10] * batch.num_rows
         for qid, text, k in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist(), ks):
             d, s = score(text, int(k))
@@ -423,9 +434,13 @@ class BM25Scorer:
             ranks.append(np.arange(d.size, dtype=np.uint32))
             docs.append(d)
             scores.append(s)
+            out_ks.append(np.full(d.size, int(k), dtype=np.uint32))
         if not qids:
-            return RESULTS_SCHEMA.empty_table()
-        return pa.table(
+            empty = RESULTS_SCHEMA.empty_table()
+            if self.emit_k:
+                empty = empty.append_column("k", pa.array([], type=pa.uint32()))
+            return empty
+        out = pa.table(
             {
                 "query_id": pa.array(np.concatenate(qids), type=pa.int64()),
                 "rank": pa.array(np.concatenate(ranks), type=pa.uint32()),
@@ -433,6 +448,9 @@ class BM25Scorer:
                 "score": pa.array(np.concatenate(scores), type=pa.float64()),
             }
         )
+        if self.emit_k:
+            out = out.append_column("k", pa.array(np.concatenate(out_ks), type=pa.uint32()))
+        return out
 
 
 def query_index(

@@ -70,6 +70,41 @@ def test_sharded_bmw_rank_identity(sharded):
         np.testing.assert_array_equal(sub.score.to_numpy(), osc)
 
 
+def test_merge_k_not_truncated(sharded):
+    """Regression (ADVICE r1): when EVERY shard returns fewer than k
+    rows but the union has more candidates, the merge must still return
+    min(k, total_matches) rows — k travels with the result rows (scorer
+    emit_k), it is never inferred from per-shard rank counts."""
+    import ray.data
+
+    import pyarrow as pa
+
+    corpus, idx = sharded
+    oracle = OracleIndex(corpus, CFG)
+    # a term matching enough docs that no single shard holds k of them,
+    # but the union exceeds what any one shard returns
+    term, df = max(
+        ((t, len(p)) for t, p in oracle.postings.items() if 6 <= len(p) <= 30),
+        key=lambda x: x[1],
+    )
+    k = df + 20  # k exceeds every shard's match count AND the union's
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([0], type=pa.int64()),
+                "text": pa.array([term], type=pa.string()),
+                "k": pa.array([k], type=pa.uint32()),
+            }
+        )
+    )
+    out = query_sharded(qds, idx, N_SHARDS, CFG, mode="taat").to_pandas().sort_values("rank")
+    od, osc = oracle.score(term, k)
+    assert od.size == df  # sanity: oracle returns every match
+    assert len(out) == df, f"merge truncated: {len(out)} rows, expected {df}"
+    np.testing.assert_array_equal(out.doc_id.to_numpy(dtype=np.uint64), od)
+    np.testing.assert_array_equal(out.score.to_numpy(), osc)
+
+
 def test_sharded_global_dedup(ray_session, tmp_path):
     """Duplicates whose copies land in DIFFERENT shards are still
     deduped (global pre-shard sha pass), matching the single-index
