@@ -52,9 +52,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docinsight_ray.functions.chunking import QUERIES as CHUNK_Q
     from docinsight_ray.pipelines.relational import QUERIES as REL_Q
 
+    from docinsight_ray.pipelines.conformance import q_reference_topk
+
     out: dict[str, Callable[[str], Any]] = {}
     for d in (DOC_Q, TEXT_Q, DEDUP_Q, KNN_Q, WIN_Q, MM_Q, CHUNK_Q, REL_Q):
         out.update(d)
+    # the reference query set on the REAL reference corpus (ignores
+    # sf_dir; no SQL oracle — rank-identity + plagiarism conformance
+    # asserted by tests/test_reference_corpus.py and CONFORMANCE.json)
+    out["reference_topk"] = q_reference_topk
     return out
 
 
