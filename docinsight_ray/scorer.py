@@ -17,10 +17,12 @@ bitwise scores) by tests:
 - ``maxscore`` — vectorized MaxScore dynamic pruning: high-UB (rare)
   lists generate candidates, low-UB (hot) lists are only probed — the
   default serving mode (~2x TAAT at Zipfian skew, more at scale).
-- ``bmw`` — block-max WAND document-at-a-time with skip pointers and
-  per-block upper bounds (the classic 10^12-scale skipping algorithm,
-  kept as the per-posting-block pruning demonstration; its Python
-  cursor loop makes it the slowest mode at this index size).
+- ``bmw`` — vectorized block-max pruning (WAND family): stored
+  per-block upper bounds + block-last-doc skip metadata drive both
+  candidate-block selection and a per-candidate shallow check, and
+  pruned blocks are never DECODED — the 10^12-scale skipping path,
+  expressed as numpy batch ops over whole blocks instead of a
+  per-document cursor loop.
 
 Scale note: a single actor here holds the whole (test-sized) index.
 On a real cluster each actor would load an assigned subset of term
@@ -32,7 +34,6 @@ per-shard candidates — SURVEY.md §2.6 T1.
 from __future__ import annotations
 
 import glob
-import heapq
 import json
 import os
 
@@ -70,6 +71,11 @@ class _TermPostings:
         i = scorer._terms[term]
         self._scorer = scorer
         self._i = i
+        self.term = term
+        # cumulative blocks touched by probes; once it crosses
+        # n_blocks the per-block lazy path has cost as much as one
+        # full decode, so ensure_full() promotes (see probe())
+        self._probed = 0
         self.bs = scorer.cfg.block_size
         self.df = int(scorer._df[i])
         self.blast = np.asarray(scorer._blast[i], dtype=np.uint64)
@@ -111,22 +117,21 @@ class _TermPostings:
         self._blocks[bi] = blk
         return blk
 
-    def doc_at(self, pos: int) -> int:
-        bi, wi = divmod(pos, self.bs)
-        return int(self.block(bi)[0][wi])
+    def block_of(self, doc_ids: np.ndarray) -> np.ndarray:
+        """Index of the block that would contain each doc_id (n_blocks
+        when the doc is past this list's last posting). Metadata only —
+        never decodes."""
+        return np.searchsorted(self.blast, doc_ids, side="left")
 
-    def contrib_at(self, pos: int) -> float:
-        bi, wi = divmod(pos, self.bs)
-        return float(self.block(bi)[1][wi])
-
-    def seek(self, d: int) -> int:
-        """First posting position with doc_id >= d (df if exhausted) —
-        decodes only the one block the skip pointer lands in."""
-        bi = int(np.searchsorted(self.blast, np.uint64(d), side="left"))
-        if bi >= self.n_blocks:
-            return self.df
-        docs = self.block(bi)[0]
-        return bi * self.bs + int(np.searchsorted(docs, np.uint64(d)))
+    def ensure_full(self) -> tuple[np.ndarray, np.ndarray]:
+        """Decode the whole list in ONE vectorized pass (scorer LRU —
+        shared with MaxScore/TAAT, so hot lists decode once per actor,
+        not once per mode). Contributions are bitwise-equal to the
+        per-block path, so mixing the two keeps exactness."""
+        if self._full is None:
+            d, c, _ub, _bl = self._scorer._term_arrays(self.term)
+            self._full = (d, c)
+        return self._full
 
 
 class BM25Scorer:
@@ -314,110 +319,136 @@ class BM25Scorer:
         return tp
 
     def score_bmw(self, text: str, k: int) -> tuple[np.ndarray, np.ndarray]:
-        """Block-max WAND over block-addressable cursors: the shallow
-        check and skip targets use only the stored block metadata, so a
-        pruned block's postings are never DECODED (the lazy path; see
-        _TermPostings)."""
+        """Vectorized block-max pruning (WAND family, block-max
+        MaxScore formulation). Exact top-k; rank- AND bitwise-score-
+        identical to TAAT/oracle.
+
+        Candidate generation opens lists in upper-bound order (rare,
+        high-idf lists first) — but at BLOCK granularity: a generator
+        block whose stored block-max plus every other list's global UB
+        cannot reach θ is skipped without decoding (the shallow check).
+        Each surviving candidate is bound-checked against the sum of
+        the stored block maxima of the blocks that would contain it
+        (metadata only); only survivors trigger per-block lazy decodes,
+        and only of the exact blocks containing them. Accumulation is
+        in sorted-term order over per-block contribution vectors that
+        are bitwise-equal to the full-decode path, so scores match TAAT
+        exactly; pruning uses strict `<` everywhere, so θ-ties (which
+        the (score desc, doc_id asc) tie-break may need) are never
+        dropped.
+
+        This replaces the round-1 per-document Python DAAT cursor loop
+        (25-60x slower than MaxScore at Zipf skew): every step here —
+        block selection, candidate membership, bounds, probes — is a
+        numpy/searchsorted batch over whole blocks, which is the
+        idiomatic way to express WAND-style skipping over a columnar
+        block-max index. Pruned blocks are never decoded (asserted by
+        test_bmw_lazy_block_decode)."""
         terms = self.query_terms(text)
         if not terms:
             return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
         k = int(k)
+        tps = {t: self._term_postings(t) for t in terms}
+        ubs = {t: tps[t].ub for t in terms}
+        by_ub = sorted(terms, key=lambda t: (-ubs[t], t))
+        # rem[i] = max possible score from lists i..m (suffix UB sums)
+        rem = np.cumsum([ubs[t] for t in by_ub][::-1])[::-1]
+        total_ub = float(rem[0])
 
-        def set_pos(l: dict, pos: int) -> None:
-            # cursor-local cache of the current block's arrays: doc/
-            # contrib accesses in the hot loop are plain array indexing
-            # (exact ints — float conversion of 64-bit doc_ids loses
-            # low bits)
-            tp = l["tp"]
-            l["pos"] = pos
-            if pos >= tp.df:
-                return
-            bi, wi = divmod(pos, tp.bs)
-            if bi != l["bi"]:
-                l["bdocs"], l["bcontrib"] = tp.block(bi)
-                l["bi"] = bi
-            l["wi"] = wi
-            l["cur"] = int(l["bdocs"][wi])
+        def probe(tp: _TermPostings, cands: np.ndarray) -> np.ndarray:
+            """Exact contributions for sorted candidate doc_ids —
+            decodes only the blocks that contain a candidate, until the
+            cumulative probed-block count says one full vectorized
+            decode would have been cheaper (then promotes)."""
+            contrib = np.zeros(cands.size, dtype=np.float64)
+            if tp.n_blocks == 0 or cands.size == 0:
+                return contrib
+            if tp._full is None:
+                bis = tp.block_of(cands)
+                valid = bis < tp.n_blocks
+                bis_u = np.unique(bis[valid])
+                tp._probed += int(bis_u.size)
+                if tp._probed < tp.n_blocks:
+                    for bi in bis_u:
+                        sel = np.flatnonzero(bis == bi)
+                        docs_b, con_b = tp.block(int(bi))
+                        pos = np.searchsorted(docs_b, cands[sel])
+                        pos_c = np.minimum(pos, docs_b.size - 1)
+                        hit = docs_b[pos_c] == cands[sel]
+                        contrib[sel[hit]] = con_b[pos_c[hit]]
+                    return contrib
+            docs_t, con_t = tp.ensure_full()
+            pos = np.searchsorted(docs_t, cands)
+            pos_c = np.minimum(pos, docs_t.size - 1)
+            hit = docs_t[pos_c] == cands
+            contrib[hit] = con_t[pos_c[hit]]
+            return contrib
 
-        lists = []
-        for order, t in enumerate(terms):
-            tp = self._term_postings(t)
-            if tp.df > 0:
-                l = {"order": order, "tp": tp, "bi": -1}
-                set_pos(l, 0)
-                lists.append(l)
-        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+        def score_full(cands: np.ndarray, theta: float) -> tuple[np.ndarray, np.ndarray]:
+            """Shallow-check then exactly score new candidates.
 
-        def theta() -> float:
-            return heap[0][0] if len(heap) >= k else -np.inf
+            The per-candidate bound sums each term's stored block-max
+            for the block containing the candidate, in the SAME
+            (alphabetical) order as the exact accumulation — float
+            addition is monotonic, so bound >= score holds bitwise and
+            strict `bound < theta` pruning can never drop a true
+            top-k member (including θ-ties)."""
+            if np.isfinite(theta):
+                bound = np.zeros(cands.size, dtype=np.float64)
+                for t in terms:
+                    tp = tps[t]
+                    if tp.n_blocks == 0:
+                        continue
+                    bis = tp.block_of(cands)
+                    valid = bis < tp.n_blocks
+                    bound[valid] += tp.block_ub[bis[valid]]
+                cands = cands[bound >= theta]
+            acc = np.zeros(cands.size, dtype=np.float64)
+            for t in terms:  # alphabetical — bitwise-identical to TAAT
+                acc += probe(tps[t], cands)
+            return cands, acc
 
-        def advance(l: dict, target: int) -> None:
-            set_pos(l, l["tp"].seek(target))
-
-        live = lists
-        while live:
-            live.sort(key=lambda l: l["cur"])
-            th = theta()
-            # pivot: first prefix whose Σ global-UB can beat θ
-            ub_sum, pivot_idx = 0.0, -1
-            for j, l in enumerate(live):
-                ub_sum += l["tp"].ub
-                if ub_sum > th:
-                    pivot_idx = j
-                    break
-            if pivot_idx < 0:
-                break  # nothing can beat θ → done
-            pivot_doc = live[pivot_idx]["cur"]
-            # extend pivot group to every list currently at pivot_doc
-            while pivot_idx + 1 < len(live) and live[pivot_idx + 1]["cur"] == pivot_doc:
-                pivot_idx += 1
-            if live[0]["cur"] == pivot_doc:
-                # shallow check from stored block metadata only — no decode
-                block_sum = 0.0
-                next_boundary: int | None = None
-                for l in live[: pivot_idx + 1]:
-                    tp = l["tp"]
-                    bi = int(np.searchsorted(tp.blast, np.uint64(pivot_doc), side="left"))
-                    block_sum += float(tp.block_ub[bi])
-                    blast_i = int(tp.blast[bi])
-                    next_boundary = blast_i if next_boundary is None else min(next_boundary, blast_i)
-                if block_sum <= th and len(heap) >= k:
-                    # the aligned block region can't beat θ → skip past it,
-                    # but never past the next list's current doc (docs in
-                    # between may score together with lists outside the
-                    # pivot group)
-                    skip_to = next_boundary + 1
-                    if pivot_idx + 1 < len(live):
-                        skip_to = min(skip_to, live[pivot_idx + 1]["cur"])
-                    for l in live[: pivot_idx + 1]:
-                        advance(l, skip_to)
-                else:
-                    # full evaluation — accumulate in term-sorted order
-                    group = sorted(live[: pivot_idx + 1], key=lambda l: l["order"])
-                    score = 0.0
-                    for l in group:
-                        score += float(l["bcontrib"][l["wi"]])
-                    # tie-break: among equal scores the LARGEST doc_id is
-                    # the worst (exact int comparison)
-                    if len(heap) < k:
-                        heapq.heappush(heap, (score, -pivot_doc))
-                    elif score > heap[0][0]:
-                        heapq.heapreplace(heap, (score, -pivot_doc))
-                    for l in live[: pivot_idx + 1]:
-                        set_pos(l, l["pos"] + 1)
+        seen = np.empty(0, dtype=np.uint64)
+        cands = np.empty(0, dtype=np.uint64)
+        scores = np.empty(0, dtype=np.float64)
+        theta = -np.inf
+        for i, t in enumerate(by_ub):
+            if cands.size >= k and rem[i] < theta:
+                break  # unopened lists cannot produce a new winner
+            tp = tps[t]
+            if tp.n_blocks == 0:
+                continue
+            # generator-block shallow check: a block whose block-max
+            # plus ALL other lists' UBs can't reach θ holds no winner.
+            # (1+1e-9) guards the float subtraction under-rounding the
+            # "other lists" sum — conservative, never unsafe.
+            if cands.size >= k and np.isfinite(theta):
+                others = (total_ub - ubs[t]) * (1.0 + 1e-9)
+                kept_blocks = np.flatnonzero(tp.block_ub + others >= theta)
             else:
-                # advance lists before the pivot up to pivot_doc (galloping)
-                for l in live[:pivot_idx]:
-                    if l["cur"] < pivot_doc:
-                        advance(l, pivot_doc)
-            live = [l for l in live if l["pos"] < l["tp"].df]
-
-        if not heap:
-            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
-        docs = np.array([-h[1] for h in heap], dtype=np.uint64)
-        scores = np.array([h[0] for h in heap], dtype=np.float64)
-        sel = topk_order(docs, scores, k)
-        return docs[sel], scores[sel]
+                kept_blocks = np.arange(tp.n_blocks)
+            if kept_blocks.size == 0:
+                continue
+            if kept_blocks.size == tp.n_blocks:
+                # no block pruned → whole-list vectorized decode
+                docs_t = tp.ensure_full()[0]
+            else:
+                docs_t = np.concatenate([tp.block(int(bi))[0] for bi in kept_blocks])
+            if seen.size:
+                pos = np.searchsorted(seen, docs_t)
+                pos_c = np.minimum(pos, seen.size - 1)
+                new = docs_t[seen[pos_c] != docs_t]
+            else:
+                new = docs_t
+            if new.size:
+                seen = np.union1d(seen, new)
+                nc, ns = score_full(new, theta)
+                cands = np.concatenate([cands, nc])
+                scores = np.concatenate([scores, ns])
+            if cands.size >= k:
+                theta = float(np.partition(scores, -k)[-k])
+        sel = topk_order(cands, scores, k)
+        return cands[sel], scores[sel]
 
     # ---- map_batches entry ---------------------------------------------
 
