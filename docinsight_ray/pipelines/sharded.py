@@ -105,13 +105,45 @@ def build_sharded_index(
             "shard", pa.array((ids % np.uint64(n_shards)).astype(np.int32), type=pa.int32())
         )
 
+    # ---- ONE pass over the corpus: hive-partitioned write by shard.
+    # (The round-1 layout filtered the full annotated corpus once per
+    # shard — S sequential re-reads. This is the materialized
+    # repartition every partitioned build does at scale: each shard
+    # then builds from its own partition directory only.)
+    import shutil
+
     sharded = corpus.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+    split_dir = os.path.join(index_dir, "shard_input")
+    split_done = os.path.join(split_dir, "_SPLIT_DONE")
+    split_tag = f"{fingerprint}:{n_shards}:{shard_cfg.config_hash()}"
+    prev_tag = open(split_done).read() if os.path.exists(split_done) else None
+    if prev_tag != split_tag:
+        shutil.rmtree(split_dir, ignore_errors=True)
+        os.makedirs(split_dir, exist_ok=True)
+        sharded.write_parquet(split_dir, partition_cols=["shard"])
+        with open(split_done, "w") as f:
+            f.write(split_tag)
+
     shard_dirs = []
+    empty_corpus = None
     for s in range(n_shards):
-        sub = sharded.filter(expr=f"shard == {s}").drop_columns(["shard"])
+        part = os.path.join(split_dir, f"shard={s}")
+        if os.path.isdir(part):
+            sub = ray.data.read_parquet(part)
+        else:  # hash-empty shard: commit an empty-but-valid sub-index
+            if empty_corpus is None:
+                import pyarrow.parquet as _pq
+                import glob as _glob
+
+                any_file = _glob.glob(os.path.join(split_dir, "**", "*.parquet"), recursive=True)[0]
+                empty_corpus = _pq.read_table(any_file).schema.empty_table()
+            sub = ray.data.from_arrow(empty_corpus)
         d = os.path.join(index_dir, f"shard={s}")
         build_index(sub, d, shard_cfg, fingerprint=f"{fingerprint}:shard{s}/{n_shards}")
         shard_dirs.append(d)
+
+    # the split copy has served its purpose once every shard committed
+    shutil.rmtree(split_dir, ignore_errors=True)
 
     distribute_global_stats(shard_dirs)
     return shard_dirs
@@ -171,10 +203,19 @@ def distribute_global_stats(sub_dirs: list[str]) -> None:
     avgdl with the global values (preserving build_avgdl for block-max
     validity checks) and drop an aggregated global_df.parquet into each
     (the distributed-term-stats broadcast every partitioned engine does).
-    Narrow columns only — posting payloads never move."""
+
+    The global df aggregation is a Ray Dataset ``groupby(term).sum(df)``
+    over the narrow (term, df) columns of every sub-index's postings —
+    the term dictionary is never materialized in a driver-side Python
+    dict. The aggregated dictionary is written ONCE, then file-copied
+    into each sub-index (the ship-the-small-dictionary broadcast;
+    posting payloads never move)."""
     import glob as _glob
+    import shutil
+    import tempfile
 
     import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
 
     stats = [json.load(open(os.path.join(d, "corpus_stats.json"))) for d in sub_dirs]
     g_docs = sum(s.get("shard_n_docs", s["n_docs"]) for s in stats)
@@ -189,15 +230,29 @@ def distribute_global_stats(sub_dirs: list[str]) -> None:
         atomic_write_bytes(os.path.join(d, "corpus_stats.json"),
                            json.dumps(s, sort_keys=True, indent=1).encode())
 
-    dfs: dict[str, int] = {}
+    files = [
+        f for d in sub_dirs
+        for f in _glob.glob(os.path.join(d, "parts", "**", "*.parquet"), recursive=True)
+    ]
+    tmp = tempfile.mkdtemp(prefix="global_df-", dir="/tmp")
+    if files:
+        (
+            ray.data.read_parquet(files, columns=["term", "df"])
+            .groupby("term")
+            .aggregate(Sum("df", alias_name="df"))
+            .write_parquet(tmp)
+        )
+    else:  # every sub-index empty (e.g. fully-deduplicated windows)
+        pq.write_table(
+            pa.table({"term": pa.array([], type=pa.string()),
+                      "df": pa.array([], type=pa.uint64())}),
+            os.path.join(tmp, "empty.parquet"),
+        )
     for d in sub_dirs:
-        for f in _glob.glob(os.path.join(d, "parts", "**", "*.parquet"), recursive=True):
-            t = pq.read_table(f, columns=["term", "df"])
-            for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
-                dfs[term] = dfs.get(term, 0) + int(df)
-    gdf = pa.table(
-        {"term": pa.array(list(dfs.keys()), type=pa.string()),
-         "df": pa.array(list(dfs.values()), type=pa.uint64())}
-    )
-    for d in sub_dirs:
-        pq.write_table(gdf, os.path.join(d, "global_df.parquet"))
+        dst = os.path.join(d, "global_df.parquet")
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        elif os.path.exists(dst):
+            os.unlink(dst)
+        shutil.copytree(tmp, dst)
+    shutil.rmtree(tmp)

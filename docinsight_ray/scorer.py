@@ -176,11 +176,19 @@ class BM25Scorer:
         self._idf_df = self._df
         gdf_path = os.path.join(index_dir, "global_df.parquet")
         if os.path.exists(gdf_path):
-            g = pq.read_table(gdf_path)
-            gmap = dict(zip(g["term"].to_pylist(), g["df"].to_pylist()))
+            # vectorized Arrow hash-join remap (no per-term Python):
+            # index_in finds each local term's row in the global
+            # dictionary; misses keep the local df
+            import pyarrow.compute as _pc
+
+            g = pq.read_table(gdf_path)  # file or directory of parts
+            pos = _pc.index_in(
+                tbl["term"].combine_chunks(), value_set=g["term"].combine_chunks()
+            ).to_numpy(zero_copy_only=False)
+            g_df = g["df"].to_numpy(zero_copy_only=False).astype(np.int64)
             self._idf_df = self._df.copy()
-            for t, i in self._terms.items():
-                self._idf_df[i] = int(gmap.get(t, self._df[i]))
+            valid = np.flatnonzero(~np.isnan(pos.astype(np.float64)))
+            self._idf_df[valid] = g_df[pos[valid].astype(np.int64)]
         self._doc_vb = tbl["doc_ids_vb"].to_pylist()
         self._tf_vb = tbl["tfs_vb"].to_pylist()
         self._bmax = tbl["block_max_w"].to_pylist()
