@@ -441,7 +441,7 @@ def build_index(
     if "docs" not in done:
         # no resumable state for THIS (input, config) identity → clean slate
         import shutil
-        for sub in ("fragments", "docs", "parts", "partial", "manifest"):
+        for sub in ("fragments", "docs", "parts", "partial", "manifest", "dedup_losers"):
             shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
         done = set()
     if "_SUCCESS" in done:
@@ -497,25 +497,36 @@ def build_index(
 
     t0 = time.monotonic()
     # ---- Dedup winners (exact, content_sha256, keep min doc_id) + stats.
-    # Narrow projection shuffle only — content never moves. Duplicate
-    # shas are rare (the reference's re-ingest skip semantics), so:
-    # aggregate count per sha (no per-group Python), keep only shas with
-    # count > 1 (small), fetch just their rows, pick losers driver-side.
+    # Narrow projection shuffle only — content never moves. Two paths,
+    # identical output (test_dedup_join_path):
+    #   * loser count <= cfg.broadcast_limit (duplicate shas are rare —
+    #     the reference's re-ingest skip semantics): fetch just the dup
+    #     rows, pick losers driver-side, broadcast the loser set;
+    #   * above the limit: distributed keep-first — groupby(sha).min
+    #     winners, hash join back, spill the loser (doc_id, doc_len)
+    #     set to parquet, and anti-join the fragments against it
+    #     (docinsight_ray.joins) so no process holds the loser set.
+    losers = np.empty(0, dtype=np.uint64)  # broadcast-path loser ids
+    losers_len = 0
+    losers_count = 0
+    losers_spill: str | None = None  # join-path loser Dataset location
     if cfg.dedup:
         sha_counts = (
             docs_ds.select_columns(["content_sha256"])
             .groupby("content_sha256")
             .aggregate(RayCount(alias_name="n"))
         )
-        dup_df = sha_counts.map_batches(
+        dup_ds = sha_counts.map_batches(
             lambda t: t.filter(pc.greater(t["n"], pa.scalar(1))),
             batch_format="pyarrow",
-        ).to_pandas()
-        # an all-filtered Dataset can come back as a 0-column frame —
-        # no duplicates then
-        dup_shas = set(dup_df["content_sha256"]) if "content_sha256" in dup_df.columns else set()
-        if dup_shas:
-            dup_ref = ray.put(pa.array(sorted(dup_shas), type=pa.string()))
+        ).materialize()  # bounded by the duplicate-sha count
+        n_dup_shas = dup_ds.count()
+        losers_count = (int(dup_ds.sum("n")) - n_dup_shas) if n_dup_shas else 0
+        if losers_count == 0:
+            pass
+        elif losers_count <= cfg.broadcast_limit:
+            dup_df = dup_ds.to_pandas()
+            dup_ref = ray.put(pa.array(sorted(dup_df["content_sha256"]), type=pa.string()))
 
             def only_dups(batch: pa.Table, *, _ref=dup_ref) -> pa.Table:
                 mask = pc.is_in(batch["content_sha256"], value_set=ray.get(_ref))
@@ -527,18 +538,64 @@ def build_index(
             losers = np.sort(losers_df["doc_id"].to_numpy().astype(np.uint64))
             losers_len = int(losers_df["doc_len"].sum())
         else:
-            losers = np.empty(0, dtype=np.uint64)
-            losers_len = 0
-    else:
-        losers = np.empty(0, dtype=np.uint64)
-        losers_len = 0
+            from ray.data.aggregate import Min as RayMin
 
-    _stage("dedup", t0, losers=int(losers.size))
+            # Ray 2.49 hazard: Min on full-range uint64 overflows
+            # (Python int -> C long) and can SIGSEGV the hash-shuffle
+            # aggregator. Order-preserving workaround: aggregate the
+            # sign-bit-flipped int64 view (uint64 order == int64 order
+            # after XOR 2^63), keep the real doc_id alongside.
+            def with_skey(t: pa.Table) -> pa.Table:
+                ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                skey = (ids ^ np.uint64(1 << 63)).view(np.int64)
+                return pa.table(
+                    {
+                        "content_sha256": t["content_sha256"],
+                        "doc_id": t["doc_id"],
+                        "doc_len": t["doc_len"],
+                        "skey": pa.array(skey, type=pa.int64()),
+                    }
+                )
+
+            shifted = docs_ds.select_columns(
+                ["content_sha256", "doc_id", "doc_len"]
+            ).map_batches(with_skey, batch_format="pyarrow")
+            winners = (
+                shifted.select_columns(["content_sha256", "skey"])
+                .groupby("content_sha256")
+                .aggregate(RayMin("skey", alias_name="winner_skey"))
+                # Ray 2.49: joins break on empty right-side blocks
+                # (docinsight_ray.joins) — consolidate first
+                .repartition(cfg.num_buckets)
+            )
+            joined = shifted.join(
+                winners,
+                join_type="inner",
+                num_partitions=cfg.num_buckets,
+                on=("content_sha256",),
+            )
+
+            def keep_losers(t: pa.Table) -> pa.Table:
+                mask = pc.not_equal(t["skey"], t["winner_skey"])
+                return t.select(["doc_id", "doc_len"]).filter(mask)
+
+            losers_spill = os.path.join(index_dir, "dedup_losers")
+            import shutil
+
+            shutil.rmtree(losers_spill, ignore_errors=True)
+            os.makedirs(losers_spill, exist_ok=True)
+            joined.map_batches(keep_losers, batch_format="pyarrow").write_parquet(losers_spill)
+            losers_stats = ray.data.read_parquet(losers_spill)
+            losers_len = int(losers_stats.sum("doc_len") or 0)
+            losers_count = losers_stats.count()
+
+    _stage("dedup", t0, losers=int(losers_count),
+           path="join" if losers_spill else "broadcast")
 
     t0 = time.monotonic()
     n_total = docs_ds.count()
     total_len_all = int(docs_ds.sum("doc_len"))
-    n_docs = n_total - int(losers.size)
+    n_docs = n_total - int(losers_count)
     total_len = total_len_all - losers_len
     avgdl = total_len / n_docs if n_docs else 1.0
 
@@ -570,13 +627,29 @@ def build_index(
 
     t0 = time.monotonic()
     # ---- The wide shuffle: groupby(gkey) → merge/compress/commit
+    merge_in = frags
+    if losers_spill is not None:
+        # join-path dedup: loser set too large to broadcast — anti-join
+        # the fragments against the spilled loser Dataset (hot detection
+        # above intentionally ran on the unfiltered fragments, matching
+        # the broadcast path where AssignGroupKey filters post-detect)
+        from .joins import key_set_filter
+
+        merge_in = key_set_filter(
+            frags,
+            ray.data.read_parquet(losers_spill, columns=["doc_id"]),
+            "doc_id",
+            n_keys=losers_count,
+            broadcast_limit=cfg.broadcast_limit,
+            num_partitions=cfg.num_buckets,
+        )
     hot_ref = ray.put(hot_terms)
     losers_ref = ray.put(losers)
     done_ref = ray.put(frozenset(
         int(p[1:]) for p in done if p.startswith("g") and p[1:].isdigit()
     ))
     stats_ds = (
-        frags.map_batches(
+        merge_in.map_batches(
             AssignGroupKey(cfg, hot_ref, losers_ref, done_ref),
             batch_format="pyarrow",
             zero_copy_batch=True,
@@ -632,7 +705,7 @@ def build_index(
         # may only trust stored block maxima when it matches the serving
         # avgdl (sharded builds overwrite avgdl with the global value)
         "build_avgdl": float(avgdl),
-        "n_dup_losers": int(losers.size),
+        "n_dup_losers": int(losers_count),
         "hot_terms": sorted(map(str, hot_terms)),
         "hot_df_threshold": hot_thresh,
         "k1": cfg.k1,
@@ -651,4 +724,4 @@ def build_index(
         "fingerprint": fingerprint, "config_hash": cfg.config_hash(),
     })
     return BuildResult(index_dir, int(n_docs), int(total_len), float(avgdl),
-                       int(losers.size), stats["hot_terms"], stats)
+                       int(losers_count), stats["hot_terms"], stats)

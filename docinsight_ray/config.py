@@ -14,7 +14,7 @@ from dataclasses import asdict, dataclass, field
 # Bump when tokenizer / codec / scoring semantics change: the version is
 # folded into config_hash, which is part of every build fingerprint, so
 # cached /tmp indexes from older engine semantics can never be resumed.
-ENGINE_VERSION = "r1.2"  # r1.2: block byte offsets in the postings schema
+ENGINE_VERSION = "r2.0"  # r2.0: vectorized block-max scoring; broadcast_limit
 
 
 @dataclass(frozen=True)
@@ -54,6 +54,12 @@ class EngineConfig:
     # Dedup by content_sha256 (keep-first). Mirrors the reference's
     # idempotent re-ingest skip (/root/reference/ingestion/pipeline_ingest.py:266-269).
     dedup: bool = True
+    # Key-set filters (dedup losers, seen shas) ship via ray.put +
+    # Arrow is_in up to this many keys; above it they switch to a
+    # hash-partitioned Dataset.join anti-join (docinsight_ray.joins) so
+    # no single process ever holds the key set. ~1e6 keys ≈ tens of MB
+    # broadcast — comfortably under a worker heap; tune per cluster.
+    broadcast_limit: int = 1_000_000
 
     # Execution sizing
     tokenize_batch_size: int = 256

@@ -57,37 +57,64 @@ def build_sharded_index(
 
     # ---- GLOBAL exact dedup BEFORE the shard split: duplicates with
     # different doc_ids land in different shards, so per-shard dedup
-    # cannot see them. Narrow pre-pass: (sha, doc_id) → dup shas →
-    # loser doc_ids broadcast; content never shuffles.
+    # cannot see them. Distributed keep-first over the narrow
+    # (sha, doc_id) projection — content never shuffles; the loser set
+    # then either broadcasts (small) or anti-joins (above
+    # cfg.broadcast_limit; docinsight_ray.joins).
     losers = np.empty(0, dtype=np.uint64)
     if cfg.dedup:
-        from ..ids import sha256_hex
-        from ray.data.aggregate import Count as _Count
+        from ray.data.aggregate import Min as _Min
         import pyarrow.compute as pc
 
+        from ..ids import sha256_hex
+        from ..joins import anti_join
+
         def sha_ids(batch: pa.Table) -> pa.Table:
+            ids = batch_ids(batch)
+            # skey: sign-bit-flipped int64 view of the uint64 doc_id —
+            # Ray 2.49's Min overflows on full-range uint64 (SIGSEGVs
+            # the hash-shuffle aggregator); int64 order after XOR 2^63
+            # equals uint64 order, so min(skey) is min(doc_id)
+            skey = (ids ^ np.uint64(1 << 63)).view(np.int64)
             return pa.table(
                 {
                     "content_sha256": pa.array(sha256_hex(batch["content"].to_pylist())),
-                    "doc_id": pa.array(batch_ids(batch), type=pa.uint64()),
+                    "doc_id": pa.array(ids, type=pa.uint64()),
+                    "skey": pa.array(skey, type=pa.int64()),
                 }
             )
 
         narrow = corpus.map_batches(sha_ids, batch_format="pyarrow", zero_copy_batch=True).materialize()
-        dup_df = narrow.groupby("content_sha256").aggregate(_Count(alias_name="n")).map_batches(
-            lambda t: t.filter(pc.greater(t["n"], pa.scalar(1))), batch_format="pyarrow"
-        ).to_pandas()
-        dup_shas = set(dup_df["content_sha256"]) if "content_sha256" in dup_df.columns else set()
-        if dup_shas:
-            dset = ray.put(pa.array(sorted(dup_shas), type=pa.string()))
-            rows = narrow.map_batches(
-                lambda t, _r=dset: t.filter(pc.is_in(t["content_sha256"], value_set=ray.get(_r))),
-                batch_format="pyarrow",
-            ).to_pandas().sort_values("doc_id")
-            losers = np.sort(
-                rows[rows.duplicated("content_sha256", keep="first")]["doc_id"]
-                .to_numpy().astype(np.uint64)
+        winners = narrow.select_columns(["content_sha256", "skey"]).groupby(
+            "content_sha256"
+        ).aggregate(_Min("skey", alias_name="winner_skey")).repartition(cfg.num_buckets)
+        # ^ Ray 2.49: joins break on empty right-side blocks (joins.py)
+        losers_ds = narrow.join(
+            winners, join_type="inner", num_partitions=cfg.num_buckets, on=("content_sha256",)
+        ).map_batches(
+            lambda t: t.select(["doc_id"]).filter(pc.not_equal(t["skey"], t["winner_skey"])),
+            batch_format="pyarrow",
+        ).materialize()
+        n_losers = losers_ds.count()
+        if n_losers == 0:
+            pass
+        elif n_losers <= cfg.broadcast_limit:
+            losers = np.sort(losers_ds.to_pandas()["doc_id"].to_numpy().astype(np.uint64))
+        else:
+            # anti-join path: annotate with the doc_id key, drop losers,
+            # continue with the filtered corpus (no broadcast)
+            def with_key(batch: pa.Table) -> pa.Table:
+                return batch.append_column(
+                    "__doc_id", pa.array(batch_ids(batch), type=pa.uint64())
+                )
+
+            keys = losers_ds.map_batches(
+                lambda t: t.rename_columns(["__doc_id"]), batch_format="pyarrow"
             )
+            corpus = anti_join(
+                corpus.map_batches(with_key, batch_format="pyarrow", zero_copy_batch=True),
+                keys, "__doc_id", cfg.num_buckets,
+            ).drop_columns(["__doc_id"])
     losers_ref = ray.put(losers)
     # shards build with dedup off — global dedup already applied above
     import dataclasses
