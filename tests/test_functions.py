@@ -83,6 +83,44 @@ def test_knn_lsh_recall():
     assert np.mean(recalls) >= 0.5, f"LSH recall too low: {recalls}"
 
 
+def test_embedding_near_dup_no_full_broadcast_and_lsh_recall():
+    """The exact near-dup pipeline (tile-pair decomposition) matches a
+    driver-computed brute force, and the LSH-bucketed + exact-verify
+    path finds most pairs with exact precision."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from docinsight_ray.functions.knn import (
+        COS_DUP_T,
+        q_embedding_near_dup,
+        q_embedding_near_dup_lsh,
+    )
+
+    # driver-side brute-force truth
+    t = pq.read_table(os.path.join(SF, "embeddings.parquet"))
+    M = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    vids = t["vec_id"].to_numpy()
+    cos = Mn @ Mn.T
+    r, c = np.triu_indices(len(vids), k=1)
+    keep = cos[r, c] >= COS_DUP_T
+    truth = {(int(min(vids[a], vids[b])), int(max(vids[a], vids[b])))
+             for a, b in zip(r[keep], c[keep])}
+    assert truth, "gate data must contain near-dup pairs"
+
+    # small tiles force multiple cross-tile tasks
+    exact = q_embedding_near_dup(SF, tile_rows=97).to_pandas()
+    got = set(zip(exact["a_id"].astype(int), exact["b_id"].astype(int)))
+    assert got == truth
+
+    approx = q_embedding_near_dup_lsh(SF).to_pandas()
+    ap = set(zip(approx["a_id"].astype(int), approx["b_id"].astype(int)))
+    assert ap <= truth, "verification must make precision exact"
+    recall = len(ap & truth) / len(truth)
+    assert recall >= 0.6, f"LSH near-dup recall too low: {recall}"
+
+
 def test_fingerprint_order_sensitivity():
     from docinsight_ray.functions.textstats import rolling_fingerprint
 
