@@ -57,26 +57,48 @@ def append_window(
 
     if cfg.dedup:
         # cross-window exact dedup: drop rows whose content_sha256
-        # already exists in an earlier window's docs registry
-        seen: set[str] = set()
-        for d in _window_dirs(index_root):
-            import pyarrow.parquet as pq
+        # already exists in an earlier window's docs registry. The seen
+        # set never lands in a driver Python set: prior windows' sha
+        # columns are read as a Dataset and filtered through
+        # key_set_filter (ray.put broadcast below cfg.broadcast_limit,
+        # hash-partitioned anti-join above — docinsight_ray.joins).
+        prior = _window_dirs(index_root)
+        docs_dirs = [os.path.join(d, "docs") for d in prior
+                     if os.path.isdir(os.path.join(d, "docs"))]
+        n_seen = sum(
+            json.load(open(os.path.join(d, "corpus_stats.json"))).get(
+                "shard_n_docs",
+                json.load(open(os.path.join(d, "corpus_stats.json")))["n_docs"],
+            )
+            for d in prior
+        )
+        if docs_dirs and n_seen:
+            from ..joins import key_set_filter
 
-            docs = pq.ParquetDataset(os.path.join(d, "docs")).read(columns=["content_sha256"])
-            seen.update(docs["content_sha256"].to_pylist())
-        if seen:
-            seen_ref = ray.put(pa.array(sorted(seen), type=pa.string()))
-
-            def drop_seen(batch: pa.Table, _r=seen_ref) -> pa.Table:
+            def with_sha(batch: pa.Table) -> pa.Table:
                 from ..ids import sha256_hex
 
-                sha = pa.array(sha256_hex(batch["content"].to_pylist()), type=pa.string())
-                keep = pa.compute.invert(pa.compute.is_in(sha, value_set=ray.get(_r)))
-                return batch.filter(keep)
+                return batch.append_column(
+                    "content_sha256",
+                    pa.array(sha256_hex(batch["content"].to_pylist()), type=pa.string()),
+                )
 
-            corpus_window = corpus_window.map_batches(
-                drop_seen, batch_format="pyarrow", zero_copy_batch=True
-            )
+            # read_parquet rejects a LIST of directories — expand to files
+            docs_files = [
+                f for dd in docs_dirs
+                for f in sorted(glob.glob(os.path.join(dd, "*.parquet")))
+            ]
+            seen_ds = ray.data.read_parquet(docs_files, columns=["content_sha256"])
+            corpus_window = key_set_filter(
+                corpus_window.map_batches(
+                    with_sha, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                seen_ds,
+                "content_sha256",
+                n_keys=n_seen,
+                broadcast_limit=cfg.broadcast_limit,
+                num_partitions=cfg.num_buckets,
+            ).drop_columns(["content_sha256"])
 
     d = os.path.join(index_root, f"window={window_id}")
     build_index(corpus_window, d, cfg, fingerprint=f"window:{window_id}")

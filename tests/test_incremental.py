@@ -57,3 +57,42 @@ def test_cross_window_dedup(ray_session, tmp_path):
     s1 = json.load(open(os.path.join(root, "window=001", "corpus_stats.json")))
     assert s1["shard_n_docs"] == 0, "all window-2 rows were duplicates and must be dropped"
     assert s1["n_docs"] == 60  # global count unchanged
+
+
+def test_cross_window_dedup_join_path(ray_session, tmp_path):
+    """Same contract with broadcast_limit=0: the seen-sha filter runs
+    through the hash-partitioned anti-join instead of ray.put."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    cfg = EngineConfig(num_buckets=8, dedup=True, broadcast_limit=0)
+    corpus = gen_corpus(120, seed=17, with_cases=False)
+    root = str(tmp_path / "ddj")
+    append_window(ray.data.from_arrow(corpus.slice(0, 60)), root, "000", cfg)
+    w2 = pa.concat_tables([
+        corpus.slice(0, 30).set_column(
+            0, "repo", pa.array(["later/" + r for r in corpus.slice(0, 30)["repo"].to_pylist()])
+        ),
+        corpus.slice(60, 30),  # 30 genuinely-new docs
+    ])
+    append_window(ray.data.from_arrow(w2), root, "001", cfg)
+    s1 = json.load(open(os.path.join(root, "window=001", "corpus_stats.json")))
+    assert s1["shard_n_docs"] == 30, "only the 30 new docs may survive the join-path filter"
+    assert s1["n_docs"] == 90
+    # and the merged serving view is rank-identical to one build over
+    # the SURVIVING docs (cross-window dedup is keep-first-by-ARRIVAL:
+    # the later window's copy is dropped even if its hash doc_id would
+    # win a min-doc_id tie-break — the streaming semantics documented
+    # in pipelines/incremental.py)
+    oracle = OracleIndex(corpus.slice(0, 90), cfg)
+    queries = gen_queries(corpus, n_keyword=5, seed=17)
+    qds = ray.data.from_arrow(queries_table(queries))
+    out = query_windows(qds, root, cfg, mode="taat").to_pandas()
+    for qid, text, k in queries:
+        od, osc = oracle.score(text, k)
+        sub = out[out.query_id == qid].sort_values("rank")
+        np.testing.assert_array_equal(sub.doc_id.to_numpy(dtype=np.uint64), od)
+        np.testing.assert_array_equal(sub.score.to_numpy(), osc)
