@@ -79,24 +79,33 @@ def cmd_query(args) -> int:
             "hits": [{"doc_id": int(x), "score": round(float(y), 6)} for x, y in zip(d, s)],
         }))
         rows += [(qid, r, int(x), float(y)) for r, (x, y) in enumerate(zip(d, s))]
-    if args.out:
-        # results sink (reference report-writer analogue, SURVEY §2.1 S8)
+    if args.out or args.report:
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
-        os.makedirs(args.out, exist_ok=True)
-        pq.write_table(
-            pa.table(
-                {
-                    "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
-                    "rank": pa.array([r[1] for r in rows], type=pa.uint32()),
-                    "doc_id": pa.array([r[2] for r in rows], type=pa.uint64()),
-                    "score": pa.array([r[3] for r in rows], type=pa.float64()),
-                }
-            ),
-            os.path.join(args.out, "results.parquet"),
+        results = pa.table(
+            {
+                "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "rank": pa.array([r[1] for r in rows], type=pa.uint32()),
+                "doc_id": pa.array([r[2] for r in rows], type=pa.uint64()),
+                "score": pa.array([r[3] for r in rows], type=pa.float64()),
+            }
         )
-        print(f"wrote {len(rows)} result rows to {args.out}/results.parquet", file=sys.stderr)
+        if args.out:
+            # results sink (parquet side of S8)
+            import pyarrow.parquet as pq
+
+            os.makedirs(args.out, exist_ok=True)
+            pq.write_table(results, os.path.join(args.out, "results.parquet"))
+            print(f"wrote {len(rows)} result rows to {args.out}/results.parquet", file=sys.stderr)
+        if args.report:
+            # per-query JSON report (S8; reference
+            # enhanced_pipeline.py:649-672 generate_report_files)
+            from .report import write_query_report
+
+            write_query_report(
+                results, list(enumerate(args.text)), args.index_dir, args.report
+            )
+            print(f"wrote JSON report to {args.report}", file=sys.stderr)
     return 0
 
 
@@ -209,6 +218,7 @@ def main(argv=None) -> int:
     q.add_argument("--mode", default="taat", choices=["taat", "bmw", "maxscore"])
     q.add_argument("--tokenizer", default="code", choices=["code", "simple"])
     q.add_argument("--out", default=None, help="directory to write results.parquet")
+    q.add_argument("--report", default=None, help="path to write a per-query JSON report")
     q.set_defaults(fn=cmd_query)
 
     v = sub.add_parser("validate", parents=[common], help="check index invariants + manifests")

@@ -269,11 +269,51 @@ def q_exact_dedup(sf_dir: str) -> pa.Table:
     )
 
 
+# The fixed query DOCUMENT for the multi-chunk keep-max path (D3):
+# chunked into word windows, each chunk scored, best chunk score kept
+# per doc (reference: retrieval.py:163-172 _deduplicate_results).
+QUERY_DOC = (
+    "data query stream merge sort join table customer order line "
+    "filter part supplier region nation slow big hash scan group"
+)
+QUERY_DOC_CHUNK_WORDS = 4
+
+
+def q_bm25_doc_query(sf_dir: str) -> pa.Table:
+    """Document query with keep-max result dedup (SURVEY §2.7 D3),
+    end-to-end through the actor-pool serving path: chunk QUERY_DOC →
+    score every chunk → groupby(doc_id).max → global top-10."""
+    from ..report import query_document_topk
+
+    idx = ensure_index(sf_dir)
+    return query_document_topk(
+        QUERY_DOC,
+        idx,
+        SQL_PARITY_CONFIG,
+        k=TOPK,
+        chunk_words=QUERY_DOC_CHUNK_WORDS,
+        per_chunk_k=None,  # exact keep-max for the SQL gate
+        mode="taat",
+    )
+
+
 # ---- oracle SQL -----------------------------------------------------------
 
 _BM25_VALUES = ", ".join(f"({qid}, '{text}')" for qid, text in DOC_QUERIES)
 
-BM25_CTE = f"""
+
+def _chunk_values() -> str:
+    from ..report import split_words
+
+    chunks = split_words(QUERY_DOC, QUERY_DOC_CHUNK_WORDS)
+    return ", ".join(f"({i}, '{c}')" for i, c in enumerate(chunks))
+
+
+def _bm25_cte(values: str) -> str:
+    """The shared DuckDB BM25 machinery, parameterized by the
+    (query_id, qtext) VALUES list (per-query for the top-k gates,
+    per-chunk for the keep-max document-query gate)."""
+    return f"""
 WITH tok AS (
   SELECT doc_id, t.term
   FROM documents, unnest({SIMPLE_TOK_SQL}) AS t(term)
@@ -285,7 +325,7 @@ stats AS (
          (SELECT count(*) FROM tok)::DOUBLE / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
 ),
 df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term),
-q(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+q(query_id, qtext) AS (VALUES {values}),
 qt AS (
   SELECT q.query_id, t.term
   FROM q, unnest(list_filter(regexp_extract_all(lower(q.qtext), '[a-z0-9]+'), t -> length(t) >= 2)) AS t(term)
@@ -309,6 +349,9 @@ ranked AS (
   FROM scores
 )
 """
+
+
+BM25_CTE = _bm25_cte(_BM25_VALUES)
 
 ORACLE_SQL: dict[str, str] = {
     "docs_registry": f"""
@@ -353,6 +396,17 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["bm25_doc_query"] = _bm25_cte(_chunk_values()) + f"""
+, best AS (
+  SELECT doc_id, max(raw) AS raw, count(*)::BIGINT AS n_chunk_hits
+  FROM scores GROUP BY doc_id
+)
+SELECT row_number() OVER (ORDER BY round(raw, 6) DESC, doc_id ASC) - 1 AS rank,
+       doc_id, round(raw, 6) AS score, n_chunk_hits
+FROM best
+ORDER BY rank LIMIT {TOPK}
+"""
+
 QUERIES = {
     "docs_registry": q_docs_registry,
     "corpus_stats": q_corpus_stats,
@@ -361,5 +415,6 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_topk_bmw": q_bm25_topk_bmw,
     "bm25_hydrated": q_bm25_hydrated,
+    "bm25_doc_query": q_bm25_doc_query,
     "exact_dedup": q_exact_dedup,
 }

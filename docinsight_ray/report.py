@@ -1,0 +1,181 @@
+"""Per-query JSON report writer (SURVEY §2.1 S8) and the multi-chunk
+document-query pipeline with keep-max result dedup (SURVEY §2.7 D3).
+
+Reference analogues:
+- report files: /root/reference/enhanced_pipeline.py:649-672
+  (``generate_report_files`` — JSON + HTML; the HTML rendering is UI
+  surface and intentionally out of scope, the JSON payload is not);
+- document query + keep-max: /root/reference/retrieval/retrieval.py
+  splits a query document into chunks, retrieves top-k per chunk, and
+  ``_deduplicate_results`` (retrieval.py:163-172) keeps the highest-
+  scoring hit per target — re-expressed here as chunk → actor-pool
+  scoring → groupby(doc_id).max keep-max → global top-k.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .config import EngineConfig
+from .state.manifest import atomic_write_bytes
+
+
+# --------------------------------------------------------------------------
+# S8: JSON report
+# --------------------------------------------------------------------------
+
+
+def hydrate_results(results: pa.Table, index_dir: str) -> dict[int, dict[str, str]]:
+    """doc_id → {repo, path, lang} for every doc_id in a (tiny) results
+    table, read from the index's docs registry with a narrow projection
+    + is_in filter (results are queries × k rows — broadcast side)."""
+    import pyarrow.compute as pc
+
+    wanted = pa.array(sorted({int(d) for d in results["doc_id"].to_pylist()}), type=pa.uint64())
+    docs = pq.ParquetDataset(os.path.join(index_dir, "docs")).read(
+        columns=["doc_id", "repo", "path", "lang"]
+    )
+    hit = docs.filter(pc.is_in(pc.cast(docs["doc_id"], pa.uint64()), value_set=wanted))
+    return {
+        int(d): {"repo": r, "path": p, "lang": lg}
+        for d, r, p, lg in zip(
+            hit["doc_id"].to_pylist(), hit["repo"].to_pylist(),
+            hit["path"].to_pylist(), hit["lang"].to_pylist(),
+        )
+    }
+
+
+def build_query_report(
+    results: pa.Table,
+    queries: list[tuple[int, str]],
+    index_dir: str,
+) -> dict[str, Any]:
+    """Assemble the JSON report payload: corpus stats + per-query hits
+    hydrated with doc metadata."""
+    with open(os.path.join(index_dir, "corpus_stats.json")) as f:
+        stats = json.load(f)
+    meta = hydrate_results(results, index_dir)
+    df = results.to_pandas().sort_values(["query_id", "rank"])
+    by_query = []
+    qtext = dict(queries)
+    for qid, g in df.groupby("query_id", sort=True):
+        hits = [
+            {
+                "rank": int(rk),
+                "doc_id": int(d),
+                "score": round(float(s), 6),
+                **meta.get(int(d), {}),
+            }
+            for rk, d, s in zip(g["rank"], g["doc_id"], g["score"])
+        ]
+        by_query.append(
+            {"query_id": int(qid), "query": qtext.get(int(qid), ""), "n_hits": len(hits), "hits": hits}
+        )
+    return {
+        "engine": "docinsight_ray",
+        "index_dir": index_dir,
+        "corpus_stats": {
+            "n_docs": stats["n_docs"],
+            "avgdl": stats["avgdl"],
+            "k1": stats["k1"],
+            "b": stats["b"],
+            "tokenizer": stats["tokenizer"],
+            "config_hash": stats["config_hash"],
+        },
+        "n_queries": len(by_query),
+        "queries": by_query,
+    }
+
+
+def write_query_report(
+    results: pa.Table,
+    queries: list[tuple[int, str]],
+    index_dir: str,
+    out_path: str,
+) -> dict[str, Any]:
+    """Write the JSON report atomically; returns the payload."""
+    payload = build_query_report(results, queries, index_dir)
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)) or ".", exist_ok=True)
+    atomic_write_bytes(out_path, json.dumps(payload, indent=2, sort_keys=True).encode())
+    return payload
+
+
+# --------------------------------------------------------------------------
+# D3: document query with keep-max result dedup
+# --------------------------------------------------------------------------
+
+
+def split_words(text: str, chunk_words: int) -> list[str]:
+    """Deterministic word-window chunker for query documents (the
+    reference splits query docs into sentences; word windows are the
+    tokenizer-agnostic equivalent and are SQL-reproducible)."""
+    words = text.split()
+    return [
+        " ".join(words[i : i + chunk_words]) for i in range(0, len(words), chunk_words)
+    ] or [""]
+
+
+def query_document_topk(
+    text: str,
+    index_dir: str,
+    cfg: EngineConfig | None = None,
+    k: int = 10,
+    chunk_words: int = 8,
+    per_chunk_k: int | None = None,
+    mode: str = "maxscore",
+    concurrency: int = 2,
+) -> pa.Table:
+    """Score a whole DOCUMENT: chunk → score each chunk through the
+    actor pool → keep-max per doc over chunk hits → global top-k.
+
+    ``per_chunk_k`` is the per-chunk retrieval fan-out (the reference
+    uses top-10 per sentence, config.py:203-208 — keep-max over
+    partial per-chunk lists is approximate by design there; pass
+    ``per_chunk_k=None`` to over-fetch everything and make keep-max
+    exact). Output: (rank, doc_id, score, n_chunk_hits)."""
+    import ray
+    import ray.data
+
+    from ray.data.aggregate import Count, Max
+
+    from .scorer import query_index
+
+    cfg = cfg or EngineConfig()
+    chunks = split_words(text, chunk_words)
+    with open(os.path.join(index_dir, "corpus_stats.json")) as f:
+        n_docs = json.load(f)["n_docs"]
+    fanout = int(per_chunk_k) if per_chunk_k else int(n_docs)
+    qtbl = pa.table(
+        {
+            "query_id": pa.array(range(len(chunks)), type=pa.int64()),
+            "text": pa.array(chunks, type=pa.string()),
+            "k": pa.array([fanout] * len(chunks), type=pa.uint32()),
+        }
+    )
+    per_chunk = query_index(
+        ray.data.from_arrow(qtbl), index_dir, cfg, mode=mode, concurrency=concurrency
+    )
+    # keep-max dedup (D3): one row per doc, its best chunk score
+    best = per_chunk.groupby("doc_id").aggregate(
+        Max("score", alias_name="score"), Count(alias_name="n_chunk_hits")
+    )
+    df = best.to_pandas()  # result-sized: ≤ chunks × fanout docs
+    docs = df["doc_id"].to_numpy().astype(np.uint64)
+    scores = df["score"].to_numpy()
+    order = np.lexsort((docs, -np.round(scores, 6)))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(order.size, dtype=np.int64), type=pa.int64()),
+            "doc_id": pa.array(docs[order].astype(np.int64), type=pa.int64()),
+            "score": pa.array(np.round(scores[order], 6), type=pa.float64()),
+            "n_chunk_hits": pa.array(
+                df["n_chunk_hits"].to_numpy()[order].astype(np.int64), type=pa.int64()
+            ),
+        }
+    )

@@ -1,0 +1,90 @@
+"""S8 report writer + D3 keep-max document query."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from docinsight_ray.config import EngineConfig
+from docinsight_ray.fixtures import gen_corpus, gen_queries
+from docinsight_ray.oracle import OracleIndex
+from docinsight_ray.report import query_document_topk, split_words, write_query_report
+from docinsight_ray.scorer import BM25Scorer
+
+CFG = EngineConfig(num_buckets=8, hot_df_ratio=0.25)
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    import ray.data
+
+    from docinsight_ray.build import build_index
+
+    corpus = gen_corpus(200, seed=51)
+    idx = str(tmp_path_factory.mktemp("rep") / "index")
+    build_index(ray.data.from_arrow(corpus), idx, CFG, fingerprint="rep")
+    return corpus, idx
+
+
+def test_report_schema_and_hydration(built, tmp_path):
+    corpus, idx = built
+    sc = BM25Scorer(idx, CFG, mode="maxscore")
+    queries = [(0, "public static void"), (1, "class main string")]
+    import pyarrow as pa
+
+    rows = []
+    for qid, text in queries:
+        d, s = sc.score_maxscore(text, 5)
+        rows += [(qid, r, int(x), float(y)) for r, (x, y) in enumerate(zip(d, s))]
+    results = pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "rank": pa.array([r[1] for r in rows], type=pa.uint32()),
+            "doc_id": pa.array([r[2] for r in rows], type=pa.uint64()),
+            "score": pa.array([r[3] for r in rows], type=pa.float64()),
+        }
+    )
+    out = str(tmp_path / "report.json")
+    payload = write_query_report(results, queries, idx, out)
+    on_disk = json.load(open(out))
+    assert on_disk == json.loads(json.dumps(payload))  # round-trips
+    assert on_disk["n_queries"] == 2
+    assert set(on_disk["corpus_stats"]) >= {"n_docs", "avgdl", "k1", "b", "tokenizer"}
+    for q in on_disk["queries"]:
+        assert q["query"]  # original text present
+        assert q["n_hits"] == len(q["hits"])
+        for h in q["hits"]:
+            # hydration: every hit carries doc metadata from the registry
+            assert {"rank", "doc_id", "score", "repo", "path", "lang"} <= set(h)
+        ranks = [h["rank"] for h in q["hits"]]
+        assert ranks == sorted(ranks)
+
+
+def test_query_document_keep_max(built, ray_session):
+    """D3: the per-doc score is the MAX over chunk scores, and ranking
+    follows (score desc, doc_id asc) — verified against a driver-side
+    oracle computation."""
+    corpus, idx = built
+    oracle = OracleIndex(corpus, CFG)
+    text = " ".join(corpus["content"].to_pylist()[0].split()[:40])
+    chunks = split_words(text, 8)
+    assert len(chunks) >= 3
+    best: dict[int, float] = {}
+    hits: dict[int, int] = {}
+    for c in chunks:
+        d, s = oracle.score(c, oracle.n_docs)
+        for di, si in zip(d.tolist(), s.tolist()):
+            hits[di] = hits.get(di, 0) + 1
+            if di not in best or si > best[di]:
+                best[di] = si
+    docs = np.array(sorted(best), dtype=np.uint64)
+    scores = np.array([best[int(d)] for d in docs])
+    order = np.lexsort((docs, -np.round(scores, 6)))[:10]
+
+    got = query_document_topk(text, idx, CFG, k=10, chunk_words=8).to_pandas()
+    np.testing.assert_array_equal(got["doc_id"].to_numpy().astype(np.uint64), docs[order])
+    np.testing.assert_array_equal(got["score"].to_numpy(), np.round(scores[order], 6))
+    np.testing.assert_array_equal(
+        got["n_chunk_hits"].to_numpy(), [hits[int(d)] for d in docs[order]]
+    )
