@@ -114,7 +114,9 @@ class SpimiTokenizer:
     def __init__(self, cfg: EngineConfig, fragments_dir: str):
         self.cfg = cfg
         self.fragments_dir = fragments_dir
-        os.makedirs(fragments_dir, exist_ok=True)
+        from .state.fsio import makedirs
+
+        makedirs(fragments_dir)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -140,12 +142,16 @@ class SpimiTokenizer:
                 }
             )
             # content-addressed fragment name: retries of the same batch
-            # overwrite idempotently; distinct batches can never collide
+            # overwrite idempotently; distinct batches can never collide.
+            # fsio handles plain paths (tmp + atomic rename) and URIs
+            # (object-store PUT) — the fragments side-channel is the one
+            # path every worker writes, so on a multi-node cluster it
+            # must live on shared/object storage (build_index docstring)
+            from .state.fsio import write_parquet_atomic
+
             batch_id = hashlib.sha256(doc_ids.tobytes()).hexdigest()[:20]
             name = f"frag-{batch_id}-{terms.size}"
-            tmp = os.path.join(self.fragments_dir, f".{name}.{uuid.uuid4().hex}.tmp")
-            pq.write_table(frag, tmp, compression="zstd")
-            os.replace(tmp, os.path.join(self.fragments_dir, f"{name}.parquet"))
+            write_parquet_atomic(frag, f"{self.fragments_dir}/{name}.parquet")
 
         return pa.table(
             {
@@ -427,13 +433,23 @@ def build_index(
     index_dir: str,
     cfg: EngineConfig | None = None,
     fingerprint: str = "",
+    fragments_dir: str | None = None,
 ) -> BuildResult:
     """Build the full index under ``index_dir``. Resumable: committed
-    partitions (matching fingerprint + config hash) are skipped."""
+    partitions (matching fingerprint + config hash) are skipped.
+
+    Multi-node storage contract: every path here is written/read by
+    WORKERS, so on a real cluster ``index_dir`` must resolve to
+    storage all nodes share (NFS-style POSIX for the rename-commit
+    manifests). The SPIMI fragment side-channel — the highest-volume
+    side-write — can be redirected independently via ``fragments_dir``
+    and additionally accepts pyarrow.fs URIs (``s3://…``,
+    ``file:///…``): see state/fsio.py. Single-node/tests need nothing:
+    both default to local directories under ``index_dir``."""
     cfg = cfg or EngineConfig()
     fingerprint = f"{fingerprint}:{cfg.config_hash()}"
     man_dir = os.path.join(index_dir, "manifest")
-    frag_dir = os.path.join(index_dir, "fragments")
+    frag_dir = fragments_dir or os.path.join(index_dir, "fragments")
     docs_dir = os.path.join(index_dir, "docs")
     os.makedirs(index_dir, exist_ok=True)
 
@@ -443,6 +459,15 @@ def build_index(
         import shutil
         for sub in ("fragments", "docs", "parts", "partial", "manifest", "dedup_losers"):
             shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
+        if fragments_dir is not None:
+            from .state.fsio import read_parquet_files, resolve
+
+            fs, p = resolve(frag_dir)
+            if fs is None:
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                for f in read_parquet_files(frag_dir):
+                    fs.delete_file(resolve(f)[1])
         done = set()
     if "_SUCCESS" in done:
         st = _load_stats(index_dir)
@@ -470,8 +495,10 @@ def build_index(
             "fingerprint": fingerprint, "config_hash": cfg.config_hash(),
             "wall_s": round(time.monotonic() - t0, 4),
         })
+    from .state.fsio import listdir_count
+
     _stage("tokenize_docs", t0,
-           fragment_files=len(os.listdir(frag_dir)) if os.path.isdir(frag_dir) else 0,
+           fragment_files=listdir_count(frag_dir),
            skipped="docs" in done)
     if not (os.path.isdir(docs_dir) and os.listdir(docs_dir)):
         # empty corpus (e.g. a fully-deduplicated incremental window):
@@ -604,7 +631,9 @@ def build_index(
     t0 = time.monotonic()
     # ---- Hot-term detection: per-batch partial df pre-agg, then a small
     # groupby(term) over the partials (SURVEY.md §2.5 G3 / §4.3).
-    frags = ray.data.read_parquet(frag_dir)
+    from .state.fsio import is_uri, read_parquet_files
+
+    frags = ray.data.read_parquet(read_parquet_files(frag_dir) if is_uri(frag_dir) else frag_dir)
 
     def partial_df(batch: pa.Table) -> pa.Table:
         vc = pc.value_counts(batch["term"])  # C-speed, no python objects

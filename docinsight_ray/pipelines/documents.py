@@ -191,14 +191,29 @@ def q_postings_probe(sf_dir: str) -> pa.Table:
 
 
 def q_bm25_topk(sf_dir: str, mode: str = "taat") -> pa.Table:
-    """Full engine path: build → actor-pool scorers → top-10 per fixed
-    query; ranked by (round(score,6) desc, doc_id asc) for SQL parity."""
+    """Full engine path END-TO-END: build → Dataset of queries →
+    actor-pool scorers (the serving path, not a driver loop) → top-10
+    per fixed query, ranked by (round(score,6) desc, doc_id asc) for
+    SQL parity. Each query over-fetches k = n_docs so the round-6
+    re-rank below sees every candidate the SQL oracle sees."""
     idx = ensure_index(sf_dir)
-    scorer = BM25Scorer(idx, SQL_PARITY_CONFIG, mode=mode)
+    n_docs = BM25Scorer(idx, SQL_PARITY_CONFIG, mode=mode).n_docs
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q for q, _ in DOC_QUERIES], type=pa.int64()),
+            "text": pa.array([t for _, t in DOC_QUERIES], type=pa.string()),
+            "k": pa.array([n_docs] * len(DOC_QUERIES), type=pa.uint32()),
+        }
+    )
+    res = (
+        query_index(ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG, mode=mode, concurrency=2)
+        .to_pandas()
+    )
     qids, ranks, dids, scores = [], [], [], []
-    for qid, text in DOC_QUERIES:
-        d, s = (scorer.score_bmw if mode == "bmw" else scorer.score_taat)(text, scorer.n_docs)
-        s6 = np.round(s, 6)
+    for qid, _text in DOC_QUERIES:
+        g = res[res.query_id == qid]
+        d = g["doc_id"].to_numpy().astype(np.uint64)
+        s6 = np.round(g["score"].to_numpy(), 6)
         order = np.lexsort((d, -s6))[:TOPK]
         d, s6 = d[order], s6[order]
         qids += [qid] * d.size

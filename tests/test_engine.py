@@ -284,6 +284,30 @@ def test_build_dup_free_corpus(ray_session, tmp_path):
     assert res.n_dup_losers == 0 and res.n_docs == corpus.num_rows
 
 
+def test_fragments_dir_uri(ray_session, tmp_path):
+    """The SPIMI fragment side-channel works through a pyarrow.fs URI
+    (object-store plumbing, exercised via file://) and produces a
+    byte-identical index to the plain-path build — the multi-node
+    shared-storage contract of build_index."""
+    import ray.data
+
+    corpus = gen_corpus(120, seed=61, with_cases=False)
+    idx_a = str(tmp_path / "plain")
+    idx_b = str(tmp_path / "uri")
+    frag_uri = f"file://{tmp_path}/shared_fragments"
+    build_index(ray.data.from_arrow(corpus), idx_a, CFG, fingerprint="fs")
+    build_index(ray.data.from_arrow(corpus), idx_b, CFG, fingerprint="fs",
+                fragments_dir=frag_uri)
+    import glob as _glob
+
+    assert _glob.glob(str(tmp_path / "shared_fragments" / "*.parquet"))
+    assert not os.path.isdir(os.path.join(idx_b, "fragments"))
+    a = _load_all_postings(idx_a).sort_by("term")
+    b = _load_all_postings(idx_b).sort_by("term")
+    for col in ["term", "df", "doc_ids_vb", "tfs_vb"]:
+        assert a[col].to_pylist() == b[col].to_pylist(), f"column {col} differs"
+
+
 def test_bmw_lazy_block_decode(ray_session, tmp_path):
     """WAND must not decode blocks the shallow check prunes: with a
     selective (rare∧hot) query, the hot list's decoded-block count
