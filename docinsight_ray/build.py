@@ -114,9 +114,15 @@ class SpimiTokenizer:
     def __init__(self, cfg: EngineConfig, fragments_dir: str):
         self.cfg = cfg
         self.fragments_dir = fragments_dir
+        # df sidecars: per-fragment (term, pdf, ndocs) pre-aggregates,
+        # written alongside the fragments so hot-term detection never
+        # re-reads the (avgdl x larger) fragment table — the classic
+        # per-partition partial-aggregate pattern
+        self.dfstats_dir = fragments_dir.rstrip("/") + "-dfstats"
         from .state.fsio import makedirs
 
         makedirs(fragments_dir)
+        makedirs(self.dfstats_dir)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -152,6 +158,20 @@ class SpimiTokenizer:
             batch_id = hashlib.sha256(doc_ids.tobytes()).hexdigest()[:20]
             name = f"frag-{batch_id}-{terms.size}"
             write_parquet_atomic(frag, f"{self.fragments_dir}/{name}.parquet")
+            # sidecar: this batch's per-term df (fragment rows are
+            # unique (term, doc) pairs, so value_counts IS df) plus
+            # the batch's doc count for the pigeonhole cutoff
+            vc = pc.value_counts(frag["term"])
+            side = pa.table(
+                {
+                    "term": vc.field("values"),
+                    "pdf": pc.cast(vc.field("counts"), pa.uint32()),
+                    "ndocs": pa.array(
+                        np.full(len(vc), len(doc_ids), dtype=np.uint32), type=pa.uint32()
+                    ),
+                }
+            )
+            write_parquet_atomic(side, f"{self.dfstats_dir}/{name}.parquet")
 
         return pa.table(
             {
@@ -457,17 +477,19 @@ def build_index(
     if "docs" not in done:
         # no resumable state for THIS (input, config) identity → clean slate
         import shutil
-        for sub in ("fragments", "docs", "parts", "partial", "manifest", "dedup_losers"):
+        for sub in ("fragments", "fragments-dfstats", "docs", "parts",
+                    "partial", "manifest", "dedup_losers"):
             shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
         if fragments_dir is not None:
             from .state.fsio import read_parquet_files, resolve
 
-            fs, p = resolve(frag_dir)
-            if fs is None:
-                shutil.rmtree(p, ignore_errors=True)
-            else:
-                for f in read_parquet_files(frag_dir):
-                    fs.delete_file(resolve(f)[1])
+            for d in (frag_dir, frag_dir.rstrip("/") + "-dfstats"):
+                fs, p = resolve(d)
+                if fs is None:
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    for f in read_parquet_files(d):
+                        fs.delete_file(resolve(f)[1])
         done = set()
     if "_SUCCESS" in done:
         st = _load_stats(index_dir)
@@ -641,14 +663,52 @@ def build_index(
 
     hot_thresh = max(2, int(cfg.hot_df_ratio * n_docs))
     if cfg.salting_enabled:
-        df_ds = frags.map_batches(partial_df, batch_format="pyarrow").groupby("term").aggregate(
-            Sum("pdf", alias_name="df")
+        # Detection over the df SIDECARS only (per-fragment (term,
+        # pdf, ndocs) partial aggregates written during tokenization —
+        # the fragment table, ~avgdl x larger, is never re-read; the
+        # round-1 full groupby(term) over the whole vocabulary cost
+        # 35 s of a 79 s 100k build). Two cheap passes:
+        #   1. pigeonhole candidates — fragment files cover WHOLE docs
+        #      (Σ ndocs_f == n_total exactly), so df >= H implies some
+        #      file has pdf * n_total >= H * ndocs_f; keep only those
+        #      terms (a tiny superset of the hot set);
+        #   2. exact df for candidates: sum their sidecar pdf rows.
+        # The hot set is EXACTLY the full-shuffle answer, independent
+        # of read-batch layout (sidecars are per-fragment-file).
+        from .state.fsio import is_uri as _is_uri, read_parquet_files as _rp
+
+        from .state.fsio import listdir_count as _lc
+
+        dfstats_dir = frag_dir.rstrip("/") + "-dfstats"
+        sides = (
+            ray.data.read_parquet(_rp(dfstats_dir) if _is_uri(dfstats_dir) else dfstats_dir)
+            if _lc(dfstats_dir)
+            else None
         )
-        hot_pdf = df_ds.map_batches(
-            lambda t: t.filter(pc.greater_equal(t["df"], pa.scalar(hot_thresh))),
-            batch_format="pyarrow",
-        ).to_pandas()
-        hot_terms = np.asarray(hot_pdf["term"].tolist(), dtype=object)
+
+        def candidates(batch: pa.Table) -> pa.Table:
+            pdf = batch["pdf"].to_numpy(zero_copy_only=False).astype(np.int64)
+            nd = batch["ndocs"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = pdf * int(n_total) >= int(hot_thresh) * nd
+            return pa.table({"term": batch["term"].filter(pa.array(keep))})
+
+        if sides is None:
+            cand_terms = []
+        else:
+            cand = sides.map_batches(candidates, batch_format="pyarrow").to_pandas()
+            cand_terms = sorted(set(cand["term"])) if "term" in cand.columns else []
+        if cand_terms:
+            cand_ref = ray.put(pa.array(cand_terms, type=pa.string()))
+
+            def cand_df(batch: pa.Table, *, _r=cand_ref) -> pa.Table:
+                sel = batch.filter(pc.is_in(batch["term"], value_set=ray.get(_r)))
+                return pa.table({"term": sel["term"], "pdf": sel["pdf"]})
+
+            dfp = sides.map_batches(cand_df, batch_format="pyarrow").to_pandas()
+            exact = dfp.groupby("term")["pdf"].sum()  # candidates only — tiny
+            hot_terms = np.asarray(sorted(exact[exact >= hot_thresh].index), dtype=object)
+        else:
+            hot_terms = np.empty(0, dtype=object)
     else:
         hot_terms = np.empty(0, dtype=object)
 
