@@ -349,15 +349,47 @@ class MergeGroup:
         doc_lens = group["doc_len"].to_numpy(zero_copy_only=False).astype(np.uint32)
 
         if is_salted:
-            # partial sorted run for hot terms; keep doc_len for re-weighting
+            # ENCODED partial run per hot term: delta+varbyte doc_ids,
+            # varbyte tfs + doc_lens (doc_len rides along for the
+            # final re-weighting). One row per term instead of one per
+            # posting — the second (hot-merge) shuffle moves compressed
+            # run payloads, not ~Σ df(hot) raw rows (which dominated
+            # the 100k build's hot_merge stage).
             codes, uniques = pd.factorize(terms, sort=True)
             order = np.lexsort((doc_ids, codes))
+            codes, doc_ids = codes[order], doc_ids[order]
+            tfs, doc_lens = tfs[order], doc_lens[order]
+            n = codes.size
+            starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+            ends = np.r_[starts[1:], n]
+            deltas = doc_ids.copy()
+            deltas[1:] -= doc_ids[:-1]
+            deltas[starts] = doc_ids[starts]
+            doc_buf = varbyte_encode(deltas)
+            doc_off = np.r_[0, np.cumsum(varbyte_lengths(deltas))]
+            tf64 = tfs.astype(np.uint64)
+            tf_buf = varbyte_encode(tf64)
+            tf_off = np.r_[0, np.cumsum(varbyte_lengths(tf64))]
+            dl64 = doc_lens.astype(np.uint64)
+            dl_buf = varbyte_encode(dl64)
+            dl_off = np.r_[0, np.cumsum(varbyte_lengths(dl64))]
+            uniq_arr = np.asarray(uniques, dtype=object)
             tbl = pa.table(
                 {
-                    "term": pa.array(terms[order], type=pa.string()),
-                    "doc_id": pa.array(doc_ids[order], type=pa.uint64()),
-                    "tf": pa.array(tfs[order], type=pa.uint32()),
-                    "doc_len": pa.array(doc_lens[order], type=pa.uint32()),
+                    "term": pa.array([uniq_arr[codes[s]] for s in starts], type=pa.string()),
+                    "n": pa.array((ends - starts).astype(np.uint64), type=pa.uint64()),
+                    "doc_ids_vb": pa.array(
+                        [doc_buf[doc_off[s] : doc_off[e]] for s, e in zip(starts, ends)],
+                        type=pa.binary(),
+                    ),
+                    "tfs_vb": pa.array(
+                        [tf_buf[tf_off[s] : tf_off[e]] for s, e in zip(starts, ends)],
+                        type=pa.binary(),
+                    ),
+                    "doc_lens_vb": pa.array(
+                        [dl_buf[dl_off[s] : dl_off[e]] for s, e in zip(starts, ends)],
+                        type=pa.binary(),
+                    ),
                 }
             )
             part_dir = os.path.join(self.out_dir, "partial")
@@ -409,10 +441,13 @@ class MergeGroup:
 
 
 class MergeHotTerm:
-    """Second (tiny) pass: k-way merge of one hot term's salted runs.
+    """Second (tiny) pass: merge one hot term's encoded salted runs.
 
-    Runs are doc_id-sorted but interleaved (salt = doc_id % S), so the
-    merge is concatenate + argsort over this term's postings only."""
+    The group is ~hot_salt encoded-run ROWS for one term (salt =
+    doc_id % S, so runs interleave): decode each run, concatenate,
+    and hand the whole term to the shared sorted-group encoder (which
+    re-sorts, drops (term, doc_id) duplicates, and emits the final
+    block-max posting row)."""
 
     def __init__(self, cfg: EngineConfig, avgdl: float):
         self.cfg = cfg
@@ -420,10 +455,23 @@ class MergeHotTerm:
         self.__name__ = "MergeHotTerm"
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        terms = np.asarray(group["term"].to_pylist(), dtype=object)
-        doc_ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        tfs = group["tf"].to_numpy(zero_copy_only=False).astype(np.uint32)
-        doc_lens = group["doc_len"].to_numpy(zero_copy_only=False).astype(np.uint32)
+        from .codec import varbyte_decode
+
+        ids_parts, tf_parts, dl_parts = [], [], []
+        for n, dvb, tvb, lvb in zip(
+            group["n"].to_pylist(),
+            group["doc_ids_vb"].to_pylist(),
+            group["tfs_vb"].to_pylist(),
+            group["doc_lens_vb"].to_pylist(),
+        ):
+            n = int(n)
+            ids_parts.append(np.cumsum(varbyte_decode(dvb, n), dtype=np.uint64))
+            tf_parts.append(varbyte_decode(tvb, n).astype(np.uint32))
+            dl_parts.append(varbyte_decode(lvb, n).astype(np.uint32))
+        doc_ids = np.concatenate(ids_parts)
+        tfs = np.concatenate(tf_parts)
+        doc_lens = np.concatenate(dl_parts)
+        terms = np.repeat(np.asarray([group["term"][0].as_py()], dtype=object), doc_ids.size)
         return _encode_sorted_group(terms, doc_ids, tfs, doc_lens, self.avgdl, self.cfg)
 
 

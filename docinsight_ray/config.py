@@ -14,7 +14,8 @@ from dataclasses import asdict, dataclass, field
 # Bump when tokenizer / codec / scoring semantics change: the version is
 # folded into config_hash, which is part of every build fingerprint, so
 # cached /tmp indexes from older engine semantics can never be resumed.
-ENGINE_VERSION = "r2.0"  # r2.0: vectorized block-max scoring; broadcast_limit
+# r2.1: encoded salted partial runs + df sidecars (partial/ format change)
+ENGINE_VERSION = "r2.1"
 
 
 @dataclass(frozen=True)
