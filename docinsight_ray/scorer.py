@@ -78,14 +78,14 @@ class _TermPostings:
         self._probed = 0
         self.bs = scorer.cfg.block_size
         self.df = int(scorer._df[i])
-        self.blast = np.asarray(scorer._blast[i], dtype=np.uint64)
+        self.blast = scorer._blast(i)
         self.n_blocks = self.blast.size
         self._idf_mult = float(idf_fn(int(scorer._idf_df[i]), scorer.n_docs)) * (
             scorer.cfg.k1 + 1.0
         )
         if scorer._bmax_safe:
             self._full: tuple | None = None
-            self.block_ub = self._idf_mult * np.asarray(scorer._bmax[i], dtype=np.float64)
+            self.block_ub = self._idf_mult * scorer._bmax(i).astype(np.float64)
         else:
             d, c, ub, _bl = scorer._term_arrays(term)
             self._full = (d, c)
@@ -104,14 +104,15 @@ class _TermPostings:
         else:
             sc = self._scorer
             i = self._i
-            doff, toff = sc._bdoff[i], sc._btoff[i]
-            d_end = doff[bi + 1] if bi + 1 < len(doff) else len(sc._doc_vb[i])
-            t_end = toff[bi + 1] if bi + 1 < len(toff) else len(sc._tf_vb[i])
+            doff, toff = sc._bdoff(i), sc._btoff(i)
+            doc_buf, tf_buf = sc._doc_vb(i), sc._tf_vb(i)
+            d_end = doff[bi + 1] if bi + 1 < len(doff) else len(doc_buf)
+            t_end = toff[bi + 1] if bi + 1 < len(toff) else len(tf_buf)
             n = e - s
-            deltas = varbyte_decode(sc._doc_vb[i][doff[bi] : d_end], n)
+            deltas = varbyte_decode(doc_buf[doff[bi] : d_end], n)
             base = self.blast[bi - 1] if bi > 0 else np.uint64(0)
             docs = base + np.cumsum(deltas, dtype=np.uint64)
-            tfs = varbyte_decode(sc._tf_vb[i][toff[bi] : t_end], n)
+            tfs = varbyte_decode(tf_buf[toff[bi] : t_end], n)
             w = tf_sat_weight(tfs, sc._doc_len_of(docs), sc.avgdl, sc.cfg.k1, sc.cfg.b)
             blk = (docs, self._idf_mult * w)
         self._blocks[bi] = blk
@@ -189,13 +190,26 @@ class BM25Scorer:
             self._idf_df = self._df.copy()
             valid = np.flatnonzero(~np.isnan(pos.astype(np.float64)))
             self._idf_df[valid] = g_df[pos[valid].astype(np.int64)]
-        self._doc_vb = tbl["doc_ids_vb"].to_pylist()
-        self._tf_vb = tbl["tfs_vb"].to_pylist()
-        self._bmax = tbl["block_max_w"].to_pylist()
-        self._blast = tbl["block_last_doc"].to_pylist()
+        # Zero-copy views into the loaded Arrow columns: binary
+        # payloads stay in Arrow buffers (memoryview slices on demand),
+        # list columns become (flat values, offsets) numpy pairs — the
+        # round-1 to_pylist() duplicated the whole index into Python
+        # objects per actor, which dominated actor startup at 500k docs.
+        def _list_view(col, dtype):
+            arr = col.combine_chunks()
+            return arr.values.to_numpy(zero_copy_only=False).astype(dtype), \
+                   arr.offsets.to_numpy()
+
+        self._doc_vb_arr = tbl["doc_ids_vb"].combine_chunks()
+        self._tf_vb_arr = tbl["tfs_vb"].combine_chunks()
+        self._bmax_v, self._bmax_o = _list_view(tbl["block_max_w"], np.float32)
+        self._blast_v, self._blast_o = _list_view(tbl["block_last_doc"], np.uint64)
         has_offsets = "block_doc_off" in tbl.column_names
-        self._bdoff = tbl["block_doc_off"].to_pylist() if has_offsets else None
-        self._btoff = tbl["block_tf_off"].to_pylist() if has_offsets else None
+        if has_offsets:
+            self._bdoff_v, self._bdoff_o = _list_view(tbl["block_doc_off"], np.uint32)
+            self._btoff_v, self._btoff_o = _list_view(tbl["block_tf_off"], np.uint32)
+        else:
+            self._bdoff_v = None
         # stored block maxima are only trustworthy when the serving
         # avgdl equals the build avgdl (sharded builds overwrite stats
         # with global values) AND block byte offsets exist
@@ -205,6 +219,26 @@ class BM25Scorer:
         self.cache_terms = 512
         self._cache: OrderedDict[str, tuple] = OrderedDict()
         self._tp_cache: OrderedDict[str, _TermPostings] = OrderedDict()
+
+    # ---- zero-copy index accessors --------------------------------------
+
+    def _doc_vb(self, i: int) -> memoryview:
+        return memoryview(self._doc_vb_arr[i].as_buffer())
+
+    def _tf_vb(self, i: int) -> memoryview:
+        return memoryview(self._tf_vb_arr[i].as_buffer())
+
+    def _bmax(self, i: int) -> np.ndarray:
+        return self._bmax_v[self._bmax_o[i] : self._bmax_o[i + 1]]
+
+    def _blast(self, i: int) -> np.ndarray:
+        return self._blast_v[self._blast_o[i] : self._blast_o[i + 1]]
+
+    def _bdoff(self, i: int) -> np.ndarray:
+        return self._bdoff_v[self._bdoff_o[i] : self._bdoff_o[i + 1]]
+
+    def _btoff(self, i: int) -> np.ndarray:
+        return self._btoff_v[self._btoff_o[i] : self._btoff_o[i + 1]]
 
     # ---- shared helpers -------------------------------------------------
 
@@ -226,7 +260,7 @@ class BM25Scorer:
             return cached
         i = self._terms[term]
         df = int(self._df[i])  # local posting length (decode count)
-        doc_ids, tfs = decode_posting(self._doc_vb[i], self._tf_vb[i], df)
+        doc_ids, tfs = decode_posting(self._doc_vb(i), self._tf_vb(i), df)
         w = tf_sat_weight(tfs, self._doc_len_of(doc_ids), self.avgdl, self.cfg.k1, self.cfg.b)
         contrib = (idf_fn(int(self._idf_df[i]), self.n_docs) * (self.cfg.k1 + 1.0)) * w
         # block upper bounds for WAND, derived from the live contribution
