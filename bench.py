@@ -136,6 +136,24 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
             "stats": extra,
         }
 
+    # ---- doc-sharded serving (the multi-node scale path): build a
+    # 2-shard index over the same corpus, fan queries over both shard
+    # actor pools, exact top-k merge — measures the fan-out+merge tax
+    # relative to the single-index actor pool above
+    from docinsight_ray.pipelines.sharded import build_sharded_index, query_sharded
+
+    with timed("sharded_build"):
+        sh_dir = f"/tmp/docinsight_bench/shidx-{num_cpus}-{os.getpid()}"
+        build_sharded_index(
+            ray.data.read_parquet(corpus_path), sh_dir, 2, cfg,
+            fingerprint=f"bench-sh-{BENCH_DOCS}",
+        )
+    with timed("sharded_serving"):
+        qds = ray.data.from_arrow(queries_table(queries)).repartition(max(8, num_cpus))
+        n_sh = query_sharded(qds, sh_dir, 2, cfg, mode="maxscore",
+                             concurrency_per_shard=max(1, num_cpus // 8)).count()
+    extra["sharded_qps"] = round(len(queries) / timings["sharded_serving"], 1)
+
     # ---- breadth pipelines over the sf tables
     from docinsight_ray.functions.dedup import q_minhash_lsh_pairs
     from docinsight_ray.functions.knn import q_knn_cosine
