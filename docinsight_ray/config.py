@@ -66,6 +66,9 @@ class EngineConfig:
     tokenize_batch_size: int = 256
     scorer_concurrency: int = 4
     query_batch_size: int = 64
+    # per-actor decoded-postings LRU budget (MB); decoded hot lists are
+    # ~16 B/posting, so 256 MB holds ~16M decoded postings
+    decode_cache_mb: int = 256
 
     def config_hash(self) -> str:
         payload = {"engine_version": ENGINE_VERSION, **asdict(self)}

@@ -216,7 +216,14 @@ class BM25Scorer:
         self._bmax_safe = has_offsets and stats.get("build_avgdl", stats["avgdl"]) == stats["avgdl"]
         from collections import OrderedDict
 
-        self.cache_terms = 512
+        # decoded-postings LRU: BYTE-budgeted, not count-capped — a
+        # fixed count thrashes on wide-vocabulary workloads (a 512-term
+        # cap churned the 20k bench's ~1,500 distinct query terms,
+        # inflating p99 ~10x over the warm path) while a byte budget
+        # stays safe when hot lists are corpus-sized
+        self.cache_budget_bytes = int(self.cfg.decode_cache_mb) << 20
+        self._cache_bytes = 0
+        self.cache_terms = 4096  # _TermPostings metadata objects (small)
         self._cache: OrderedDict[str, tuple] = OrderedDict()
         self._tp_cache: OrderedDict[str, _TermPostings] = OrderedDict()
 
@@ -274,8 +281,10 @@ class BM25Scorer:
         blast = doc_ids[np.minimum(starts + bs, doc_ids.size) - 1] if doc_ids.size else doc_ids
         entry = (doc_ids, contrib, block_ub, blast)
         self._cache[term] = entry
-        if len(self._cache) > self.cache_terms:
-            self._cache.popitem(last=False)
+        self._cache_bytes += doc_ids.nbytes + contrib.nbytes + block_ub.nbytes + blast.nbytes
+        while self._cache_bytes > self.cache_budget_bytes and len(self._cache) > 1:
+            _, old = self._cache.popitem(last=False)
+            self._cache_bytes -= sum(a.nbytes for a in old)
         return entry
 
     def query_terms(self, text: str) -> list[str]:
@@ -410,7 +419,12 @@ class BM25Scorer:
                 valid = bis < tp.n_blocks
                 bis_u = np.unique(bis[valid])
                 tp._probed += int(bis_u.size)
-                if tp._probed < tp.n_blocks:
+                # density rule: one whole-list vectorized decode beats
+                # per-block Python decodes above ~1/8 block coverage
+                # (per-call overhead dominates) or once cumulative
+                # probes have paid the full-decode cost anyway
+                sparse = bis_u.size <= max(4, tp.n_blocks >> 3)
+                if sparse and tp._probed < tp.n_blocks:
                     for bi in bis_u:
                         sel = np.flatnonzero(bis == bi)
                         docs_b, con_b = tp.block(int(bi))
@@ -471,8 +485,10 @@ class BM25Scorer:
                 kept_blocks = np.arange(tp.n_blocks)
             if kept_blocks.size == 0:
                 continue
-            if kept_blocks.size == tp.n_blocks:
-                # no block pruned → whole-list vectorized decode
+            if kept_blocks.size > max(4, tp.n_blocks >> 3):
+                # density rule (see probe): decode the whole list in one
+                # vectorized pass; docs from pruned blocks are harmless
+                # extras — the candidate bound check drops them
                 docs_t = tp.ensure_full()[0]
             else:
                 docs_t = np.concatenate([tp.block(int(bi))[0] for bi in kept_blocks])

@@ -316,19 +316,22 @@ def test_bmw_lazy_block_decode(ray_session, tmp_path):
 
     from docinsight_ray.scorer import BM25Scorer
 
-    cfg = EngineConfig(num_buckets=4, block_size=16, hot_df_ratio=0.5, dedup=False)
+    cfg = EngineConfig(num_buckets=4, block_size=8, hot_df_ratio=0.5, dedup=False)
     corpus = gen_corpus(600, seed=77, with_cases=False)
     idx = str(tmp_path / "lazy")
     build_index(ray.data.from_arrow(corpus), idx, cfg, fingerprint="lazy")
     sc = BM25Scorer(idx, cfg, mode="bmw")
     assert sc._bmax_safe, "single-index build must enable the lazy path"
-    # rare term: pick one with small df; hot term: 'public'
+    # rare term: few-doc df, SPARSE relative to the hot list's block
+    # count (below the density rule's 1/8 coverage) so the lazy
+    # per-block path is exercised, not the whole-list promotion.
     # a rare∧hot two-term query: once top-k fills from rare∧hot docs,
-    # θ > hot-UB and the hot cursor gallops between rare docs, decoding
-    # only the blocks the skip pointers land in
-    # df_rare must exceed k so θ is dominated by rare∧hot scores early
+    # θ > hot-UB, the hot list is never opened, and probes decode only
+    # the blocks containing the rare candidates
+    hot_blocks = len(sc._bmax(sc._terms["public"]))
+    lo, hi = 4, max(4, hot_blocks // 8)
     rare = min(
-        (t for t in sc._terms if 8 <= sc._df[sc._terms[t]] <= 20),
+        (t for t in sc._terms if lo <= sc._df[sc._terms[t]] <= hi),
         key=lambda t: sc._df[sc._terms[t]],
     )
     q = f"{rare} public"
@@ -336,9 +339,10 @@ def test_bmw_lazy_block_decode(ray_session, tmp_path):
     assert d.size > 0
     hot_tp = sc._tp_cache["public"]
     assert hot_tp.n_blocks >= 10
+    assert hot_tp._full is None, "hot list must not have been promoted to full decode"
     decoded = len(hot_tp._blocks)
-    assert decoded < hot_tp.n_blocks, (
-        f"hot list decoded all {hot_tp.n_blocks} blocks — no skipping happened"
+    assert 0 < decoded < hot_tp.n_blocks // 4, (
+        f"expected sparse lazy decode; got {decoded} of {hot_tp.n_blocks} blocks"
     )
     # and the result is still exact
     from docinsight_ray.oracle import OracleIndex
