@@ -68,9 +68,11 @@ def cmd_query(args) -> int:
         return 2
     cfg = EngineConfig(tokenizer=args.tokenizer)
     scorer = BM25Scorer(args.index_dir, cfg, mode=args.mode)
-    score = {"bmw": scorer.score_bmw, "maxscore": scorer.score_maxscore}.get(
-        args.mode, scorer.score_taat
-    )
+    score = {
+        "bmw": scorer.score_bmw,
+        "maxscore": scorer.score_maxscore,
+        "conjunctive": scorer.score_conjunctive,
+    }.get(args.mode, scorer.score_taat)
     rows = []
     for qid, text in enumerate(args.text):
         d, s = score(text, args.k)
@@ -215,7 +217,8 @@ def main(argv=None) -> int:
     q.add_argument("index_dir")
     q.add_argument("text", nargs="+")
     q.add_argument("-k", type=int, default=10)
-    q.add_argument("--mode", default="taat", choices=["taat", "bmw", "maxscore"])
+    q.add_argument("--mode", default="taat",
+                   choices=["taat", "bmw", "maxscore", "conjunctive"])
     q.add_argument("--tokenizer", default="code", choices=["code", "simple"])
     q.add_argument("--out", default=None, help="directory to write results.parquet")
     q.add_argument("--report", default=None, help="path to write a per-query JSON report")

@@ -234,6 +234,12 @@ def q_bm25_topk_bmw(sf_dir: str) -> pa.Table:
     return q_bm25_topk(sf_dir, mode="bmw")
 
 
+def q_bm25_conjunctive(sf_dir: str) -> pa.Table:
+    """Conjunctive (AND) retrieval: only docs containing EVERY query
+    term, BM25-ranked (posting-list intersection smallest-first)."""
+    return q_bm25_topk(sf_dir, mode="conjunctive")
+
+
 def q_bm25_hydrated(sf_dir: str) -> pa.Table:
     """Top-k results joined back to document metadata — the reference's
     chunk-detail hydration join (J1, /root/reference/index/index_manager.py:258-286)
@@ -411,6 +417,26 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["bm25_conjunctive"] = _bm25_cte(_BM25_VALUES) + f"""
+, qn AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY query_id)
+, matched AS (
+  SELECT qt.query_id, tf.doc_id, count(*) AS m
+  FROM qt JOIN tf ON tf.term = qt.term
+  GROUP BY qt.query_id, tf.doc_id
+)
+, conj AS (
+  SELECT s.query_id,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY round(s.raw, 6) DESC, s.doc_id ASC) - 1 AS rank,
+         s.doc_id, round(s.raw, 6) AS score
+  FROM scores s
+  JOIN matched m ON m.query_id = s.query_id AND m.doc_id = s.doc_id
+  JOIN qn ON qn.query_id = s.query_id
+  WHERE m.m = qn.n_terms
+)
+SELECT query_id, rank, doc_id, score FROM conj WHERE rank < {TOPK}
+"""
+
 ORACLE_SQL["bm25_doc_query"] = _bm25_cte(_chunk_values()) + f"""
 , best AS (
   SELECT doc_id, max(raw) AS raw, count(*)::BIGINT AS n_chunk_hits
@@ -430,6 +456,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_topk_bmw": q_bm25_topk_bmw,
     "bm25_hydrated": q_bm25_hydrated,
+    "bm25_conjunctive": q_bm25_conjunctive,
     "bm25_doc_query": q_bm25_doc_query,
     "exact_dedup": q_exact_dedup,
 }

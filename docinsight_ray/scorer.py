@@ -304,6 +304,43 @@ class BM25Scorer:
         sel = topk_order(cand, acc, k)
         return cand[sel], acc[sel]
 
+    # ---- conjunctive (AND) retrieval ------------------------------------
+
+    def score_conjunctive(self, text: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Docs containing EVERY query term, BM25-ranked. Candidate set
+        is the posting-list intersection, built smallest-list-first
+        (each step is one vectorized searchsorted into the next list,
+        so cost is O(|smallest| · log) — the standard conjunctive
+        evaluation order); scores accumulate in sorted-term order for
+        bitwise parity with the other modes."""
+        terms = self.query_terms(text)
+        if not terms:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
+        # NOTE: a query term absent from the index makes the result
+        # empty (it is required); query_terms drops unknown terms, so
+        # re-check against the raw tokenization
+        raw = {t for t in tokenize_text(text, self.cfg) if len(t) > 0}
+        if any(t not in self._terms for t in raw if t):
+            missing = [t for t in raw if t not in self._terms]
+            if missing:
+                return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
+        arrays = {t: self._term_arrays(t) for t in terms}
+        by_df = sorted(terms, key=lambda t: arrays[t][0].size)
+        cand = arrays[by_df[0]][0]
+        for t in by_df[1:]:
+            docs_t = arrays[t][0]
+            pos = np.searchsorted(docs_t, cand)
+            pos_c = np.minimum(pos, docs_t.size - 1)
+            cand = cand[docs_t[pos_c] == cand]
+            if cand.size == 0:
+                break
+        acc = np.zeros(cand.size, dtype=np.float64)
+        for t in terms:  # alphabetical — bitwise-identical accumulation
+            docs_t, contrib_t = arrays[t][0], arrays[t][1]
+            acc += contrib_t[np.searchsorted(docs_t, cand)]
+        sel = topk_order(cand, acc, k)
+        return cand[sel], acc[sel]
+
     # ---- MaxScore (vectorized dynamic pruning) --------------------------
 
     def score_maxscore(self, text: str, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -514,6 +551,7 @@ class BM25Scorer:
         score = {
             "bmw": self.score_bmw,
             "maxscore": self.score_maxscore,
+            "conjunctive": self.score_conjunctive,
         }.get(self.mode, self.score_taat)
         qids, ranks, docs, scores, out_ks = [], [], [], [], []
         ks = batch["k"].to_pylist() if "k" in batch.column_names else [10] * batch.num_rows

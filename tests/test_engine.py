@@ -273,6 +273,38 @@ def test_maxscore_rank_identity(built):
         np.testing.assert_array_equal(msc, osc, err_msg=f"maxscore score mismatch q{qid}")
 
 
+def test_conjunctive_rank_identity(built):
+    """Conjunctive (AND) retrieval returns exactly the docs containing
+    EVERY query term, with scores bitwise-equal to the other modes."""
+    corpus, idx, res = built
+    oracle = OracleIndex(corpus, CFG)
+    sc = BM25Scorer(idx, CFG, mode="conjunctive")
+    for qid, text, k in gen_queries(corpus, n_keyword=15, seed=42):
+        terms = sc.query_terms(text)
+        raw_missing = any(
+            t not in sc._terms
+            for t in __import__("docinsight_ray.tokenizer", fromlist=["tokenize_text"]).tokenize_text(text, CFG)
+        )
+        d, s = sc.score_conjunctive(text, k)
+        if raw_missing or not terms:
+            assert d.size == 0
+            continue
+        # oracle: exhaustive scores filtered to all-terms docs
+        od, osc = oracle.score(text, oracle.n_docs)
+        have_all = []
+        for di in od:
+            have_all.append(all(
+                any(int(di) == p[0] for p in oracle.postings[t]) for t in terms
+            ))
+        keep = np.asarray(have_all, dtype=bool)
+        codc, cosc = od[keep], osc[keep]
+        from docinsight_ray.bm25 import topk_order
+
+        sel = topk_order(codc, cosc, k)
+        np.testing.assert_array_equal(d, codc[sel], err_msg=f"conjunctive docs q{qid}")
+        np.testing.assert_array_equal(s, cosc[sel], err_msg=f"conjunctive scores q{qid}")
+
+
 def test_build_dup_free_corpus(ray_session, tmp_path):
     """Regression: a corpus with ZERO duplicate contents must build
     (empty dup-sha Dataset loses its schema in to_pandas)."""
