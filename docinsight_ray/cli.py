@@ -140,8 +140,16 @@ def cmd_validate(args) -> int:
     for fpath in glob.glob(os.path.join(idx, "parts", "**", "*.parquet"), recursive=True):
         t = pq.read_table(fpath)
         n_terms += t.num_rows
-        for df, dvb, tvb in zip(t["df"].to_pylist(), t["doc_ids_vb"].to_pylist(), t["tfs_vb"].to_pylist()):
-            d, f = decode_posting(dvb, tvb, df)
+        for term, df, dvb, tvb in zip(
+            t["term"].to_pylist(), t["df"].to_pylist(),
+            t["doc_ids_vb"].to_pylist(), t["tfs_vb"].to_pylist(),
+        ):
+            try:
+                d, f = decode_posting(dvb, tvb, df)
+            except ValueError as e:
+                # corruption must be REPORTED, not crash the validator
+                problems.append(f"posting decode failed for {term!r}: {e}")
+                continue
             if d.size > 1 and not (d[1:] > d[:-1]).all():
                 problems.append("non-increasing doc_ids in a posting")
             total_tf += int(f.sum())

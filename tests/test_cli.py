@@ -1,0 +1,71 @@
+"""CLI surface: build → query (--out/--report) → validate."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from docinsight_ray.cli import main
+from docinsight_ray.fixtures import gen_corpus
+
+
+@pytest.fixture(scope="module")
+def built_cli(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    corpus_path = str(root / "corpus.parquet")
+    pq.write_table(gen_corpus(150, seed=71), corpus_path)
+    idx = str(root / "index")
+    rc = main(["build", corpus_path, idx, "--fingerprint", "cli-test"])
+    assert rc == 0
+    return corpus_path, idx, root
+
+
+def test_cli_query_report_and_out(built_cli, capsys):
+    corpus_path, idx, root = built_cli
+    out_dir = str(root / "results")
+    report = str(root / "report.json")
+    rc = main([
+        "query", idx, "public static void", "class main",
+        "--mode", "maxscore", "-k", "5", "--out", out_dir, "--report", report,
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 2 and all("hits" in l for l in lines)
+    res = pq.read_table(os.path.join(out_dir, "results.parquet"))
+    assert res.num_rows == sum(len(l["hits"]) for l in lines)
+    rep = json.load(open(report))
+    assert rep["n_queries"] == 2
+    assert all({"repo", "path", "score"} <= set(h) for q in rep["queries"] for h in q["hits"])
+
+
+def test_cli_validate_clean_and_corrupted(built_cli, capsys, tmp_path):
+    corpus_path, idx, root = built_cli
+    rc = main(["validate", idx, "--corpus", corpus_path, "--spot-checks", "20"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["ok"] and not out["problems"]
+
+    # corrupt one posting partition -> validate must fail loudly
+    import glob
+    import shutil
+
+    bad = str(tmp_path / "bad_index")
+    shutil.copytree(idx, bad)
+    victim = sorted(glob.glob(os.path.join(bad, "parts", "**", "*.parquet"), recursive=True))[0]
+    t = pq.read_table(victim)
+    col = t.column_names.index("df")
+    import pyarrow as pa
+
+    wrong = pa.array([int(v.as_py()) + 1 for v in t["df"]], type=pa.uint64())
+    pq.write_table(t.set_column(col, "df", wrong), victim)
+    rc = main(["validate", bad])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 1 and not out["ok"] and out["problems"]
+
+
+def test_cli_conjunctive_mode(built_cli, capsys):
+    corpus_path, idx, root = built_cli
+    rc = main(["query", idx, "public static nosuchtokenxyz", "--mode", "conjunctive"])
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert line["hits"] == []  # unknown term empties a conjunctive query
