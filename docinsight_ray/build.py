@@ -392,24 +392,20 @@ class MergeGroup:
                     ),
                 }
             )
+            from .state.fsio import makedirs as _mk, write_parquet_atomic as _wpa
+
             part_dir = os.path.join(self.out_dir, "partial")
-            os.makedirs(part_dir, exist_ok=True)
-            final = os.path.join(part_dir, f"g{gkey}.parquet")
-            tmp = final + f".{uuid.uuid4().hex}.tmp"
-            pq.write_table(tbl, tmp, compression="zstd")
-            os.replace(tmp, final)
-            nbytes = os.path.getsize(final)
+            _mk(part_dir)
+            nbytes = _wpa(tbl, os.path.join(part_dir, f"g{gkey}.parquet"))
             kind = "partial"
             n_terms = len(uniques)
         else:
+            from .state.fsio import makedirs as _mk, write_parquet_atomic as _wpa
+
             tbl = _encode_sorted_group(terms, doc_ids, tfs, doc_lens, self.avgdl, cfg)
             part_dir = os.path.join(self.out_dir, "parts", f"g{gkey}")
-            os.makedirs(part_dir, exist_ok=True)
-            final = os.path.join(part_dir, "postings.parquet")
-            tmp = final + f".{uuid.uuid4().hex}.tmp"
-            pq.write_table(tbl, tmp, compression="zstd")
-            os.replace(tmp, final)
-            nbytes = os.path.getsize(final)
+            _mk(part_dir)
+            nbytes = _wpa(tbl, os.path.join(part_dir, "postings.parquet"))
             kind = "final"
             n_terms = tbl.num_rows
         write_manifest(
@@ -492,8 +488,9 @@ class BuildResult:
 
 
 def _load_stats(index_dir: str) -> dict[str, Any]:
-    with open(os.path.join(index_dir, "corpus_stats.json")) as f:
-        return json.load(f)
+    from .state.fsio import read_bytes
+
+    return json.loads(read_bytes(os.path.join(index_dir, "corpus_stats.json")))
 
 
 def build_index(
@@ -507,37 +504,31 @@ def build_index(
     partitions (matching fingerprint + config hash) are skipped.
 
     Multi-node storage contract: every path here is written/read by
-    WORKERS, so on a real cluster ``index_dir`` must resolve to
-    storage all nodes share (NFS-style POSIX for the rename-commit
-    manifests). The SPIMI fragment side-channel — the highest-volume
-    side-write — can be redirected independently via ``fragments_dir``
-    and additionally accepts pyarrow.fs URIs (``s3://…``,
-    ``file:///…``): see state/fsio.py. Single-node/tests need nothing:
-    both default to local directories under ``index_dir``."""
+    WORKERS, so on a real cluster ``index_dir`` (and the optional
+    separate ``fragments_dir``) must resolve to storage all nodes
+    share: a shared POSIX filesystem (plain paths — rename-commit
+    semantics) or an object store via pyarrow.fs URIs (``s3://…``,
+    ``file:///…`` — PUT-commit semantics; state/fsio.py handles both).
+    Single-node/tests need nothing: everything defaults to local
+    directories under ``index_dir``."""
+    from .state.fsio import makedirs as fs_makedirs, rmtree as fs_rmtree
+
     cfg = cfg or EngineConfig()
     fingerprint = f"{fingerprint}:{cfg.config_hash()}"
     man_dir = os.path.join(index_dir, "manifest")
     frag_dir = fragments_dir or os.path.join(index_dir, "fragments")
     docs_dir = os.path.join(index_dir, "docs")
-    os.makedirs(index_dir, exist_ok=True)
+    fs_makedirs(index_dir)
 
     done = committed_parts(man_dir, fingerprint)
     if "docs" not in done:
         # no resumable state for THIS (input, config) identity → clean slate
-        import shutil
         for sub in ("fragments", "fragments-dfstats", "docs", "parts",
                     "partial", "manifest", "dedup_losers"):
-            shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
+            fs_rmtree(os.path.join(index_dir, sub))
         if fragments_dir is not None:
-            from .state.fsio import read_parquet_files, resolve
-
             for d in (frag_dir, frag_dir.rstrip("/") + "-dfstats"):
-                fs, p = resolve(d)
-                if fs is None:
-                    shutil.rmtree(p, ignore_errors=True)
-                else:
-                    for f in read_parquet_files(d):
-                        fs.delete_file(resolve(f)[1])
+                fs_rmtree(d)
         done = set()
     if "_SUCCESS" in done:
         st = _load_stats(index_dir)
@@ -570,12 +561,14 @@ def build_index(
     _stage("tokenize_docs", t0,
            fragment_files=listdir_count(frag_dir),
            skipped="docs" in done)
-    if not (os.path.isdir(docs_dir) and os.listdir(docs_dir)):
+    if not listdir_count(docs_dir):
         # empty corpus (e.g. a fully-deduplicated incremental window):
         # commit an empty-but-valid index so readers see a consistent layout
-        os.makedirs(docs_dir, exist_ok=True)
-        pq.write_table(DOCS_SCHEMA.empty_table(), os.path.join(docs_dir, "empty.parquet"))
-        os.makedirs(os.path.join(index_dir, "parts"), exist_ok=True)
+        from .state.fsio import write_parquet_atomic as _wpa
+
+        fs_makedirs(docs_dir)
+        _wpa(DOCS_SCHEMA.empty_table(), os.path.join(docs_dir, "empty.parquet"))
+        fs_makedirs(os.path.join(index_dir, "parts"))
         stats = {
             "stages": stage_metrics, "n_docs": 0, "total_len": 0, "avgdl": 1.0,
             "build_avgdl": 1.0, "n_dup_losers": 0, "hot_terms": [],
@@ -677,10 +670,8 @@ def build_index(
                 return t.select(["doc_id", "doc_len"]).filter(mask)
 
             losers_spill = os.path.join(index_dir, "dedup_losers")
-            import shutil
-
-            shutil.rmtree(losers_spill, ignore_errors=True)
-            os.makedirs(losers_spill, exist_ok=True)
+            fs_rmtree(losers_spill)
+            fs_makedirs(losers_spill)
             joined.map_batches(keep_losers, batch_format="pyarrow").write_parquet(losers_spill)
             losers_stats = ray.data.read_parquet(losers_spill)
             losers_len = int(losers_stats.sum("doc_len") or 0)
@@ -811,7 +802,7 @@ def build_index(
     # ---- Final hot merge (only if salted partials exist)
     partial_dir = os.path.join(index_dir, "partial")
     hot_part_dir = os.path.join(index_dir, "parts", "hot")
-    if os.path.isdir(partial_dir) and os.listdir(partial_dir) and "hot" not in done:
+    if listdir_count(partial_dir) and "hot" not in done:
         t0h = time.monotonic()
         hot_final = (
             ray.data.read_parquet(partial_dir)
@@ -821,9 +812,8 @@ def build_index(
         # a crash mid-write with the docs manifest committed resumes into
         # this branch: clear any partial hot output first so the scorer's
         # recursive parts/ glob never sees duplicated or truncated files
-        import shutil
-        shutil.rmtree(hot_part_dir, ignore_errors=True)
-        os.makedirs(hot_part_dir, exist_ok=True)
+        fs_rmtree(hot_part_dir)
+        fs_makedirs(hot_part_dir)
         hot_final.write_parquet(hot_part_dir)
         write_manifest(man_dir, "hot", {
             "part_id": "hot", "stage": "merge_hot", "status": "committed",

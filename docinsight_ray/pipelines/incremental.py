@@ -27,7 +27,6 @@ the cross-window loser filter below.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 
@@ -42,7 +41,19 @@ from .sharded import distribute_global_stats, merge_topk
 
 
 def _window_dirs(index_root: str) -> list[str]:
-    return sorted(glob.glob(os.path.join(index_root, "window=*")))
+    from ..state.fsio import listdir_names
+
+    return [
+        os.path.join(index_root, n)
+        for n in listdir_names(index_root)
+        if n.startswith("window=")
+    ]
+
+
+def _window_stats(d: str) -> dict:
+    from ..state.fsio import read_bytes
+
+    return json.loads(read_bytes(os.path.join(d, "corpus_stats.json")))
 
 
 def append_window(
@@ -62,14 +73,13 @@ def append_window(
         # columns are read as a Dataset and filtered through
         # key_set_filter (ray.put broadcast below cfg.broadcast_limit,
         # hash-partitioned anti-join above — docinsight_ray.joins).
+        from ..state.fsio import exists as fs_exists, read_parquet_files
+
         prior = _window_dirs(index_root)
         docs_dirs = [os.path.join(d, "docs") for d in prior
-                     if os.path.isdir(os.path.join(d, "docs"))]
+                     if fs_exists(os.path.join(d, "docs"))]
         n_seen = sum(
-            json.load(open(os.path.join(d, "corpus_stats.json"))).get(
-                "shard_n_docs",
-                json.load(open(os.path.join(d, "corpus_stats.json")))["n_docs"],
-            )
+            _window_stats(d).get("shard_n_docs", _window_stats(d)["n_docs"])
             for d in prior
         )
         if docs_dirs and n_seen:
@@ -84,10 +94,7 @@ def append_window(
                 )
 
             # read_parquet rejects a LIST of directories — expand to files
-            docs_files = [
-                f for dd in docs_dirs
-                for f in sorted(glob.glob(os.path.join(dd, "*.parquet")))
-            ]
+            docs_files = [f for dd in docs_dirs for f in read_parquet_files(dd)]
             seen_ds = ray.data.read_parquet(docs_files, columns=["content_sha256"])
             corpus_window = key_set_filter(
                 corpus_window.map_batches(
@@ -120,9 +127,7 @@ def query_windows(
     dirs = [
         d for d in _window_dirs(index_root)
         # skip empty windows (e.g. fully-deduplicated appends)
-        if json.load(open(os.path.join(d, "corpus_stats.json"))).get(
-            "shard_n_docs", json.load(open(os.path.join(d, "corpus_stats.json")))["n_docs"]
-        ) > 0
+        if _window_stats(d).get("shard_n_docs", _window_stats(d)["n_docs"]) > 0
     ]
     if not dirs:
         raise FileNotFoundError(f"no non-empty window=* sub-indexes under {index_root}")

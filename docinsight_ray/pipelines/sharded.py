@@ -137,32 +137,37 @@ def build_sharded_index(
     # shard — S sequential re-reads. This is the materialized
     # repartition every partitioned build does at scale: each shard
     # then builds from its own partition directory only.)
-    import shutil
+    from ..state.fsio import (
+        exists as fs_exists,
+        glob_parquet,
+        makedirs as fs_makedirs,
+        read_bytes,
+        rmtree as fs_rmtree,
+    )
+    from ..state.manifest import atomic_write_bytes as _awb
 
     sharded = corpus.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
     split_dir = os.path.join(index_dir, "shard_input")
     split_done = os.path.join(split_dir, "_SPLIT_DONE")
     split_tag = f"{fingerprint}:{n_shards}:{shard_cfg.config_hash()}"
-    prev_tag = open(split_done).read() if os.path.exists(split_done) else None
-    if prev_tag != split_tag:
-        shutil.rmtree(split_dir, ignore_errors=True)
-        os.makedirs(split_dir, exist_ok=True)
+    prev = read_bytes(split_done)
+    if prev is None or prev.decode() != split_tag:
+        fs_rmtree(split_dir)
+        fs_makedirs(split_dir)
         sharded.write_parquet(split_dir, partition_cols=["shard"])
-        with open(split_done, "w") as f:
-            f.write(split_tag)
+        _awb(split_done, split_tag.encode())
 
     shard_dirs = []
     empty_corpus = None
     for s in range(n_shards):
         part = os.path.join(split_dir, f"shard={s}")
-        if os.path.isdir(part):
+        if fs_exists(part):
             sub = ray.data.read_parquet(part)
         else:  # hash-empty shard: commit an empty-but-valid sub-index
             if empty_corpus is None:
                 import pyarrow.parquet as _pq
-                import glob as _glob
 
-                any_file = _glob.glob(os.path.join(split_dir, "**", "*.parquet"), recursive=True)[0]
+                any_file = glob_parquet(split_dir)[0]
                 empty_corpus = _pq.read_table(any_file).schema.empty_table()
             sub = ray.data.from_arrow(empty_corpus)
         d = os.path.join(index_dir, f"shard={s}")
@@ -170,7 +175,7 @@ def build_sharded_index(
         shard_dirs.append(d)
 
     # the split copy has served its purpose once every shard committed
-    shutil.rmtree(split_dir, ignore_errors=True)
+    fs_rmtree(split_dir)
 
     distribute_global_stats(shard_dirs)
     return shard_dirs
@@ -237,14 +242,17 @@ def distribute_global_stats(sub_dirs: list[str]) -> None:
     dict. The aggregated dictionary is written ONCE, then file-copied
     into each sub-index (the ship-the-small-dictionary broadcast;
     posting payloads never move)."""
-    import glob as _glob
     import shutil
     import tempfile
 
     import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
 
-    stats = [json.load(open(os.path.join(d, "corpus_stats.json"))) for d in sub_dirs]
+    from ..state.fsio import glob_parquet, makedirs, read_bytes, remove_path
+
+    stats = [
+        json.loads(read_bytes(os.path.join(d, "corpus_stats.json"))) for d in sub_dirs
+    ]
     g_docs = sum(s.get("shard_n_docs", s["n_docs"]) for s in stats)
     g_len = sum(s.get("shard_total_len", s["total_len"]) for s in stats)
     for d, s in zip(sub_dirs, stats):
@@ -257,10 +265,7 @@ def distribute_global_stats(sub_dirs: list[str]) -> None:
         atomic_write_bytes(os.path.join(d, "corpus_stats.json"),
                            json.dumps(s, sort_keys=True, indent=1).encode())
 
-    files = [
-        f for d in sub_dirs
-        for f in _glob.glob(os.path.join(d, "parts", "**", "*.parquet"), recursive=True)
-    ]
+    files = [f for d in sub_dirs for f in glob_parquet(os.path.join(d, "parts"))]
     tmp = tempfile.mkdtemp(prefix="global_df-", dir="/tmp")
     if files:
         (
@@ -275,11 +280,13 @@ def distribute_global_stats(sub_dirs: list[str]) -> None:
                       "df": pa.array([], type=pa.uint64())}),
             os.path.join(tmp, "empty.parquet"),
         )
+    # ship the small aggregated dictionary into each sub-index
+    # (file-level copy; works for plain paths and pyarrow.fs URIs)
     for d in sub_dirs:
         dst = os.path.join(d, "global_df.parquet")
-        if os.path.isdir(dst):
-            shutil.rmtree(dst)
-        elif os.path.exists(dst):
-            os.unlink(dst)
-        shutil.copytree(tmp, dst)
+        remove_path(dst)
+        makedirs(dst)
+        for fn in sorted(os.listdir(tmp)):
+            with open(os.path.join(tmp, fn), "rb") as f:
+                atomic_write_bytes(os.path.join(dst, fn), f.read())
     shutil.rmtree(tmp)

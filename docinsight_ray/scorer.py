@@ -33,7 +33,6 @@ per-shard candidates — SURVEY.md §2.6 T1.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 
@@ -143,6 +142,8 @@ class BM25Scorer:
         mode: str = "taat",
         emit_k: bool = False,
     ):
+        from .state.fsio import exists as fs_exists, glob_parquet, read_bytes
+
         self.cfg = cfg or EngineConfig()
         self.mode = mode
         # emit_k: append the requested k as a per-row column so a
@@ -150,21 +151,20 @@ class BM25Scorer:
         # when this sub-index returned fewer than k rows (inferring k
         # from max(rank)+1 under-merges in that case).
         self.emit_k = emit_k
-        with open(os.path.join(index_dir, "corpus_stats.json")) as f:
-            stats = json.load(f)
+        stats = json.loads(read_bytes(os.path.join(index_dir, "corpus_stats.json")))
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
 
         # doc lengths (narrow columns only)
-        docs = pq.ParquetDataset(os.path.join(index_dir, "docs")).read(columns=["doc_id", "doc_len"])
+        docs = pq.read_table(os.path.join(index_dir, "docs"), columns=["doc_id", "doc_len"])
         did = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         dl = docs["doc_len"].to_numpy(zero_copy_only=False).astype(np.uint32)
         order = np.argsort(did, kind="stable")
         self._dl_docid = did[order]
         self._dl = dl[order]
 
-        # postings partitions
-        files = sorted(glob.glob(os.path.join(index_dir, "parts", "**", "*.parquet"), recursive=True))
+        # postings partitions (plain path or pyarrow.fs URI)
+        files = glob_parquet(os.path.join(index_dir, "parts"))
         if not files:
             raise FileNotFoundError(f"no postings partitions under {index_dir}/parts")
         tbl = pa.concat_tables([pq.read_table(f) for f in files])
@@ -176,7 +176,7 @@ class BM25Scorer:
         # length (decode count); only idf uses the global one.
         self._idf_df = self._df
         gdf_path = os.path.join(index_dir, "global_df.parquet")
-        if os.path.exists(gdf_path):
+        if fs_exists(gdf_path):
             # vectorized Arrow hash-join remap (no per-term Python):
             # index_in finds each local term's row in the global
             # dictionary; misses keep the local df

@@ -74,9 +74,14 @@ def read_parquet_files(dir_path: str) -> list[str]:
     from pyarrow import fs as pafs
 
     infos = fs.get_file_info(pafs.FileSelector(p, allow_not_found=True))
-    scheme = dir_path.split("://", 1)[0]
+    scheme = _scheme(dir_path)
+    # the file scheme returns BARE local paths: Ray's read_parquet
+    # rejects a LIST of file:// URIs (it resolves the filesystem from
+    # the first entry, then normalize_path chokes on the rest); real
+    # object-store schemes (s3://...) are list-safe and keep the URI
+    prefix = "" if scheme == "file" else f"{scheme}://"
     return sorted(
-        f"{scheme}://{i.path}" for i in infos
+        f"{prefix}{i.path}" for i in infos
         if i.type == pafs.FileType.File and i.path.endswith(".parquet")
     )
 
@@ -89,3 +94,120 @@ def listdir_count(dir_path: str) -> int:
 
     infos = fs.get_file_info(pafs.FileSelector(p, allow_not_found=True))
     return len(infos)
+
+
+def _scheme(path: str) -> str:
+    return path.split("://", 1)[0]
+
+
+def exists(path: str) -> bool:
+    fs, p = resolve(path)
+    if fs is None:
+        return os.path.exists(p)
+    from pyarrow import fs as pafs
+
+    return fs.get_file_info(p).type != pafs.FileType.NotFound
+
+
+def rmtree(path: str) -> None:
+    """Best-effort recursive delete (missing path is fine)."""
+    fs, p = resolve(path)
+    if fs is None:
+        import shutil
+
+        shutil.rmtree(p, ignore_errors=True)
+        return
+    try:
+        fs.delete_dir(p)
+    except (FileNotFoundError, OSError):
+        pass
+
+
+def remove_path(path: str) -> None:
+    """Best-effort delete of a file OR directory."""
+    fs, p = resolve(path)
+    if fs is None:
+        if os.path.isdir(p):
+            import shutil
+
+            shutil.rmtree(p, ignore_errors=True)
+        elif os.path.exists(p):
+            os.unlink(p)
+        return
+    from pyarrow import fs as pafs
+
+    info = fs.get_file_info(p)
+    if info.type == pafs.FileType.Directory:
+        fs.delete_dir(p)
+    elif info.type == pafs.FileType.File:
+        fs.delete_file(p)
+
+
+def listdir_names(dir_path: str) -> list[str]:
+    """Base names of directory entries ([] if missing)."""
+    fs, p = resolve(dir_path)
+    if fs is None:
+        return sorted(os.listdir(p)) if os.path.isdir(p) else []
+    from pyarrow import fs as pafs
+
+    infos = fs.get_file_info(pafs.FileSelector(p, allow_not_found=True))
+    return sorted(i.base_name for i in infos)
+
+
+def glob_parquet(dir_path: str) -> list[str]:
+    """Recursive **/*.parquet listing, plain path or URI."""
+    fs, p = resolve(dir_path)
+    if fs is None:
+        import glob as _glob
+
+        return sorted(_glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+    from pyarrow import fs as pafs
+
+    infos = fs.get_file_info(pafs.FileSelector(p, recursive=True, allow_not_found=True))
+    scheme = _scheme(dir_path)
+    prefix = "" if scheme == "file" else f"{scheme}://"  # see read_parquet_files
+    return sorted(
+        f"{prefix}{i.path}" for i in infos
+        if i.type == pafs.FileType.File and i.path.endswith(".parquet")
+    )
+
+
+def write_bytes_atomic(path: str, data: bytes) -> None:
+    """Crash-safe small-file write: tmp+fsync+rename locally, single
+    PUT on object stores (already atomic per object)."""
+    fs, p = resolve(path)
+    if fs is None:
+        import tempfile
+
+        d = os.path.dirname(p)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, p)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        return
+    fs.create_dir(os.path.dirname(p), recursive=True)
+    with fs.open_output_stream(p) as out:
+        out.write(data)
+
+
+def read_bytes(path: str) -> bytes | None:
+    """File contents, or None if missing."""
+    fs, p = resolve(path)
+    if fs is None:
+        if not os.path.exists(p):
+            return None
+        with open(p, "rb") as f:
+            return f.read()
+    from pyarrow import fs as pafs
+
+    if fs.get_file_info(p).type == pafs.FileType.NotFound:
+        return None
+    with fs.open_input_stream(p) as f:
+        return f.read()
