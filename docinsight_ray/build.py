@@ -681,8 +681,11 @@ def build_index(
            path="join" if losers_spill else "broadcast")
 
     t0 = time.monotonic()
-    n_total = docs_ds.count()
-    total_len_all = int(docs_ds.sum("doc_len"))
+    # one execution for both corpus aggregates (separate count()/sum()
+    # calls each re-ran the read)
+    agg = docs_ds.aggregate(RayCount(alias_name="n"), Sum("doc_len", alias_name="len"))
+    n_total = int(agg["n"])
+    total_len_all = int(agg["len"])
     n_docs = n_total - int(losers_count)
     total_len = total_len_all - losers_len
     avgdl = total_len / n_docs if n_docs else 1.0
