@@ -243,43 +243,43 @@ def main() -> None:
     # along in the default run so BENCH_rN.json carries them forward.
     # BENCH_FAST=1 skips them for quick local iteration.
     if os.environ.get("BENCH_FAST") != "1" and os.environ.get("BENCH_PIPELINES") != "core":
-        scaling = {}
-        for n in (8, 32):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(n), BENCH_PIPELINES="core",
-                       BENCH_FAST="1")
+        def _sub(extra_env: dict) -> dict:
+            env = dict(os.environ, BENCH_PIPELINES="core", BENCH_FAST="1", **extra_env)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True, check=True,
+                capture_output=True, text=True, check=True, timeout=1200,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             ).stdout
-            scaling[n] = json.loads(out.strip().splitlines()[-1])
-        t8, t32 = scaling[8]["value"], scaling[32]["value"]
-        b8 = scaling[8]["queries"]["index_build"]
-        b32 = scaling[32]["queries"]["index_build"]
-        result["stats"]["strong_scaling"] = {
-            "sec_8cpu": t8, "sec_32cpu": t32,
-            "efficiency": round((t8 / t32) / (32 / 8), 3),
-            "index_build_sec_8cpu": b8, "index_build_sec_32cpu": b32,
-            "index_build_efficiency": round((b8 / b32) / (32 / 8), 3),
-            "caveat": "single-physical-core sandbox: both settings oversubscribe "
-                      "one core; 0.25 is the CPU-bound floor, values above it "
-                      "measure surplus schedulable parallelism (BASELINE.md)",
-        }
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus), BENCH_DOCS="100000",
-                   BENCH_PIPELINES="core", BENCH_FAST="1")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        stress = json.loads(out.strip().splitlines()[-1])
-        result["stats"]["stress_100k"] = {
-            "index_build_sec": stress["queries"]["index_build"],
-            "build_docs_per_sec": stress["stats"]["build_docs_per_sec"],
-            "bm25_maxscore_p50_ms": stress["stats"]["bm25_maxscore_p50_ms"],
-            "bm25_maxscore_p99_ms": stress["stats"]["bm25_maxscore_p99_ms"],
-            "bm25_bmw_p50_ms": stress["stats"]["bm25_bmw_p50_ms"],
-        }
+            return json.loads(out.strip().splitlines()[-1])
+
+        # a transient sub-run failure must not lose the whole bench line
+        try:
+            scaling = {n: _sub({"RAY_GRAFT_CPUS": str(n)}) for n in (8, 32)}
+            t8, t32 = scaling[8]["value"], scaling[32]["value"]
+            b8 = scaling[8]["queries"]["index_build"]
+            b32 = scaling[32]["queries"]["index_build"]
+            result["stats"]["strong_scaling"] = {
+                "sec_8cpu": t8, "sec_32cpu": t32,
+                "efficiency": round((t8 / t32) / (32 / 8), 3),
+                "index_build_sec_8cpu": b8, "index_build_sec_32cpu": b32,
+                "index_build_efficiency": round((b8 / b32) / (32 / 8), 3),
+                "caveat": "single-physical-core sandbox: both settings oversubscribe "
+                          "one core; 0.25 is the CPU-bound floor, values above it "
+                          "measure surplus schedulable parallelism (BASELINE.md)",
+            }
+        except Exception as e:  # noqa: BLE001 — degrade, don't lose the run
+            result["stats"]["strong_scaling"] = {"error": f"{type(e).__name__}: {e}"}
+        try:
+            stress = _sub({"RAY_GRAFT_CPUS": str(num_cpus), "BENCH_DOCS": "100000"})
+            result["stats"]["stress_100k"] = {
+                "index_build_sec": stress["queries"]["index_build"],
+                "build_docs_per_sec": stress["stats"]["build_docs_per_sec"],
+                "bm25_maxscore_p50_ms": stress["stats"]["bm25_maxscore_p50_ms"],
+                "bm25_maxscore_p99_ms": stress["stats"]["bm25_maxscore_p99_ms"],
+                "bm25_bmw_p50_ms": stress["stats"]["bm25_bmw_p50_ms"],
+            }
+        except Exception as e:  # noqa: BLE001
+            result["stats"]["stress_100k"] = {"error": f"{type(e).__name__}: {e}"}
 
     print(json.dumps(result))
 
