@@ -826,6 +826,11 @@ def build_index(
 
     _stage("hot_merge", t0)
 
+    # the join-path loser spill has served its purpose (dedup is
+    # recomputed from the docs registry on any resume)
+    if losers_spill is not None:
+        fs_rmtree(losers_spill)
+
     stats = {
         "stages": stage_metrics,
         "n_docs": int(n_docs),

@@ -290,8 +290,13 @@ def q_embedding_near_dup_lsh(
     ds = _read_embeddings(sf_dir)
     import pyarrow.parquet as pq
 
-    dim = len(pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet")).column("embedding")[0])
+    # vector dimension from ONE row — not a driver read of the table
+    first = next(
+        pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).iter_batches(
+            batch_size=1, columns=["embedding"]
+        )
+    )
+    dim = len(first["embedding"][0])
     planes = rng.standard_normal((n_tables, n_bits, dim))
     p_ref = ray.put(planes)
 

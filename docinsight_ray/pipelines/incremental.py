@@ -50,10 +50,13 @@ def _window_dirs(index_root: str) -> list[str]:
     ]
 
 
-def _window_stats(d: str) -> dict:
+def _window_stats(d: str) -> dict | None:
+    """Stats of a COMMITTED window; None for a partially-built dir
+    (corpus_stats.json is the last thing a build writes)."""
     from ..state.fsio import read_bytes
 
-    return json.loads(read_bytes(os.path.join(d, "corpus_stats.json")))
+    data = read_bytes(os.path.join(d, "corpus_stats.json"))
+    return None if data is None else json.loads(data)
 
 
 def append_window(
@@ -75,13 +78,19 @@ def append_window(
         # hash-partitioned anti-join above — docinsight_ray.joins).
         from ..state.fsio import exists as fs_exists, read_parquet_files
 
-        prior = _window_dirs(index_root)
-        docs_dirs = [os.path.join(d, "docs") for d in prior
+        # "prior" = COMMITTED windows other than the one being appended:
+        # a crashed earlier attempt at THIS window leaves a stats-less
+        # dir whose docs registry must not poison the seen-sha set
+        # (it would filter out every row of the resumed append), and
+        # other partially-built windows aren't committed corpus either
+        this_dir = os.path.join(index_root, f"window={window_id}")
+        prior_stats = [
+            (d, _window_stats(d)) for d in _window_dirs(index_root) if d != this_dir
+        ]
+        prior_stats = [(d, s) for d, s in prior_stats if s is not None]
+        docs_dirs = [os.path.join(d, "docs") for d, _ in prior_stats
                      if fs_exists(os.path.join(d, "docs"))]
-        n_seen = sum(
-            _window_stats(d).get("shard_n_docs", _window_stats(d)["n_docs"])
-            for d in prior
-        )
+        n_seen = sum(s.get("shard_n_docs", s["n_docs"]) for _, s in prior_stats)
         if docs_dirs and n_seen:
             from ..joins import key_set_filter
 
@@ -124,11 +133,13 @@ def query_windows(
     """Fan queries over all window sub-indexes; exact top-k merge
     (same shape as sharded.query_sharded)."""
     cfg = cfg or EngineConfig()
-    dirs = [
-        d for d in _window_dirs(index_root)
-        # skip empty windows (e.g. fully-deduplicated appends)
-        if _window_stats(d).get("shard_n_docs", _window_stats(d)["n_docs"]) > 0
-    ]
+    dirs = []
+    for d in _window_dirs(index_root):
+        # skip empty windows (fully-deduplicated appends) and
+        # partially-built dirs (no committed corpus_stats yet)
+        s = _window_stats(d)
+        if s is not None and s.get("shard_n_docs", s["n_docs"]) > 0:
+            dirs.append(d)
     if not dirs:
         raise FileNotFoundError(f"no non-empty window=* sub-indexes under {index_root}")
     results = [

@@ -190,11 +190,18 @@ def query_sharded(
     concurrency_per_shard: int = 1,
 ) -> "ray.data.Dataset":
     """Fan every query out to all shard scorers, then exact-merge the
-    per-shard top-k candidates per query."""
+    per-shard top-k candidates per query. Hash-empty shards (possible
+    when n_shards approaches the doc count) are skipped — their
+    empty-but-valid sub-indexes have no postings to serve."""
+    from ..state.fsio import read_bytes
+
     cfg = cfg or EngineConfig()
     shard_results = []
     for s in range(n_shards):
         d = os.path.join(index_dir, f"shard={s}")
+        st = json.loads(read_bytes(os.path.join(d, "corpus_stats.json")))
+        if st.get("shard_n_docs", st["n_docs"]) == 0:
+            continue
         shard_results.append(
             queries.map_batches(
                 BM25Scorer,
@@ -205,6 +212,8 @@ def query_sharded(
                 num_cpus=1,
             )
         )
+    if not shard_results:
+        raise FileNotFoundError(f"no non-empty shard=* sub-indexes under {index_dir}")
     union = shard_results[0].union(*shard_results[1:]) if len(shard_results) > 1 else shard_results[0]
     return union.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")
 

@@ -316,14 +316,11 @@ class BM25Scorer:
         terms = self.query_terms(text)
         if not terms:
             return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
-        # NOTE: a query term absent from the index makes the result
-        # empty (it is required); query_terms drops unknown terms, so
-        # re-check against the raw tokenization
-        raw = {t for t in tokenize_text(text, self.cfg) if len(t) > 0}
-        if any(t not in self._terms for t in raw if t):
-            missing = [t for t in raw if t not in self._terms]
-            if missing:
-                return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
+        # a query term absent from the index empties the result (it is
+        # required); query_terms drops unknown terms, so re-check the
+        # raw tokenization
+        if set(tokenize_text(text, self.cfg)) - self._terms.keys():
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
         arrays = {t: self._term_arrays(t) for t in terms}
         by_df = sorted(terms, key=lambda t: arrays[t][0].size)
         cand = arrays[by_df[0]][0]

@@ -49,16 +49,37 @@ def makedirs(path: str) -> None:
         fs.create_dir(p, recursive=True)
 
 
+def _is_local_fs(fs) -> bool:
+    from pyarrow import fs as pafs
+
+    return isinstance(fs, pafs.LocalFileSystem) or (
+        isinstance(fs, pafs.SubTreeFileSystem)
+        and isinstance(fs.base_fs, pafs.LocalFileSystem)
+    )
+
+
 def write_parquet_atomic(table: pa.Table, dest: str, compression: str = "zstd") -> int:
     """Write one parquet file so readers never observe a partial file.
     Returns the byte size written."""
     fs, p = resolve(dest)
+    if fs is not None and _is_local_fs(fs):
+        # file:// resolves to a local filesystem whose output stream is
+        # an in-place truncating write — NOT atomic; use rename-commit
+        fs, p = None, p
     if fs is None:
-        tmp = p + f".{uuid.uuid4().hex}.tmp"
-        pq.write_table(table, tmp, compression=compression)
-        os.replace(tmp, p)
+        # dot-prefixed tmp name: a crashed writer's leftover is ignored
+        # by pyarrow dataset discovery (which skips '.'/'_' basenames),
+        # so directory-level reads never see a truncated file
+        d, base = os.path.split(p)
+        tmp = os.path.join(d, f".{base}.{uuid.uuid4().hex}.tmp")
+        try:
+            pq.write_table(table, tmp, compression=compression)
+            os.replace(tmp, p)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
         return os.path.getsize(p)
-    with fs.open_output_stream(p) as out:
+    with fs.open_output_stream(p) as out:  # object store: PUT is atomic
         pq.write_table(table, out, compression=compression)
     return fs.get_file_info(p).size
 
@@ -176,12 +197,16 @@ def write_bytes_atomic(path: str, data: bytes) -> None:
     """Crash-safe small-file write: tmp+fsync+rename locally, single
     PUT on object stores (already atomic per object)."""
     fs, p = resolve(path)
+    if fs is not None and _is_local_fs(fs):
+        fs = None  # file:// — in-place stream write is not atomic
     if fs is None:
         import tempfile
 
         d = os.path.dirname(p)
         os.makedirs(d, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        # dot-prefixed so a crashed writer's leftover is invisible to
+        # pyarrow dataset discovery (global_df.parquet dirs are scanned)
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".", suffix=".tmp")
         try:
             with os.fdopen(fd, "wb") as f:
                 f.write(data)

@@ -59,6 +59,36 @@ def test_cross_window_dedup(ray_session, tmp_path):
     assert s1["n_docs"] == 60  # global count unchanged
 
 
+def test_append_resume_after_crash(ray_session, tmp_path):
+    """Re-appending a window whose previous attempt crashed mid-build
+    (docs registry written, corpus_stats missing) must NOT let the
+    partial dir's own shas poison the cross-window dedup filter —
+    the resumed window keeps all its rows."""
+    import json
+    import os
+
+    import ray.data
+
+    corpus = gen_corpus(120, seed=19, with_cases=False)
+    root = str(tmp_path / "crash")
+    append_window(ray.data.from_arrow(corpus.slice(0, 60)), root, "000", CFG)
+    append_window(ray.data.from_arrow(corpus.slice(60, 60)), root, "001", CFG)
+    w1 = os.path.join(root, "window=001")
+    # simulate the crash window: stats + success marker gone, docs kept
+    os.unlink(os.path.join(w1, "corpus_stats.json"))
+    os.unlink(os.path.join(w1, "manifest", "_SUCCESS.json"))
+    dirs = append_window(ray.data.from_arrow(corpus.slice(60, 60)), root, "001", CFG)
+    assert len(dirs) == 2
+    s1 = json.load(open(os.path.join(w1, "corpus_stats.json")))
+    # expected = window-2 distinct contents NOT already in window 1
+    # (cross-window dedup legitimately drops those)
+    seen_w1 = set(corpus.slice(0, 60)["content"].to_pylist())
+    n_expected = len(set(corpus.slice(60, 60)["content"].to_pylist()) - seen_w1)
+    assert s1["shard_n_docs"] == n_expected, (
+        "resumed window lost rows to its own partial docs registry"
+    )
+
+
 def test_cross_window_dedup_join_path(ray_session, tmp_path):
     """Same contract with broadcast_limit=0: the seen-sha filter runs
     through the hash-partitioned anti-join instead of ray.put."""

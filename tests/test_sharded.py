@@ -105,6 +105,27 @@ def test_merge_k_not_truncated(sharded):
     np.testing.assert_array_equal(out.score.to_numpy(), osc)
 
 
+def test_empty_shards_are_servable(ray_session, tmp_path):
+    """n_shards near the doc count leaves hash-empty shards; the
+    sharded index must still serve (empty sub-indexes are skipped)."""
+    import ray.data
+
+    cfg = EngineConfig(num_buckets=4, dedup=False)
+    corpus = gen_corpus(60, seed=55, with_cases=False).slice(0, 5)
+    idx = str(tmp_path / "tiny")
+    dirs = build_sharded_index(ray.data.from_arrow(corpus), idx, 8, cfg, fingerprint="tiny")
+    assert len(dirs) == 8
+    oracle = OracleIndex(corpus, cfg)
+    queries = gen_queries(corpus, n_keyword=3, seed=55)
+    qds = ray.data.from_arrow(queries_table(queries))
+    out = query_sharded(qds, idx, 8, cfg, mode="taat").to_pandas()
+    for qid, text, k in queries:
+        od, osc = oracle.score(text, k)
+        sub = out[out.query_id == qid].sort_values("rank")
+        np.testing.assert_array_equal(sub.doc_id.to_numpy(dtype=np.uint64), od)
+        np.testing.assert_array_equal(sub.score.to_numpy(), osc)
+
+
 def test_sharded_global_dedup(ray_session, tmp_path):
     """Duplicates whose copies land in DIFFERENT shards are still
     deduped (global pre-shard sha pass), matching the single-index
