@@ -128,6 +128,9 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
 
     if os.environ.get("BENCH_PIPELINES") == "core":
         ray.shutdown()
+        import shutil
+
+        shutil.rmtree(idx_dir, ignore_errors=True)
         total = round(sum(timings.values()), 3)
         return {
             "metric": "engine core wall time (index build + BM25)",
@@ -172,6 +175,12 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         q_docs_registry(sf_dir)
 
     ray.shutdown()
+    # per-run scratch indexes (PID-keyed) would otherwise accumulate
+    # across rounds in /tmp
+    import shutil
+
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    shutil.rmtree(sh_dir, ignore_errors=True)
     total = round(sum(timings.values()), 3)
     return {
         "metric": "engine suite wall time (index build + BM25 + breadth pipelines)",
