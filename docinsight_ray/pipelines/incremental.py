@@ -119,7 +119,9 @@ def append_window(
     d = os.path.join(index_root, f"window={window_id}")
     build_index(corpus_window, d, cfg, fingerprint=f"window:{window_id}")
     dirs = _window_dirs(index_root)
-    distribute_global_stats(dirs)
+    # incremental df path: prior snapshot + this window's parts (falls
+    # back to full re-aggregation when coverage doesn't line up)
+    distribute_global_stats(dirs, appended=d)
     return dirs
 
 

@@ -238,7 +238,7 @@ def merge_topk(g: pa.Table) -> pa.Table:
     )
 
 
-def distribute_global_stats(sub_dirs: list[str]) -> None:
+def distribute_global_stats(sub_dirs: list[str], appended: str | None = None) -> None:
     """Make a set of sub-indexes (doc shards or time windows) score with
     corpus-WIDE statistics: overwrite each sub-index's n_docs/total_len/
     avgdl with the global values (preserving build_avgdl for block-max
@@ -246,41 +246,73 @@ def distribute_global_stats(sub_dirs: list[str]) -> None:
     (the distributed-term-stats broadcast every partitioned engine does).
 
     The global df aggregation is a Ray Dataset ``groupby(term).sum(df)``
-    over the narrow (term, df) columns of every sub-index's postings —
-    the term dictionary is never materialized in a driver-side Python
-    dict. The aggregated dictionary is written ONCE, then file-copied
-    into each sub-index (the ship-the-small-dictionary broadcast;
-    posting payloads never move)."""
+    over narrow (term, df) columns — the term dictionary is never
+    materialized in a driver-side Python dict. The aggregated
+    dictionary is written ONCE, then file-copied into each sub-index
+    (ship-the-small-dictionary broadcast; posting payloads never move).
+
+    ``appended``: the just-added sub-index for the INCREMENTAL path —
+    when a prior sub-index holds a global_df snapshot whose recorded
+    coverage equals exactly the other sub-dirs, the new global df is
+    (prior snapshot + new sub-index's parts), so append cost stays
+    O(dictionary + new window) instead of re-reading every window's
+    postings. Any coverage mismatch (e.g. a crash between build and
+    distribute) falls back to the full re-aggregation."""
     import shutil
     import tempfile
 
     import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
 
-    from ..state.fsio import glob_parquet, makedirs, read_bytes, remove_path
+    from ..state.fsio import exists as fs_exists, glob_parquet, makedirs, read_bytes, remove_path
 
     stats = [
         json.loads(read_bytes(os.path.join(d, "corpus_stats.json"))) for d in sub_dirs
     ]
+    # capture the snapshot coverage BEFORE the stats rewrite below
+    pre_covers = {d: s.get("global_df_covers") for d, s in zip(sub_dirs, stats)}
     g_docs = sum(s.get("shard_n_docs", s["n_docs"]) for s in stats)
     g_len = sum(s.get("shard_total_len", s["total_len"]) for s in stats)
+    covers = sorted(os.path.basename(d.rstrip("/")) for d in sub_dirs)
     for d, s in zip(sub_dirs, stats):
         s.update({
             "shard_n_docs": s.get("shard_n_docs", s["n_docs"]),
             "shard_total_len": s.get("shard_total_len", s["total_len"]),
             "n_docs": g_docs, "total_len": g_len,
             "avgdl": g_len / g_docs if g_docs else 1.0,
+            "global_df_covers": covers,
         })
         atomic_write_bytes(os.path.join(d, "corpus_stats.json"),
                            json.dumps(s, sort_keys=True, indent=1).encode())
 
-    files = [f for d in sub_dirs for f in glob_parquet(os.path.join(d, "parts"))]
+    # incremental source selection: prior snapshot + new parts, but only
+    # when the snapshot's recorded coverage is exactly the prior set
+    files: list[str] | None = None
+    if appended is not None and len(sub_dirs) > 1:
+        prior = [d for d in sub_dirs if d != appended]
+        expect = sorted(os.path.basename(d.rstrip("/")) for d in prior)
+        snap = os.path.join(prior[0], "global_df.parquet")
+        if fs_exists(snap) and pre_covers.get(prior[0]) == expect:
+            files = glob_parquet(snap) + glob_parquet(os.path.join(appended, "parts"))
+    if files is None:
+        files = [f for d in sub_dirs for f in glob_parquet(os.path.join(d, "parts"))]
+
     tmp = tempfile.mkdtemp(prefix="global_df-", dir="/tmp")
     if files:
+        import pyarrow.compute as _pc
+
         (
             ray.data.read_parquet(files, columns=["term", "df"])
             .groupby("term")
             .aggregate(Sum("df", alias_name="df"))
+            # store df as uint64 so the snapshot merges cleanly with
+            # posting rows (also uint64) on the next incremental append
+            .map_batches(
+                lambda t: pa.table(
+                    {"term": t["term"], "df": _pc.cast(t["df"], pa.uint64())}
+                ),
+                batch_format="pyarrow",
+            )
             .write_parquet(tmp)
         )
     else:  # every sub-index empty (e.g. fully-deduplicated windows)
