@@ -213,6 +213,8 @@ class AssignGroupKey:
         self.hot_terms = ray.get(hot_ref)          # np.ndarray[object]
         self.losers = ray.get(losers_ref)          # np.ndarray[uint64], sorted
         self.done = ray.get(done_ref)              # frozenset[int] committed gkeys
+        # Arrow value_set built once per actor, not once per batch
+        self._hot_set = pa.array(self.hot_terms, type=pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -227,7 +229,7 @@ class AssignGroupKey:
         if self.hot_terms.size and cfg.salting_enabled:
             # Arrow is_in kernel (hash set in C) beats np.isin on objects
             hot_mask = pc.is_in(
-                batch["term"], value_set=pa.array(self.hot_terms, type=pa.string())
+                batch["term"], value_set=self._hot_set
             ).to_numpy(zero_copy_only=False)
             gkey = np.where(
                 hot_mask,
