@@ -1,0 +1,88 @@
+"""state/fsio.py unit behavior: atomicity artifacts, URI/plain parity."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from docinsight_ray.state.fsio import (
+    exists,
+    glob_parquet,
+    listdir_count,
+    listdir_names,
+    makedirs,
+    read_bytes,
+    read_parquet_files,
+    remove_path,
+    rmtree,
+    write_bytes_atomic,
+    write_parquet_atomic,
+)
+
+TBL = pa.table({"a": pa.array([1, 2, 3], type=pa.int64()), "b": ["x", "y", "z"]})
+
+
+def _roundtrip(root: str):
+    makedirs(os.path.join(root, "d"))
+    n = write_parquet_atomic(TBL, os.path.join(root, "d", "t.parquet"))
+    assert n > 0
+    write_bytes_atomic(os.path.join(root, "d", "m.json"), b'{"k": 1}')
+    assert read_bytes(os.path.join(root, "d", "m.json")) == b'{"k": 1}'
+    assert read_bytes(os.path.join(root, "d", "missing.json")) is None
+    assert exists(os.path.join(root, "d", "t.parquet"))
+    assert not exists(os.path.join(root, "nope"))
+    files = read_parquet_files(os.path.join(root, "d"))
+    assert len(files) == 1 and files[0].endswith("t.parquet")
+    assert glob_parquet(root) == files
+    assert listdir_count(os.path.join(root, "d")) == 2
+    assert set(listdir_names(os.path.join(root, "d"))) == {"t.parquet", "m.json"}
+    got = pq.read_table(files[0])
+    assert got.equals(TBL)
+    remove_path(os.path.join(root, "d", "m.json"))
+    assert not exists(os.path.join(root, "d", "m.json"))
+    rmtree(os.path.join(root, "d"))
+    assert listdir_count(os.path.join(root, "d")) == 0
+
+
+def test_plain_path_roundtrip(tmp_path):
+    _roundtrip(str(tmp_path / "plain"))
+
+
+def test_file_uri_roundtrip(tmp_path):
+    _roundtrip(f"file://{tmp_path}/uri")
+
+
+def test_crash_leftovers_invisible_to_dataset_discovery(tmp_path):
+    """A writer's tmp file (simulated crash leftover) must be ignored
+    by pyarrow dataset reads of the directory — the dot prefix is the
+    contract."""
+    d = str(tmp_path / "frag")
+    makedirs(d)
+    write_parquet_atomic(TBL, os.path.join(d, "good.parquet"))
+    # simulate the crash: a half-written tmp with the atomic writers'
+    # naming scheme next to the good file
+    with open(os.path.join(d, ".good.parquet.deadbeef.tmp"), "wb") as f:
+        f.write(b"NOT A PARQUET FILE")
+    got = pq.read_table(d)  # directory-level dataset read
+    assert got.num_rows == TBL.num_rows
+    # and the explicit listings skip it too
+    assert all(".tmp" not in f for f in read_parquet_files(d))
+    assert all(".tmp" not in f for f in glob_parquet(d))
+
+
+def test_write_is_atomic_under_reader(tmp_path):
+    """After write_parquet_atomic returns, the destination is complete;
+    before it returns, the destination either doesn't exist or is the
+    previous complete version (no torn intermediate with the final
+    name)."""
+    d = str(tmp_path / "atomic")
+    makedirs(d)
+    dest = os.path.join(d, "t.parquet")
+    write_parquet_atomic(TBL, dest)
+    v1 = pq.read_table(dest)
+    bigger = pa.concat_tables([TBL] * 100)
+    write_parquet_atomic(bigger, dest)
+    v2 = pq.read_table(dest)
+    assert v1.num_rows == 3 and v2.num_rows == 300
+    # no stray tmp files remain
+    assert listdir_names(d) == ["t.parquet"]
