@@ -526,7 +526,7 @@ def build_index(
     if "docs" not in done:
         # no resumable state for THIS (input, config) identity → clean slate
         for sub in ("fragments", "fragments-dfstats", "docs", "parts",
-                    "partial", "manifest", "dedup_losers"):
+                    "partial", "manifest", "dedup_losers", "merge_stage"):
             fs_rmtree(os.path.join(index_dir, sub))
         if fragments_dir is not None:
             for d in (frag_dir, frag_dir.rstrip("/") + "-dfstats"):
@@ -781,19 +781,56 @@ def build_index(
     done_ref = ray.put(frozenset(
         int(p[1:]) for p in done if p.startswith("g") and p[1:].isdigit()
     ))
-    stats_ds = (
-        merge_in.map_batches(
-            AssignGroupKey(cfg, hot_ref, losers_ref, done_ref),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+    keyed = merge_in.map_batches(
+        AssignGroupKey(cfg, hot_ref, losers_ref, done_ref),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    if cfg.merge_strategy == "partition":
+        # Hash-partition-write shuffle: stage the keyed fragments as a
+        # hive-partitioned dataset (each map task appends its own files
+        # per gkey — no all-to-all sort), then merge each partition
+        # directory independently. Functionally identical to the sort
+        # path (MergeGroup sorts within the group either way; proven
+        # byte-identical by test_merge_strategy_partition_identical);
+        # trades the sort machinery's memory spike for a staging write,
+        # which is the standard choice at corpus sizes where a sort
+        # shuffle would spill anyway.
+        from .state.fsio import listdir_names
+
+        stage_dir = os.path.join(index_dir, "merge_stage")
+        fs_rmtree(stage_dir)
+        fs_makedirs(stage_dir)
+        keyed.write_parquet(stage_dir, partition_cols=["gkey"])
+        gkeys = sorted(
+            int(n.split("=", 1)[1]) for n in listdir_names(stage_dir)
+            if n.startswith("gkey=")
         )
-        .groupby("gkey")
-        .map_groups(
+        merger = MergeGroup(cfg, index_dir, avgdl, fingerprint)
+
+        def merge_partition(batch: pa.Table, _m=merger, _sd=stage_dir) -> pa.Table:
+            outs = []
+            for g in batch["gkey"].to_pylist():
+                t = pq.read_table(os.path.join(_sd, f"gkey={g}"))
+                t = t.append_column(
+                    "gkey", pa.array(np.full(t.num_rows, g, dtype=np.int64), type=pa.int64())
+                )
+                outs.append(_m(t))
+            return pa.concat_tables(outs)
+
+        stats_ds = ray.data.from_items([{"gkey": g} for g in gkeys]).map_batches(
+            merge_partition, batch_format="pyarrow", batch_size=1
+        )
+        merge_stats = stats_ds.to_pandas() if gkeys else pd.DataFrame(
+            {"gkey": [], "kind": [], "rows_in": [], "n_terms": [], "bytes_out": [], "wall_s": []}
+        )
+        fs_rmtree(stage_dir)
+    else:
+        stats_ds = keyed.groupby("gkey").map_groups(
             MergeGroup(cfg, index_dir, avgdl, fingerprint),
             batch_format="pyarrow",
         )
-    )
-    merge_stats = stats_ds.to_pandas()  # tiny: one row per gkey
+        merge_stats = stats_ds.to_pandas()  # tiny: one row per gkey
     _stage(
         "merge_shuffle", t0,
         groups=int(len(merge_stats)),

@@ -47,6 +47,13 @@ class EngineConfig:
     hot_salt: int = 4
     salting_enabled: bool = True
 
+    # Merge-shuffle strategy: "sort" = Ray groupby(gkey).map_groups
+    # (sort-based all-to-all); "partition" = hive-partitioned staging
+    # write + independent per-partition merges (no global sort — the
+    # push-style shuffle for corpora where a sort would spill anyway).
+    # Byte-identical outputs (tested); pick per deployment.
+    merge_strategy: str = "sort"
+
     # doc_id assignment: "hash" = first 8 bytes of sha256(repo|path|commit)
     # (deterministic, cluster-safe); "column" = pass through an existing
     # int64 `doc_id` column (used for the driver's `documents` table).

@@ -316,6 +316,27 @@ def test_build_dup_free_corpus(ray_session, tmp_path):
     assert res.n_dup_losers == 0 and res.n_docs == corpus.num_rows
 
 
+def test_merge_strategy_partition_identical(ray_session, tmp_path):
+    """The hash-partition-write merge shuffle produces byte-identical
+    postings and stats to the sort-based groupby shuffle."""
+    import dataclasses
+
+    import ray.data
+
+    corpus = gen_corpus(200, seed=67)
+    a = str(tmp_path / "sort")
+    b = str(tmp_path / "hive")
+    cfg_p = dataclasses.replace(CFG, merge_strategy="partition")
+    ra = build_index(ray.data.from_arrow(corpus), a, CFG, fingerprint="ms")
+    rb = build_index(ray.data.from_arrow(corpus), b, cfg_p, fingerprint="ms")
+    assert rb.n_docs == ra.n_docs and rb.total_len == ra.total_len
+    ta, tb = _load_all_postings(a).sort_by("term"), _load_all_postings(b).sort_by("term")
+    assert ta.num_rows == tb.num_rows
+    for col in ["term", "df", "doc_ids_vb", "tfs_vb"]:
+        assert ta[col].to_pylist() == tb[col].to_pylist(), f"column {col} differs"
+    assert not os.path.isdir(os.path.join(b, "merge_stage"))  # staging cleaned
+
+
 def test_fragments_dir_uri(ray_session, tmp_path):
     """The SPIMI fragment side-channel works through a pyarrow.fs URI
     (object-store plumbing, exercised via file://) and produces a
