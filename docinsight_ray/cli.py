@@ -101,11 +101,13 @@ def cmd_query(args) -> int:
             print(f"wrote {len(rows)} result rows to {args.out}/results.parquet", file=sys.stderr)
         if args.report:
             # per-query JSON report (S8; reference
-            # enhanced_pipeline.py:649-672 generate_report_files)
+            # enhanced_pipeline.py:649-672 generate_report_files);
+            # --corpus adds content previews per hit
             from .report import write_query_report
 
             write_query_report(
-                results, list(enumerate(args.text)), args.index_dir, args.report
+                results, list(enumerate(args.text)), args.index_dir, args.report,
+                corpus_path=args.corpus,
             )
             print(f"wrote JSON report to {args.report}", file=sys.stderr)
     return 0
@@ -230,6 +232,8 @@ def main(argv=None) -> int:
     q.add_argument("--tokenizer", default="code", choices=["code", "simple"])
     q.add_argument("--out", default=None, help="directory to write results.parquet")
     q.add_argument("--report", default=None, help="path to write a per-query JSON report")
+    q.add_argument("--corpus", default=None,
+                   help="source corpus parquet for content previews in --report")
     q.set_defaults(fn=cmd_query)
 
     v = sub.add_parser("validate", parents=[common], help="check index invariants + manifests")

@@ -38,8 +38,8 @@ def hydrate_results(results: pa.Table, index_dir: str) -> dict[int, dict[str, st
     import pyarrow.compute as pc
 
     wanted = pa.array(sorted({int(d) for d in results["doc_id"].to_pylist()}), type=pa.uint64())
-    docs = pq.ParquetDataset(os.path.join(index_dir, "docs")).read(
-        columns=["doc_id", "repo", "path", "lang"]
+    docs = pq.read_table(
+        os.path.join(index_dir, "docs"), columns=["doc_id", "repo", "path", "lang"]
     )
     hit = docs.filter(pc.is_in(pc.cast(docs["doc_id"], pa.uint64()), value_set=wanted))
     return {
@@ -51,16 +51,50 @@ def hydrate_results(results: pa.Table, index_dir: str) -> dict[int, dict[str, st
     }
 
 
+def hydrate_previews(
+    results: pa.Table, index_dir: str, corpus_path: str, preview_chars: int = 160
+) -> dict[int, str]:
+    """doc_id → content preview for the hit docs, read from the SOURCE
+    corpus with an is_in row filter (the reference report's
+    preview_text, enhanced_pipeline.py:712-718; content is never
+    stored in the index, so previews need the corpus)."""
+    import pyarrow.compute as pc
+
+    from .ids import doc_id_from_key
+
+    wanted = {int(d) for d in results["doc_id"].to_pylist()}
+    out: dict[int, str] = {}
+    t = pq.read_table(corpus_path)
+    if "doc_id" in t.column_names:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        ids = doc_id_from_key(
+            t["repo"].to_pylist(), t["path"].to_pylist(), t["commit"].to_pylist()
+        )
+    content_col = "content" if "content" in t.column_names else "text"
+    mask = np.isin(ids, np.fromiter(wanted, dtype=np.uint64))
+    for d, c in zip(ids[mask], t.filter(pa.array(mask))[content_col].to_pylist()):
+        out[int(d)] = c[:preview_chars]
+    return out
+
+
 def build_query_report(
     results: pa.Table,
     queries: list[tuple[int, str]],
     index_dir: str,
+    corpus_path: str | None = None,
 ) -> dict[str, Any]:
     """Assemble the JSON report payload: corpus stats + per-query hits
-    hydrated with doc metadata."""
-    with open(os.path.join(index_dir, "corpus_stats.json")) as f:
-        stats = json.load(f)
+    hydrated with doc metadata (and content previews when the source
+    corpus is provided)."""
+    from .state.fsio import read_bytes
+
+    stats = json.loads(read_bytes(os.path.join(index_dir, "corpus_stats.json")))
     meta = hydrate_results(results, index_dir)
+    if corpus_path:
+        previews = hydrate_previews(results, index_dir, corpus_path)
+        for d, p in previews.items():
+            meta.setdefault(d, {})["preview"] = p
     df = results.to_pandas().sort_values(["query_id", "rank"])
     by_query = []
     qtext = dict(queries)
@@ -98,9 +132,10 @@ def write_query_report(
     queries: list[tuple[int, str]],
     index_dir: str,
     out_path: str,
+    corpus_path: str | None = None,
 ) -> dict[str, Any]:
     """Write the JSON report atomically; returns the payload."""
-    payload = build_query_report(results, queries, index_dir)
+    payload = build_query_report(results, queries, index_dir, corpus_path=corpus_path)
     os.makedirs(os.path.dirname(os.path.abspath(out_path)) or ".", exist_ok=True)
     atomic_write_bytes(out_path, json.dumps(payload, indent=2, sort_keys=True).encode())
     return payload

@@ -28,6 +28,7 @@ def test_cli_query_report_and_out(built_cli, capsys):
     rc = main([
         "query", idx, "public static void", "class main",
         "--mode", "maxscore", "-k", "5", "--out", out_dir, "--report", report,
+        "--corpus", corpus_path,
     ])
     assert rc == 0
     lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
@@ -37,6 +38,8 @@ def test_cli_query_report_and_out(built_cli, capsys):
     rep = json.load(open(report))
     assert rep["n_queries"] == 2
     assert all({"repo", "path", "score"} <= set(h) for q in rep["queries"] for h in q["hits"])
+    # --corpus adds content previews (reference preview_text analogue)
+    assert all(h.get("preview") for q in rep["queries"] for h in q["hits"])
 
 
 def test_cli_validate_clean_and_corrupted(built_cli, capsys, tmp_path):
