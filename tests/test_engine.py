@@ -316,6 +316,42 @@ def test_build_dup_free_corpus(ray_session, tmp_path):
     assert res.n_dup_losers == 0 and res.n_docs == corpus.num_rows
 
 
+def test_unicode_content_builds_and_matches_oracle(ray_session, tmp_path):
+    """Non-ASCII content (identifiers, comments, emoji) must build,
+    keep the sha256 invariant, and score rank-identically."""
+    import ray.data
+
+    rows = [
+        ("r", f"u/{i}.java", "", "java",
+         f"class Ünïcode{i} {{ // コメント {i} ✨\n  int café_{i} = {i}; "
+         f"String z = \"naïve Σσ {i}\"; }}")
+        for i in range(40)
+    ]
+    corpus = pa.table(
+        {
+            "repo": pa.array([r[0] for r in rows]),
+            "path": pa.array([r[1] for r in rows]),
+            "commit": pa.array([r[2] for r in rows]),
+            "lang": pa.array([r[3] for r in rows]),
+            "content": pa.array([r[4] for r in rows]),
+        }
+    )
+    idx = str(tmp_path / "uni")
+    res = build_index(ray.data.from_arrow(corpus), idx, CFG, fingerprint="uni")
+    assert res.n_docs == 40
+    docs = pq.ParquetDataset(os.path.join(idx, "docs")).read()
+    shas = dict(zip(docs["path"].to_pylist(), docs["content_sha256"].to_pylist()))
+    for _r, p, _c, _l, content in rows:
+        assert shas[p] == hashlib.sha256(content.encode()).hexdigest()
+    oracle = OracleIndex(corpus, CFG)
+    sc = BM25Scorer(idx, CFG, mode="maxscore")
+    for q in ("cafe", "class int", "string naive"):
+        od, osc = oracle.score(q, 10)
+        d, s = sc.score_maxscore(q, 10)
+        np.testing.assert_array_equal(d, od)
+        np.testing.assert_array_equal(s, osc)
+
+
 def test_merge_strategy_partition_identical(ray_session, tmp_path):
     """The hash-partition-write merge shuffle produces byte-identical
     postings and stats to the sort-based groupby shuffle."""

@@ -86,6 +86,32 @@ def test_plagiarism_conformance_real_corpus(ref_built, ray_session):
     assert report["ok"]
 
 
+def test_sharded_serving_on_reference_corpus(ref_built, ray_session, tmp_path):
+    """The doc-sharded scale path serves the REAL reference corpus
+    rank-identically to the single index (and the oracle)."""
+    import ray.data
+
+    from docinsight_ray.fixtures import queries_table
+    from docinsight_ray.pipelines.sharded import build_sharded_index, query_sharded
+
+    _, corpus = ref_built
+    cfg = conformance_config()
+    idx = str(tmp_path / "refsh")
+    build_sharded_index(ray.data.from_arrow(corpus), idx, 3, cfg, fingerprint="refsh")
+    oracle = OracleIndex(corpus, cfg)
+    queries = [
+        (i, content, 10) for i, (_case, _p, content) in enumerate(case_originals(corpus))
+    ]
+    out = query_sharded(
+        ray.data.from_arrow(queries_table(queries)), idx, 3, cfg, mode="maxscore"
+    ).to_pandas()
+    for qid, text, k in queries:
+        od, osc = oracle.score(text, k)
+        sub = out[out.query_id == qid].sort_values("rank")
+        np.testing.assert_array_equal(sub.doc_id.to_numpy(dtype=np.uint64), od)
+        np.testing.assert_array_equal(sub.score.to_numpy(), osc)
+
+
 def test_dedup_on_real_corpus(ref_built):
     """The real corpus contains byte-identical L1 copies of originals;
     exact dedup must fold them (sha256 keep-first)."""
