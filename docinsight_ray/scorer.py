@@ -25,10 +25,13 @@ bitwise scores) by tests:
   per-document cursor loop.
 
 Scale note: a single actor here holds the whole (test-sized) index.
-On a real cluster each actor would load an assigned subset of term
-partitions (same parquet layout, `bucket` column = shard key) and a
-``groupby(query_id).map_groups(merge_topk)`` stage would combine
-per-shard candidates — SURVEY.md §2.6 T1.
+On a real cluster the scale-out layout is DOC-sharded serving
+(pipelines/sharded.py): each actor holds a complete sub-index over a
+doc subset with global stats, so its scores are final and the
+``groupby(query_id).map_groups(merge_topk)`` stage is an exact top-k
+merge. (Term-partitioned serving was considered and rejected: a doc's
+score spans term shards, so it needs a per-doc partial-score SUM
+shuffle before any top-k — strictly more data movement; ROADMAP §5.)
 """
 
 from __future__ import annotations
