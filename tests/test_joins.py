@@ -44,6 +44,28 @@ def test_key_set_filter_both_paths(ray_session):
     pd.testing.assert_frame_equal(out[0], out[1_000_000])
 
 
+def test_anti_join_duplicate_keys_and_empty(ray_session):
+    """Duplicate values in the key set must not duplicate or drop
+    surviving rows; an empty key set is the identity."""
+    import ray.data
+
+    from docinsight_ray.joins import anti_join, key_set_filter
+
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4], type=pa.uint64()), "v": ["a", "b", "c", "d"]})
+    )
+    dup_keys = ray.data.from_arrow(
+        pa.table({"k": pa.array([2, 2, 2, 4], type=pa.uint64())})
+    )
+    got = anti_join(ds, dup_keys, "k", 2).to_pandas().sort_values("k")
+    assert list(got["k"]) == [1, 3] and list(got["v"]) == ["a", "c"]
+    # n_keys=0 short-circuits to the input
+    same = key_set_filter(
+        ds, dup_keys, "k", n_keys=0, broadcast_limit=10, num_partitions=2
+    ).to_pandas().sort_values("k")
+    assert list(same["k"]) == [1, 2, 3, 4]
+
+
 def _postings(idx):
     files = sorted(glob.glob(os.path.join(idx, "parts", "**", "*.parquet"), recursive=True))
     return pa.concat_tables([pq.read_table(f) for f in files]).sort_by("term")
