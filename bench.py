@@ -56,6 +56,18 @@ def bench_corpus_path(n_docs: int) -> str:
 
 
 def run_suite(sf_dir: str, num_cpus: int) -> dict:
+    # scratch indexes are PID-keyed; clean them even when a stage raises
+    import shutil
+
+    try:
+        return _run_suite(sf_dir, num_cpus)
+    finally:
+        for d in (f"/tmp/docinsight_bench/idx-{num_cpus}-{os.getpid()}",
+                  f"/tmp/docinsight_bench/shidx-{num_cpus}-{os.getpid()}"):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_suite(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
@@ -128,9 +140,6 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
 
     if os.environ.get("BENCH_PIPELINES") == "core":
         ray.shutdown()
-        import shutil
-
-        shutil.rmtree(idx_dir, ignore_errors=True)
         total = round(sum(timings.values()), 3)
         return {
             "metric": "engine core wall time (index build + BM25)",
@@ -175,12 +184,6 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         q_docs_registry(sf_dir)
 
     ray.shutdown()
-    # per-run scratch indexes (PID-keyed) would otherwise accumulate
-    # across rounds in /tmp
-    import shutil
-
-    shutil.rmtree(idx_dir, ignore_errors=True)
-    shutil.rmtree(sh_dir, ignore_errors=True)
     total = round(sum(timings.values()), 3)
     return {
         "metric": "engine suite wall time (index build + BM25 + breadth pipelines)",

@@ -266,21 +266,34 @@ def distribute_global_stats(sub_dirs: list[str], appended: str | None = None) ->
 
     from ..state.fsio import exists as fs_exists, glob_parquet, makedirs, read_bytes, remove_path
 
-    stats = [
-        json.loads(read_bytes(os.path.join(d, "corpus_stats.json"))) for d in sub_dirs
-    ]
-    # capture the snapshot coverage BEFORE the stats rewrite below
+    # COMMITTED sub-indexes only: a half-built dir (no corpus_stats —
+    # it is the last thing a build writes) contributes neither stats
+    # nor postings, instead of raising an opaque TypeError
+    loaded = []
+    for d in sub_dirs:
+        data = read_bytes(os.path.join(d, "corpus_stats.json"))
+        if data is not None:
+            loaded.append((d, json.loads(data)))
+    sub_dirs = [d for d, _ in loaded]
+    stats = [s for _, s in loaded]
+    if not sub_dirs:
+        return
+    # capture the snapshot coverage BEFORE the stats rewrites below
     pre_covers = {d: s.get("global_df_covers") for d, s in zip(sub_dirs, stats)}
     g_docs = sum(s.get("shard_n_docs", s["n_docs"]) for s in stats)
     g_len = sum(s.get("shard_total_len", s["total_len"]) for s in stats)
     covers = sorted(os.path.basename(d.rstrip("/")) for d in sub_dirs)
+    # First stats pass WITHOUT the coverage marker: if this distribute
+    # crashes anywhere before the snapshot copies complete, the next
+    # run sees no/stale-mismatched covers and falls back to the full
+    # re-aggregation — the marker is only committed at the very end.
     for d, s in zip(sub_dirs, stats):
+        s.pop("global_df_covers", None)
         s.update({
             "shard_n_docs": s.get("shard_n_docs", s["n_docs"]),
             "shard_total_len": s.get("shard_total_len", s["total_len"]),
             "n_docs": g_docs, "total_len": g_len,
             "avgdl": g_len / g_docs if g_docs else 1.0,
-            "global_df_covers": covers,
         })
         atomic_write_bytes(os.path.join(d, "corpus_stats.json"),
                            json.dumps(s, sort_keys=True, indent=1).encode())
@@ -288,7 +301,7 @@ def distribute_global_stats(sub_dirs: list[str], appended: str | None = None) ->
     # incremental source selection: prior snapshot + new parts, but only
     # when the snapshot's recorded coverage is exactly the prior set
     files: list[str] | None = None
-    if appended is not None and len(sub_dirs) > 1:
+    if appended is not None and appended in sub_dirs and len(sub_dirs) > 1:
         prior = [d for d in sub_dirs if d != appended]
         expect = sorted(os.path.basename(d.rstrip("/")) for d in prior)
         snap = os.path.join(prior[0], "global_df.parquet")
@@ -331,3 +344,9 @@ def distribute_global_stats(sub_dirs: list[str], appended: str | None = None) ->
             with open(os.path.join(tmp, fn), "rb") as f:
                 atomic_write_bytes(os.path.join(dst, fn), f.read())
     shutil.rmtree(tmp)
+    # every snapshot copy succeeded — NOW commit the coverage marker
+    # the next incremental append trusts
+    for d, s in zip(sub_dirs, stats):
+        s["global_df_covers"] = covers
+        atomic_write_bytes(os.path.join(d, "corpus_stats.json"),
+                           json.dumps(s, sort_keys=True, indent=1).encode())

@@ -52,29 +52,45 @@ def hydrate_results(results: pa.Table, index_dir: str) -> dict[int, dict[str, st
 
 
 def hydrate_previews(
-    results: pa.Table, index_dir: str, corpus_path: str, preview_chars: int = 160
+    results: pa.Table, corpus_path: str, preview_chars: int = 160
 ) -> dict[int, str]:
-    """doc_id → content preview for the hit docs, read from the SOURCE
-    corpus with an is_in row filter (the reference report's
-    preview_text, enhanced_pipeline.py:712-718; content is never
-    stored in the index, so previews need the corpus)."""
-    import pyarrow.compute as pc
-
+    """doc_id → content preview for the hit docs, from the SOURCE
+    corpus (the reference report's preview_text,
+    enhanced_pipeline.py:712-718; content is never stored in the
+    index). Streams batches with a narrow projection — the corpus is
+    never fully materialized on the driver: only id-key columns plus
+    the content of matching rows are held, one batch at a time."""
     from .ids import doc_id_from_key
 
-    wanted = {int(d) for d in results["doc_id"].to_pylist()}
+    wanted = np.fromiter(
+        sorted({int(d) for d in results["doc_id"].to_pylist()}), dtype=np.uint64
+    )
+    files = (
+        [corpus_path] if os.path.isfile(corpus_path)
+        else [os.path.join(corpus_path, f) for f in sorted(os.listdir(corpus_path))
+              if f.endswith(".parquet")]
+    )
+    names = pq.read_schema(files[0]).names
+    content_col = "content" if "content" in names else "text"
+    key_cols = ["doc_id"] if "doc_id" in names else ["repo", "path", "commit"]
     out: dict[int, str] = {}
-    t = pq.read_table(corpus_path)
-    if "doc_id" in t.column_names:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    else:
-        ids = doc_id_from_key(
-            t["repo"].to_pylist(), t["path"].to_pylist(), t["commit"].to_pylist()
-        )
-    content_col = "content" if "content" in t.column_names else "text"
-    mask = np.isin(ids, np.fromiter(wanted, dtype=np.uint64))
-    for d, c in zip(ids[mask], t.filter(pa.array(mask))[content_col].to_pylist()):
-        out[int(d)] = c[:preview_chars]
+    for f in files:
+        pf = pq.ParquetFile(f)
+        for batch in pf.iter_batches(columns=key_cols + [content_col], batch_size=4096):
+            t = pa.Table.from_batches([batch])
+            if "doc_id" in key_cols:
+                ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            else:
+                ids = doc_id_from_key(
+                    t["repo"].to_pylist(), t["path"].to_pylist(), t["commit"].to_pylist()
+                )
+            mask = np.isin(ids, wanted)
+            if not mask.any():
+                continue
+            for d, c in zip(ids[mask], t.filter(pa.array(mask))[content_col].to_pylist()):
+                out[int(d)] = c[:preview_chars]
+            if len(out) == wanted.size:
+                return out
     return out
 
 
@@ -89,10 +105,14 @@ def build_query_report(
     corpus is provided)."""
     from .state.fsio import read_bytes
 
-    stats = json.loads(read_bytes(os.path.join(index_dir, "corpus_stats.json")))
+    stats_path = os.path.join(index_dir, "corpus_stats.json")
+    data = read_bytes(stats_path)
+    if data is None:
+        raise FileNotFoundError(f"{stats_path}: not a built index")
+    stats = json.loads(data)
     meta = hydrate_results(results, index_dir)
     if corpus_path:
-        previews = hydrate_previews(results, index_dir, corpus_path)
+        previews = hydrate_previews(results, corpus_path)
         for d, p in previews.items():
             meta.setdefault(d, {})["preview"] = p
     df = results.to_pandas().sort_values(["query_id", "rank"])

@@ -368,7 +368,9 @@ def test_merge_strategy_partition_identical(ray_session, tmp_path):
     assert rb.n_docs == ra.n_docs and rb.total_len == ra.total_len
     ta, tb = _load_all_postings(a).sort_by("term"), _load_all_postings(b).sort_by("term")
     assert ta.num_rows == tb.num_rows
-    for col in ["term", "df", "doc_ids_vb", "tfs_vb"]:
+    # EVERY column including block-max metadata — the partition path
+    # must feed tf_sat_weight identically
+    for col in ta.column_names:
         assert ta[col].to_pylist() == tb[col].to_pylist(), f"column {col} differs"
     assert not os.path.isdir(os.path.join(b, "merge_stage"))  # staging cleaned
 
