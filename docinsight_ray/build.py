@@ -577,6 +577,7 @@ def build_index(
             "hot_df_threshold": 0, "k1": cfg.k1, "b": cfg.b,
             "tokenizer": cfg.tokenizer, "config_hash": cfg.config_hash(),
             "fingerprint": fingerprint, "merge_groups": 0,
+            "num_buckets": cfg.num_buckets, "hot_salt": cfg.hot_salt,
         }
         atomic_write_bytes(os.path.join(index_dir, "corpus_stats.json"),
                            json.dumps(stats, sort_keys=True, indent=1).encode())
@@ -882,6 +883,11 @@ def build_index(
         "n_dup_losers": int(losers_count),
         "hot_terms": sorted(map(str, hot_terms)),
         "hot_df_threshold": hot_thresh,
+        # postings-partition layout, recorded so lazy scorers can route
+        # term → parts/g{bucket*(1+hot_salt)} without trusting the
+        # serving-side cfg to match the build
+        "num_buckets": cfg.num_buckets,
+        "hot_salt": cfg.hot_salt,
         "k1": cfg.k1,
         "b": cfg.b,
         "tokenizer": cfg.tokenizer,

@@ -121,7 +121,13 @@ def encode_posting(
     bounds = np.minimum(np.arange(1, nblocks + 1) * block_size, n) - 1
     block_starts = np.arange(0, n, block_size)
     block_max = np.maximum.reduceat(np.asarray(w, dtype=np.float64), block_starts)
-    return doc_vb, tf_vb, block_max.astype(np.float32), np.asarray(doc_ids, dtype=np.uint64)[bounds]
+    # float32 maxima rounded UP (nextafter) — a downward 1-ulp rounding
+    # would make the stored bound unsafe and let WAND wrongly prune a
+    # true top-k doc (same guard as build._encode_sorted_group)
+    bm32 = block_max.astype(np.float32)
+    low = bm32.astype(np.float64) < block_max
+    bm32[low] = np.nextafter(bm32[low], np.float32(np.inf))
+    return doc_vb, tf_vb, bm32, np.asarray(doc_ids, dtype=np.uint64)[bounds]
 
 
 def decode_posting(doc_vb: bytes, tf_vb: bytes, df: int | None = None) -> tuple[np.ndarray, np.ndarray]:

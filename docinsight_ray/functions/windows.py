@@ -29,19 +29,23 @@ def _read_events(sf_dir: str):
 
 def q_windowed_agg(sf_dir: str) -> pa.Table:
     """Tumbling 1-hour windows per event_type: count + sum(value)."""
+    import pyarrow.compute as pc
 
-    def add_window(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def add_window(batch: pa.Table) -> pa.Table:
+        # Arrow-native window assignment: floor_temporal is a zero-copy
+        # kernel over the ts column (the former pandas detour converted
+        # every batch just to call .dt.floor)
+        return pa.table(
             {
                 "event_type": batch["event_type"],
-                "window_start": batch["ts"].dt.floor("h"),
+                "window_start": pc.floor_temporal(batch["ts"], unit="hour"),
                 "value": batch["value"],
             }
         )
 
     out = (
         _read_events(sf_dir)
-        .map_batches(add_window, batch_format="pandas")
+        .map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["event_type", "window_start"])
         .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
         .to_pandas()

@@ -165,10 +165,19 @@ def build_sharded_index(
             sub = ray.data.read_parquet(part)
         else:  # hash-empty shard: commit an empty-but-valid sub-index
             if empty_corpus is None:
-                import pyarrow.parquet as _pq
+                split_files = glob_parquet(split_dir)
+                if split_files:
+                    import pyarrow.parquet as _pq
 
-                any_file = glob_parquet(split_dir)[0]
-                empty_corpus = _pq.read_table(any_file).schema.empty_table()
+                    empty_corpus = _pq.read_table(split_files[0]).schema.empty_table()
+                else:
+                    # empty or fully-deduplicated corpus: the split wrote
+                    # no files at all — derive the schema from the input
+                    # Dataset so every shard still commits an
+                    # empty-but-valid sub-index (build_index's own
+                    # empty-corpus path)
+                    schema = corpus.schema()
+                    empty_corpus = getattr(schema, "base_schema", schema).empty_table()
             sub = ray.data.from_arrow(empty_corpus)
         d = os.path.join(index_dir, f"shard={s}")
         build_index(sub, d, shard_cfg, fingerprint=f"{fingerprint}:shard{s}/{n_shards}")
@@ -199,7 +208,13 @@ def query_sharded(
     shard_results = []
     for s in range(n_shards):
         d = os.path.join(index_dir, f"shard={s}")
-        st = json.loads(read_bytes(os.path.join(d, "corpus_stats.json")))
+        raw = read_bytes(os.path.join(d, "corpus_stats.json"))
+        if raw is None:
+            raise FileNotFoundError(
+                f"{d}/corpus_stats.json: not a built sharded index "
+                f"(expected {n_shards} shard=* sub-indexes under {index_dir})"
+            )
+        st = json.loads(raw)
         if st.get("shard_n_docs", st["n_docs"]) == 0:
             continue
         shard_results.append(

@@ -203,8 +203,14 @@ def query_document_topk(
 
     cfg = cfg or EngineConfig()
     chunks = split_words(text, chunk_words)
-    with open(os.path.join(index_dir, "corpus_stats.json")) as f:
-        n_docs = json.load(f)["n_docs"]
+    from .state.fsio import read_bytes
+
+    stats_raw = read_bytes(os.path.join(index_dir, "corpus_stats.json"))
+    if stats_raw is None:
+        raise FileNotFoundError(
+            f"{index_dir}/corpus_stats.json: not a built index (run build_index first)"
+        )
+    n_docs = json.loads(stats_raw)["n_docs"]
     fanout = int(per_chunk_k) if per_chunk_k else int(n_docs)
     qtbl = pa.table(
         {

@@ -47,6 +47,7 @@ from .bm25 import idf as idf_fn
 from .bm25 import tf_sat_weight, topk_order
 from .codec import decode_posting, varbyte_decode
 from .config import EngineConfig
+from .ids import term_bucket
 from .tokenizer import tokenize_text
 
 RESULTS_SCHEMA = pa.schema(
@@ -59,65 +60,144 @@ RESULTS_SCHEMA = pa.schema(
 )
 
 
+class _Part:
+    """Zero-copy view over ONE postings partition (one ``parts/<name>``
+    directory). Binary payloads stay in Arrow buffers (memoryview
+    slices on demand); list columns become (flat values, offsets) numpy
+    pairs — a ``to_pylist()`` here would duplicate the partition into
+    Python objects per actor."""
+
+    __slots__ = (
+        "terms", "df", "idf_df", "has_offsets", "nbytes",
+        "_doc_vb_arr", "_tf_vb_arr", "_bmax_v", "_bmax_o",
+        "_blast_v", "_blast_o", "_bdoff_v", "_bdoff_o", "_btoff_v", "_btoff_o",
+    )
+
+    def __init__(self, tbl: pa.Table, global_df: pa.Table | None):
+        self.terms: dict[str, int] = {t: i for i, t in enumerate(tbl["term"].to_pylist())}
+        self.df = tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # doc-sharded serving: idf must use corpus-wide df (the shard
+        # build distributes global_df.parquet). Kept separate from
+        # self.df — the local df is the posting-list length (decode
+        # count); only idf uses the global one. Vectorized Arrow
+        # hash-join remap (index_in); misses keep the local df.
+        self.idf_df = self.df
+        if global_df is not None:
+            import pyarrow.compute as _pc
+
+            pos = _pc.index_in(
+                tbl["term"].combine_chunks(), value_set=global_df["term"].combine_chunks()
+            ).to_numpy(zero_copy_only=False)
+            g_df = global_df["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+            self.idf_df = self.df.copy()
+            valid = np.flatnonzero(~np.isnan(pos.astype(np.float64)))
+            self.idf_df[valid] = g_df[pos[valid].astype(np.int64)]
+
+        def _list_view(col, dtype):
+            arr = col.combine_chunks()
+            return arr.values.to_numpy(zero_copy_only=False).astype(dtype), \
+                   arr.offsets.to_numpy()
+
+        self._doc_vb_arr = tbl["doc_ids_vb"].combine_chunks()
+        self._tf_vb_arr = tbl["tfs_vb"].combine_chunks()
+        self._bmax_v, self._bmax_o = _list_view(tbl["block_max_w"], np.float32)
+        self._blast_v, self._blast_o = _list_view(tbl["block_last_doc"], np.uint64)
+        self.has_offsets = "block_doc_off" in tbl.column_names
+        if self.has_offsets:
+            self._bdoff_v, self._bdoff_o = _list_view(tbl["block_doc_off"], np.uint32)
+            self._btoff_v, self._btoff_o = _list_view(tbl["block_tf_off"], np.uint32)
+        self.nbytes = int(tbl.nbytes)
+
+    def doc_vb(self, i: int) -> memoryview:
+        return memoryview(self._doc_vb_arr[i].as_buffer())
+
+    def tf_vb(self, i: int) -> memoryview:
+        return memoryview(self._tf_vb_arr[i].as_buffer())
+
+    def bmax(self, i: int) -> np.ndarray:
+        return self._bmax_v[self._bmax_o[i] : self._bmax_o[i + 1]]
+
+    def blast(self, i: int) -> np.ndarray:
+        return self._blast_v[self._blast_o[i] : self._blast_o[i + 1]]
+
+    def bdoff(self, i: int) -> np.ndarray:
+        return self._bdoff_v[self._bdoff_o[i] : self._bdoff_o[i + 1]]
+
+    def btoff(self, i: int) -> np.ndarray:
+        return self._btoff_v[self._btoff_o[i] : self._btoff_o[i + 1]]
+
+
 class _TermPostings:
     """Block-addressable view of one term's postings for WAND.
 
     When stored block-max metadata is trustworthy (serving avgdl ==
-    build avgdl) postings decode LAZILY per block via the stored byte
-    offsets — blocks pruned by the shallow check are never decoded,
-    which is the point of the block-max format. Otherwise (sharded
-    global-stat override, legacy index without offsets) it falls back
-    to a full decode through the scorer's term cache."""
+    build avgdl, byte offsets present) postings decode LAZILY per block
+    via the stored byte offsets — blocks pruned by the shallow check
+    are never decoded, which is the point of the block-max format.
+    Otherwise (sharded global-stat override, legacy index without
+    offsets) it promotes immediately to the full-decode path.
+
+    Memory contract: decoded data is NEVER pinned outside the scorer's
+    byte budget. Per-block decodes in ``_blocks`` are charged to the
+    scorer's shared cache budget (and freed when this entry is evicted
+    from ``_tp_cache`` or on promotion); a promoted list holds NO
+    strong reference to the full decode — every access re-fetches
+    through the byte-budgeted ``_term_arrays`` LRU, so evicting there
+    actually frees the memory."""
 
     def __init__(self, scorer: "BM25Scorer", term: str):
-        i = scorer._terms[term]
+        part, row = scorer._lookup(term)
         self._scorer = scorer
-        self._i = i
+        self._part = part
+        self._row = row
         self.term = term
         # cumulative blocks touched by probes; once it crosses
         # n_blocks the per-block lazy path has cost as much as one
         # full decode, so ensure_full() promotes (see probe())
         self._probed = 0
         self.bs = scorer.cfg.block_size
-        self.df = int(scorer._df[i])
-        self.blast = scorer._blast(i)
+        self.df = int(part.df[row])
+        self.blast = part.blast(row)
         self.n_blocks = self.blast.size
-        self._idf_mult = float(idf_fn(int(scorer._idf_df[i]), scorer.n_docs)) * (
+        self._idf_mult = float(idf_fn(int(part.idf_df[row]), scorer.n_docs)) * (
             scorer.cfg.k1 + 1.0
         )
-        if scorer._bmax_safe:
-            self._full: tuple | None = None
-            self.block_ub = self._idf_mult * scorer._bmax(i).astype(np.float64)
+        self._promoted = not (scorer._bmax_safe and part.has_offsets)
+        self._blocks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self.blocks_bytes = 0
+        if not self._promoted:
+            self.block_ub = self._idf_mult * part.bmax(row).astype(np.float64)
         else:
-            d, c, ub, _bl = scorer._term_arrays(term)
-            self._full = (d, c)
+            _d, _c, ub, _bl = scorer._term_arrays(term)
             self.block_ub = ub
         self.ub = float(self.block_ub.max()) if self.block_ub.size else 0.0
-        self._blocks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     def block(self, bi: int) -> tuple[np.ndarray, np.ndarray]:
+        s = bi * self.bs
+        e = min(s + self.bs, self.df)
+        if self._promoted:
+            d, c = self.ensure_full()
+            return d[s:e], c[s:e]
         blk = self._blocks.get(bi)
         if blk is not None:
             return blk
-        s = bi * self.bs
-        e = min(s + self.bs, self.df)
-        if self._full is not None:
-            blk = (self._full[0][s:e], self._full[1][s:e])
-        else:
-            sc = self._scorer
-            i = self._i
-            doff, toff = sc._bdoff(i), sc._btoff(i)
-            doc_buf, tf_buf = sc._doc_vb(i), sc._tf_vb(i)
-            d_end = doff[bi + 1] if bi + 1 < len(doff) else len(doc_buf)
-            t_end = toff[bi + 1] if bi + 1 < len(toff) else len(tf_buf)
-            n = e - s
-            deltas = varbyte_decode(doc_buf[doff[bi] : d_end], n)
-            base = self.blast[bi - 1] if bi > 0 else np.uint64(0)
-            docs = base + np.cumsum(deltas, dtype=np.uint64)
-            tfs = varbyte_decode(tf_buf[toff[bi] : t_end], n)
-            w = tf_sat_weight(tfs, sc._doc_len_of(docs), sc.avgdl, sc.cfg.k1, sc.cfg.b)
-            blk = (docs, self._idf_mult * w)
+        sc = self._scorer
+        p, i = self._part, self._row
+        doff, toff = p.bdoff(i), p.btoff(i)
+        doc_buf, tf_buf = p.doc_vb(i), p.tf_vb(i)
+        d_end = doff[bi + 1] if bi + 1 < len(doff) else len(doc_buf)
+        t_end = toff[bi + 1] if bi + 1 < len(toff) else len(tf_buf)
+        n = e - s
+        deltas = varbyte_decode(doc_buf[doff[bi] : d_end], n)
+        base = self.blast[bi - 1] if bi > 0 else np.uint64(0)
+        docs = base + np.cumsum(deltas, dtype=np.uint64)
+        tfs = varbyte_decode(tf_buf[toff[bi] : t_end], n)
+        w = tf_sat_weight(tfs, sc._doc_len_of(docs), sc.avgdl, sc.cfg.k1, sc.cfg.b)
+        blk = (docs, self._idf_mult * w)
         self._blocks[bi] = blk
+        nb = blk[0].nbytes + blk[1].nbytes
+        self.blocks_bytes += nb
+        sc._tp_note_bytes(nb)
         return blk
 
     def block_of(self, doc_ids: np.ndarray) -> np.ndarray:
@@ -130,11 +210,18 @@ class _TermPostings:
         """Decode the whole list in ONE vectorized pass (scorer LRU —
         shared with MaxScore/TAAT, so hot lists decode once per actor,
         not once per mode). Contributions are bitwise-equal to the
-        per-block path, so mixing the two keeps exactness."""
-        if self._full is None:
-            d, c, _ub, _bl = self._scorer._term_arrays(self.term)
-            self._full = (d, c)
-        return self._full
+        per-block path, so mixing the two keeps exactness. Promotion
+        drops the per-block copies (superseded) and holds no strong
+        reference: the full decode lives ONLY in the byte-budgeted
+        ``_term_arrays`` LRU."""
+        if not self._promoted:
+            self._promoted = True
+            if self.blocks_bytes:
+                self._scorer._tp_note_bytes(-self.blocks_bytes)
+                self.blocks_bytes = 0
+            self._blocks.clear()
+        d, c, _ub, _bl = self._scorer._term_arrays(self.term)
+        return d, c
 
 
 class BM25Scorer:
@@ -144,6 +231,7 @@ class BM25Scorer:
         cfg: EngineConfig | None = None,
         mode: str = "taat",
         emit_k: bool = False,
+        max_loaded_parts: int | None = None,
     ):
         from .state.fsio import exists as fs_exists, glob_parquet, read_bytes
 
@@ -154,7 +242,19 @@ class BM25Scorer:
         # when this sub-index returned fewer than k rows (inferring k
         # from max(rank)+1 under-merges in that case).
         self.emit_k = emit_k
-        stats = json.loads(read_bytes(os.path.join(index_dir, "corpus_stats.json")))
+        # max_loaded_parts: 0/None = EAGER (load every postings
+        # partition in __init__ — lowest latency, RSS ~ index size);
+        # N>0 = LAZY (partitions load on first term touch, LRU-bounded
+        # at N — actor RSS is capped independently of index size, the
+        # vertical-memory answer when doc-sharding horizontally is not
+        # available; ROADMAP §5).
+        self.max_loaded_parts = int(max_loaded_parts or 0)
+        stats_raw = read_bytes(os.path.join(index_dir, "corpus_stats.json"))
+        if stats_raw is None:
+            raise FileNotFoundError(
+                f"{index_dir}/corpus_stats.json: not a built index (run build_index first)"
+            )
+        stats = json.loads(stats_raw)
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
 
@@ -166,89 +266,104 @@ class BM25Scorer:
         self._dl_docid = did[order]
         self._dl = dl[order]
 
-        # postings partitions (plain path or pyarrow.fs URI)
-        files = glob_parquet(os.path.join(index_dir, "parts"))
+        # postings partitions (plain path or pyarrow.fs URI), grouped
+        # by partition directory name (parts/<name>/...)
+        parts_dir = os.path.join(index_dir, "parts")
+        files = glob_parquet(parts_dir)
         if not files:
             raise FileNotFoundError(f"no postings partitions under {index_dir}/parts")
-        tbl = pa.concat_tables([pq.read_table(f) for f in files])
-        self._terms: dict[str, int] = {t: i for i, t in enumerate(tbl["term"].to_pylist())}
-        self._df = tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # doc-sharded serving: idf must use corpus-wide df, which the
-        # shard build distributes as global_df.parquet (pipelines/sharded.py).
-        # Kept separate from self._df — the local df is the posting-list
-        # length (decode count); only idf uses the global one.
-        self._idf_df = self._df
+        self._part_files: dict[str, list[str]] = {}
+        for f in files:
+            name = f.rsplit("/parts/", 1)[-1].split("/", 1)[0]
+            self._part_files.setdefault(name, []).append(f)
+        # term → partition routing (lazy mode): hot terms live in
+        # parts/hot (the salted-merge output), everything else in
+        # parts/g{bucket*stride}. Layout params come from the build's
+        # corpus_stats (falling back to the serving cfg for pre-r3
+        # indexes, which recorded neither).
+        self._hot_set = frozenset(stats.get("hot_terms", []))
+        self._num_buckets = int(stats.get("num_buckets", self.cfg.num_buckets))
+        self._hot_stride = 1 + int(stats.get("hot_salt", self.cfg.hot_salt))
+
+        # global-df dictionary (doc-sharded serving): loaded ONCE,
+        # remapped per partition at partition-load time
+        self._global_df: pa.Table | None = None
         gdf_path = os.path.join(index_dir, "global_df.parquet")
         if fs_exists(gdf_path):
-            # vectorized Arrow hash-join remap (no per-term Python):
-            # index_in finds each local term's row in the global
-            # dictionary; misses keep the local df
-            import pyarrow.compute as _pc
+            self._global_df = pq.read_table(gdf_path)  # file or directory of parts
 
-            g = pq.read_table(gdf_path)  # file or directory of parts
-            pos = _pc.index_in(
-                tbl["term"].combine_chunks(), value_set=g["term"].combine_chunks()
-            ).to_numpy(zero_copy_only=False)
-            g_df = g["df"].to_numpy(zero_copy_only=False).astype(np.int64)
-            self._idf_df = self._df.copy()
-            valid = np.flatnonzero(~np.isnan(pos.astype(np.float64)))
-            self._idf_df[valid] = g_df[pos[valid].astype(np.int64)]
-        # Zero-copy views into the loaded Arrow columns: binary
-        # payloads stay in Arrow buffers (memoryview slices on demand),
-        # list columns become (flat values, offsets) numpy pairs — the
-        # round-1 to_pylist() duplicated the whole index into Python
-        # objects per actor, which dominated actor startup at 500k docs.
-        def _list_view(col, dtype):
-            arr = col.combine_chunks()
-            return arr.values.to_numpy(zero_copy_only=False).astype(dtype), \
-                   arr.offsets.to_numpy()
-
-        self._doc_vb_arr = tbl["doc_ids_vb"].combine_chunks()
-        self._tf_vb_arr = tbl["tfs_vb"].combine_chunks()
-        self._bmax_v, self._bmax_o = _list_view(tbl["block_max_w"], np.float32)
-        self._blast_v, self._blast_o = _list_view(tbl["block_last_doc"], np.uint64)
-        has_offsets = "block_doc_off" in tbl.column_names
-        if has_offsets:
-            self._bdoff_v, self._bdoff_o = _list_view(tbl["block_doc_off"], np.uint32)
-            self._btoff_v, self._btoff_o = _list_view(tbl["block_tf_off"], np.uint32)
-        else:
-            self._bdoff_v = None
         # stored block maxima are only trustworthy when the serving
         # avgdl equals the build avgdl (sharded builds overwrite stats
-        # with global values) AND block byte offsets exist
-        self._bmax_safe = has_offsets and stats.get("build_avgdl", stats["avgdl"]) == stats["avgdl"]
+        # with global values); per-partition offset presence is checked
+        # at the _TermPostings level
+        self._bmax_safe = stats.get("build_avgdl", stats["avgdl"]) == stats["avgdl"]
         from collections import OrderedDict
+
+        self._parts: OrderedDict[str, _Part] = OrderedDict()
+        self.partitions_loaded = 0  # cumulative loads (lazy-path test hook)
+        self._term_part_name: dict[str, str] = {}  # term → partition name memo
 
         # decoded-postings LRU: BYTE-budgeted, not count-capped — a
         # fixed count thrashes on wide-vocabulary workloads (a 512-term
         # cap churned the 20k bench's ~1,500 distinct query terms,
         # inflating p99 ~10x over the warm path) while a byte budget
-        # stays safe when hot lists are corpus-sized
+        # stays safe when hot lists are corpus-sized. _TermPostings
+        # per-block decodes share the SAME budget (_tp_bytes): the two
+        # pools together never exceed cache_budget_bytes.
         self.cache_budget_bytes = int(self.cfg.decode_cache_mb) << 20
         self._cache_bytes = 0
+        self._tp_bytes = 0
         self.cache_terms = 4096  # _TermPostings metadata objects (small)
         self._cache: OrderedDict[str, tuple] = OrderedDict()
         self._tp_cache: OrderedDict[str, _TermPostings] = OrderedDict()
 
-    # ---- zero-copy index accessors --------------------------------------
+        if not self.max_loaded_parts:  # eager: load everything now
+            for name in sorted(self._part_files):
+                self._load_part(name)
 
-    def _doc_vb(self, i: int) -> memoryview:
-        return memoryview(self._doc_vb_arr[i].as_buffer())
+    # ---- partition loading ----------------------------------------------
 
-    def _tf_vb(self, i: int) -> memoryview:
-        return memoryview(self._tf_vb_arr[i].as_buffer())
+    def _load_part(self, name: str) -> _Part | None:
+        part = self._parts.get(name)
+        if part is not None:
+            self._parts.move_to_end(name)
+            return part
+        files = self._part_files.get(name)
+        if not files:
+            return None
+        tbl = pa.concat_tables([pq.read_table(f) for f in files])
+        part = _Part(tbl, self._global_df)
+        self._parts[name] = part
+        self.partitions_loaded += 1
+        if self.max_loaded_parts:
+            while len(self._parts) > self.max_loaded_parts:
+                self._parts.popitem(last=False)
+        return part
 
-    def _bmax(self, i: int) -> np.ndarray:
-        return self._bmax_v[self._bmax_o[i] : self._bmax_o[i + 1]]
+    def _part_name_for(self, term: str) -> str:
+        name = self._term_part_name.get(term)
+        if name is None:
+            if term in self._hot_set:
+                name = "hot"
+            else:
+                b = int(term_bucket(np.asarray([term], dtype=object), self._num_buckets)[0])
+                name = f"g{b * self._hot_stride}"
+            if len(self._term_part_name) > 1_000_000:  # vocab-bounded memo
+                self._term_part_name.clear()
+            self._term_part_name[term] = name
+        return name
 
-    def _blast(self, i: int) -> np.ndarray:
-        return self._blast_v[self._blast_o[i] : self._blast_o[i + 1]]
+    def _lookup(self, term: str) -> tuple[_Part, int] | None:
+        """(partition view, row index) for a term, loading the
+        partition on first touch; None when the term is not indexed."""
+        part = self._load_part(self._part_name_for(term))
+        if part is None:
+            return None
+        row = part.terms.get(term)
+        return None if row is None else (part, row)
 
-    def _bdoff(self, i: int) -> np.ndarray:
-        return self._bdoff_v[self._bdoff_o[i] : self._bdoff_o[i + 1]]
-
-    def _btoff(self, i: int) -> np.ndarray:
-        return self._btoff_v[self._btoff_o[i] : self._btoff_o[i + 1]]
+    def has_term(self, term: str) -> bool:
+        return self._lookup(term) is not None
 
     # ---- shared helpers -------------------------------------------------
 
@@ -256,23 +371,37 @@ class BM25Scorer:
         pos = np.searchsorted(self._dl_docid, doc_ids)
         return self._dl[pos]
 
+    def _tp_note_bytes(self, delta: int) -> None:
+        """Account a _TermPostings per-block decode against the shared
+        cache budget; evict oldest _TermPostings entries (freeing their
+        _blocks) when over."""
+        self._tp_bytes += delta
+        if delta > 0:
+            while (
+                self._tp_bytes
+                and self._tp_bytes + self._cache_bytes > self.cache_budget_bytes
+                and len(self._tp_cache) > 1
+            ):
+                _, old = self._tp_cache.popitem(last=False)
+                self._tp_bytes -= old.blocks_bytes
+
     def _term_arrays(self, term: str):
         """Decode one term's postings → (doc_ids, contribs float64).
 
         LRU-cached per actor: a term's contribution vector depends only
         on the term (idf, tfs, doc lens, avgdl are all fixed at build),
         so hot terms — which recur in most queries — decode once per
-        actor instead of once per query. Bounded by cache_terms entries
-        (a hot list at n_docs postings is 16 B/posting decoded)."""
+        actor instead of once per query. Byte-budgeted jointly with the
+        _TermPostings block pool."""
         cached = self._cache.get(term)
         if cached is not None:
             self._cache.move_to_end(term)
             return cached
-        i = self._terms[term]
-        df = int(self._df[i])  # local posting length (decode count)
-        doc_ids, tfs = decode_posting(self._doc_vb(i), self._tf_vb(i), df)
+        part, i = self._lookup(term)
+        df = int(part.df[i])  # local posting length (decode count)
+        doc_ids, tfs = decode_posting(part.doc_vb(i), part.tf_vb(i), df)
         w = tf_sat_weight(tfs, self._doc_len_of(doc_ids), self.avgdl, self.cfg.k1, self.cfg.b)
-        contrib = (idf_fn(int(self._idf_df[i]), self.n_docs) * (self.cfg.k1 + 1.0)) * w
+        contrib = (idf_fn(int(part.idf_df[i]), self.n_docs) * (self.cfg.k1 + 1.0)) * w
         # block upper bounds for WAND, derived from the live contribution
         # vector (correct by construction even when global stats differ
         # from shard-build stats — pipelines/sharded.py; the stored
@@ -285,13 +414,16 @@ class BM25Scorer:
         entry = (doc_ids, contrib, block_ub, blast)
         self._cache[term] = entry
         self._cache_bytes += doc_ids.nbytes + contrib.nbytes + block_ub.nbytes + blast.nbytes
-        while self._cache_bytes > self.cache_budget_bytes and len(self._cache) > 1:
+        while (
+            self._cache_bytes + self._tp_bytes > self.cache_budget_bytes
+            and len(self._cache) > 1
+        ):
             _, old = self._cache.popitem(last=False)
             self._cache_bytes -= sum(a.nbytes for a in old)
         return entry
 
     def query_terms(self, text: str) -> list[str]:
-        return sorted({t for t in tokenize_text(text, self.cfg) if t in self._terms})
+        return sorted({t for t in tokenize_text(text, self.cfg) if self.has_term(t)})
 
     # ---- exact TAAT -----------------------------------------------------
 
@@ -322,7 +454,7 @@ class BM25Scorer:
         # a query term absent from the index empties the result (it is
         # required); query_terms drops unknown terms, so re-check the
         # raw tokenization
-        if set(tokenize_text(text, self.cfg)) - self._terms.keys():
+        if any(not self.has_term(t) for t in set(tokenize_text(text, self.cfg))):
             return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
         arrays = {t: self._term_arrays(t) for t in terms}
         by_df = sorted(terms, key=lambda t: arrays[t][0].size)
@@ -401,7 +533,8 @@ class BM25Scorer:
             tp = _TermPostings(self, term)
             self._tp_cache[term] = tp
             if len(self._tp_cache) > self.cache_terms:
-                self._tp_cache.popitem(last=False)
+                _, old = self._tp_cache.popitem(last=False)
+                self._tp_bytes -= old.blocks_bytes
         else:
             self._tp_cache.move_to_end(term)
         return tp
@@ -451,7 +584,7 @@ class BM25Scorer:
             contrib = np.zeros(cands.size, dtype=np.float64)
             if tp.n_blocks == 0 or cands.size == 0:
                 return contrib
-            if tp._full is None:
+            if not tp._promoted:
                 bis = tp.block_of(cands)
                 valid = bis < tp.n_blocks
                 bis_u = np.unique(bis[valid])
@@ -586,13 +719,15 @@ def query_index(
     cfg: EngineConfig | None = None,
     mode: str = "taat",
     concurrency: int | None = None,
+    max_loaded_parts: int | None = None,
 ):
     """queries Dataset (query_id, text, k) → results Dataset via the
-    scorer actor pool."""
+    scorer actor pool. ``max_loaded_parts`` > 0 serves with the
+    partition-lazy scorer (capped actor RSS; see BM25Scorer)."""
     cfg = cfg or EngineConfig()
     return queries.map_batches(
         BM25Scorer,
-        fn_constructor_args=(index_dir, cfg, mode),
+        fn_constructor_args=(index_dir, cfg, mode, False, max_loaded_parts),
         batch_format="pyarrow",
         batch_size=cfg.query_batch_size,
         concurrency=concurrency or cfg.scorer_concurrency,

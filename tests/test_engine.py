@@ -282,7 +282,7 @@ def test_conjunctive_rank_identity(built):
     for qid, text, k in gen_queries(corpus, n_keyword=15, seed=42):
         terms = sc.query_terms(text)
         raw_missing = any(
-            t not in sc._terms
+            not sc.has_term(t)
             for t in __import__("docinsight_ray.tokenizer", fromlist=["tokenize_text"]).tokenize_text(text, CFG)
         )
         d, s = sc.score_conjunctive(text, k)
@@ -419,18 +419,21 @@ def test_bmw_lazy_block_decode(ray_session, tmp_path):
     # a rare∧hot two-term query: once top-k fills from rare∧hot docs,
     # θ > hot-UB, the hot list is never opened, and probes decode only
     # the blocks containing the rare candidates
-    hot_blocks = len(sc._bmax(sc._terms["public"]))
+    def df_of(t):
+        part, row = sc._lookup(t)
+        return int(part.df[row])
+
+    hot_part, hot_row = sc._lookup("public")
+    hot_blocks = len(hot_part.bmax(hot_row))
+    all_terms = [t for p in sc._parts.values() for t in p.terms]
     lo, hi = 4, max(4, hot_blocks // 8)
-    rare = min(
-        (t for t in sc._terms if lo <= sc._df[sc._terms[t]] <= hi),
-        key=lambda t: sc._df[sc._terms[t]],
-    )
+    rare = min((t for t in all_terms if lo <= df_of(t) <= hi), key=df_of)
     q = f"{rare} public"
     d, s = sc.score_bmw(q, 3)
     assert d.size > 0
     hot_tp = sc._tp_cache["public"]
     assert hot_tp.n_blocks >= 10
-    assert hot_tp._full is None, "hot list must not have been promoted to full decode"
+    assert not hot_tp._promoted, "hot list must not have been promoted to full decode"
     decoded = len(hot_tp._blocks)
     assert 0 < decoded < hot_tp.n_blocks // 4, (
         f"expected sparse lazy decode; got {decoded} of {hot_tp.n_blocks} blocks"
@@ -441,3 +444,74 @@ def test_bmw_lazy_block_decode(ray_session, tmp_path):
     od, osc = OracleIndex(corpus, cfg).score(q, 3)
     np.testing.assert_array_equal(d, od)
     np.testing.assert_array_equal(s, osc)
+
+
+def test_lazy_partition_scorer(built):
+    """Partition-lazy serving (ROADMAP §5): with max_loaded_parts set,
+    the scorer loads only the partitions its query terms route to,
+    keeps at most that many resident, and stays rank- AND score-
+    identical to the eager scorer."""
+    corpus, idx, res = built
+    eager = BM25Scorer(idx, CFG, mode="maxscore")
+    n_parts_total = len(eager._part_files)
+    assert n_parts_total >= 4, "test needs a multi-partition index"
+    lazy = BM25Scorer(idx, CFG, mode="maxscore", max_loaded_parts=2)
+    assert lazy.partitions_loaded == 0, "lazy scorer must not load at init"
+    # a narrow query set: one rare + one hot term → at most 3 partitions
+    q = "public class"
+    for mode_fn_e, mode_fn_l in [
+        (eager.score_maxscore, lazy.score_maxscore),
+        (eager.score_taat, lazy.score_taat),
+        (eager.score_bmw, lazy.score_bmw),
+    ]:
+        d_e, s_e = mode_fn_e(q, 10)
+        d_l, s_l = mode_fn_l(q, 10)
+        np.testing.assert_array_equal(d_l, d_e)
+        np.testing.assert_array_equal(s_l, s_e)
+    assert 0 < lazy.partitions_loaded <= 3, (
+        f"narrow query set should touch few partitions, loaded {lazy.partitions_loaded}"
+    )
+    assert len(lazy._parts) <= 2, "resident partitions must respect the LRU cap"
+    # a broad sweep still bounded: residency never exceeds the cap and
+    # results stay identical even when routing evicts and reloads
+    for qid, text, k in gen_queries(corpus, n_keyword=10, seed=9):
+        d_e, s_e = eager.score_maxscore(text, k)
+        d_l, s_l = lazy.score_maxscore(text, k)
+        np.testing.assert_array_equal(d_l, d_e, err_msg=f"lazy doc mismatch q{qid}")
+        np.testing.assert_array_equal(s_l, s_e, err_msg=f"lazy score mismatch q{qid}")
+        assert len(lazy._parts) <= 2
+
+
+def test_tp_cache_byte_budget(built):
+    """ADVICE r2: _TermPostings per-block decodes are charged against
+    the shared byte budget, and promotion holds no strong reference —
+    total tracked cache bytes never exceed the budget, with results
+    unchanged under a budget small enough to force eviction."""
+    import dataclasses
+
+    corpus, idx, res = built
+    tight = dataclasses.replace(CFG, decode_cache_mb=1)  # ~1 MB forces churn
+    sc = BM25Scorer(idx, tight, mode="bmw")
+    ref = BM25Scorer(idx, CFG, mode="bmw")
+    budget = sc.cache_budget_bytes
+    for qid, text, k in gen_queries(corpus, n_keyword=20, seed=5):
+        d, s = sc.score_bmw(text, k)
+        d_r, s_r = ref.score_bmw(text, k)
+        np.testing.assert_array_equal(d, d_r, err_msg=f"budgeted doc mismatch q{qid}")
+        np.testing.assert_array_equal(s, s_r, err_msg=f"budgeted score mismatch q{qid}")
+        # accounting invariants: tracked totals match the live entries
+        # and never exceed the configured budget (±1 resident entry per
+        # pool, the "keep at least one" floor)
+        live_tp = sum(tp.blocks_bytes for tp in sc._tp_cache.values())
+        assert live_tp == sc._tp_bytes
+        live_cache = sum(sum(a.nbytes for a in e) for e in sc._cache.values())
+        assert live_cache == sc._cache_bytes
+        # a promoted list must pin nothing outside the budgeted LRU
+        for tp in sc._tp_cache.values():
+            if tp._promoted:
+                assert tp.blocks_bytes == 0 and not tp._blocks
+    # the budget can only be exceeded by the single-entry floors
+    biggest = max(
+        (sum(a.nbytes for a in e) for e in sc._cache.values()), default=0
+    )
+    assert sc._cache_bytes + sc._tp_bytes <= budget + biggest
