@@ -209,42 +209,100 @@ def q_knn_cosine_lsh(sf_dir: str, n_tables: int = 8, n_bits: int = 6) -> pa.Tabl
 # real near-dup corpora use ~0.9; the driver's random embeddings max
 # out at cos≈0.51, so the gate threshold sits where pairs exist
 COS_DUP_T = 0.4
+# per-(table,bucket) candidate cap: a bucket shared by more vectors
+# than this is the embedding analogue of a stop-shingle (dedup.py
+# MAX_GROUP) — at 10^12 scale a duplicate-heavy corpus would otherwise
+# collapse into one O(b²) bucket; dropped buckets WARN, never silent
+MAX_BUCKET = 2000
 
 
-def q_embedding_near_dup(sf_dir: str, tile_rows: int = 256) -> pa.Table:
-    """Embedding-cosine near-duplicate pairs (cos ≥ COS_DUP_T, a < b).
+def _stage_tiles(sf_dir: str, tiles_dir: str, tile_rows: int) -> tuple[int, int]:
+    """Stage the NORMALIZED embedding matrix as hive-partitioned row
+    tiles (tile = vec_id % n_tiles) via one Dataset pass — the driver
+    never materializes the matrix; workers later read exactly the
+    tiles they pair (state lives on disk, resumable, and on a real
+    cluster ``tiles_dir`` sits on shared storage like the build's
+    fragment side-channel). Returns (n_rows, n_tiles)."""
+    import shutil
 
-    Exact all-pairs via TILE-PAIR decomposition: the matrix is split
-    into row tiles (each ``ray.put`` ONCE); a Dataset of (i, j) tile
-    index pairs fans out so each task pulls exactly two tiles and
-    emits that tile-pair's thresholded pairs. No worker ever holds the
-    full matrix — per-task memory is 2 tiles regardless of corpus size
-    (the round-1 version broadcast the whole normalized matrix to
-    every actor: first OOM at 100x). Compute is still O(N²) by
-    definition of the exact baseline; ``embedding_near_dup_lsh`` is
-    the sub-quadratic approximate path (bucketed candidates + exact
-    in-bucket verification)."""
+    ds = _read_embeddings(sf_dir)
+    n = ds.count()
+    n_tiles = max(1, (n + tile_rows - 1) // tile_rows)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        X = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        return pa.table(
+            {
+                "vec_id": pa.array(vids, type=pa.int64()),
+                "emb": pa.array(list(Xn)),
+                "tile": pa.array((vids % n_tiles).astype(np.int32), type=pa.int32()),
+            }
+        )
+
+    shutil.rmtree(tiles_dir, ignore_errors=True)
+    os.makedirs(tiles_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow", batch_size=1024).write_parquet(
+        tiles_dir, partition_cols=["tile"]
+    )
+    return n, n_tiles
+
+
+def _load_tile(tiles_dir: str, i: int) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted vec_ids, normalized rows) of one staged tile."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    vids_all = t["vec_id"].to_numpy()
-    M = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    n_tiles = max(1, (len(vids_all) + tile_rows - 1) // tile_rows)
-    refs = [
-        ray.put((vids_all[k * tile_rows : (k + 1) * tile_rows],
-                 Mn[k * tile_rows : (k + 1) * tile_rows]))
-        for k in range(n_tiles)
-    ]
-    pairs = ray.data.from_items(
-        [{"i": i, "j": j} for i in range(n_tiles) for j in range(i, n_tiles)]
-    )
+    path = os.path.join(tiles_dir, f"tile={i}")
+    if not os.path.isdir(path):
+        return np.empty(0, dtype=np.int64), np.empty((0, 0))
+    t = pq.read_table(path)
+    vids = t["vec_id"].to_numpy(zero_copy_only=False)
+    Xn = np.stack(t["emb"].to_numpy(zero_copy_only=False))
+    order = np.argsort(vids)
+    return vids[order], Xn[order]
 
-    def tile_pair(batch: pa.Table, _refs=refs) -> pa.Table:
+
+class _TileCache:
+    """Small per-worker LRU of loaded tiles (tile-pair tasks touching
+    the same tile re-read from page cache otherwise; this skips even
+    the parquet decode for the common sequential (i, i+1), (i, i+2)
+    enumeration order)."""
+
+    def __init__(self, tiles_dir: str, cap: int = 8):
+        from collections import OrderedDict
+
+        self.tiles_dir = tiles_dir
+        self.cap = cap
+        self._c: OrderedDict[int, tuple[np.ndarray, np.ndarray]] = OrderedDict()
+
+    def get(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        t = self._c.get(i)
+        if t is None:
+            t = _load_tile(self.tiles_dir, i)
+            self._c[i] = t
+            if len(self._c) > self.cap:
+                self._c.popitem(last=False)
+        else:
+            self._c.move_to_end(i)
+        return t
+
+
+class TilePairCosine:
+    """Actor-pool stage for the exact all-pairs sweep: each task holds
+    at most ``cap`` tiles (2 live + LRU reuse) regardless of corpus
+    size."""
+
+    def __init__(self, tiles_dir: str):
+        self.cache = _TileCache(tiles_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         a_out, b_out, c_out = [], [], []
         for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
-            va, A = ray.get(_refs[i])
-            vb, B = ray.get(_refs[j])
+            va, A = self.cache.get(i)
+            vb, B = self.cache.get(j)
+            if not va.size or not vb.size:
+                continue
             cos = A @ B.T
             if i == j:
                 r, c = np.triu_indices(len(va), k=1)
@@ -269,23 +327,131 @@ def q_embedding_near_dup(sf_dir: str, tile_rows: int = 256) -> pa.Table:
             }
         )
 
-    out = pairs.map_batches(tile_pair, batch_format="pyarrow", batch_size=4).to_pandas()
+
+def q_embedding_near_dup(sf_dir: str, tile_rows: int = 256) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs (cos ≥ COS_DUP_T, a < b).
+
+    Exact all-pairs via TILE-PAIR decomposition: the normalized matrix
+    is staged as parquet row tiles by a Dataset pass (``_stage_tiles``
+    — the driver holds NO rows at any point); a Dataset of (i, j) tile
+    index pairs fans out so each task loads exactly two tiles and
+    emits that tile-pair's thresholded pairs. Per-task memory is a
+    handful of tiles regardless of corpus size. Compute is still O(N²)
+    by definition of the exact baseline; ``embedding_near_dup_lsh`` is
+    the sub-quadratic approximate path (bucketed candidates + exact
+    verification)."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="neardup-tiles-", dir="/tmp")
+    try:
+        _, n_tiles = _stage_tiles(sf_dir, work, tile_rows)
+        pairs = ray.data.from_items(
+            [{"i": i, "j": j} for i in range(n_tiles) for j in range(i, n_tiles)]
+        )
+        out = pairs.map_batches(
+            TilePairCosine,
+            fn_constructor_args=(work,),
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=4,
+        ).to_pandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return pa.Table.from_pandas(
         out.sort_values(["a_id", "b_id"]).reset_index(drop=True), preserve_index=False
     )
 
 
+def _bucket_candidates(vids: np.ndarray, n_tiles: int, max_bucket: int) -> pa.Table:
+    """Candidate (a_id, b_id) pairs for one LSH bucket, keyed by the
+    verification tile-pair group (vkey). Buckets above ``max_bucket``
+    are stop-buckets: dropped with a WARNING, never silently."""
+    empty = pa.table({"a_id": pa.array([], type=pa.int64()),
+                      "b_id": pa.array([], type=pa.int64()),
+                      "vkey": pa.array([], type=pa.int64())})
+    if vids.size < 2:
+        return empty
+    if vids.size > max_bucket:
+        import warnings
+
+        warnings.warn(
+            f"embedding_near_dup_lsh: dropped a candidate bucket of "
+            f"{vids.size} vectors (> max_bucket={max_bucket}); near-dups "
+            f"only co-bucketed there are lost — raise max_bucket or treat "
+            f"the bucket as a stop-bucket deliberately",
+            stacklevel=2,
+        )
+        return empty
+    r, c = np.triu_indices(vids.size, k=1)
+    a, b = vids[r], vids[c]
+    vkey = (a % n_tiles) * n_tiles + (b % n_tiles)
+    return pa.table(
+        {
+            "a_id": pa.array(a, type=pa.int64()),
+            "b_id": pa.array(b, type=pa.int64()),
+            "vkey": pa.array(vkey, type=pa.int64()),
+        }
+    )
+
+
+class VerifyPairs:
+    """Exact verification of one tile-pair group of candidate pairs:
+    load the two tiles, look rows up by vec_id (searchsorted over the
+    tile's sorted ids), compute exact cosine row-wise. Candidate
+    duplicates across LSH tables collapse here for free — every copy
+    of a pair lands in the same (tile_a, tile_b) group."""
+
+    def __init__(self, tiles_dir: str, n_tiles: int):
+        self.cache = _TileCache(tiles_dir)
+        self.n_tiles = n_tiles
+        self.__name__ = "VerifyPairs"  # map_groups reads __name__
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        vkey = int(g["vkey"][0].as_py())
+        i, j = divmod(vkey, self.n_tiles)
+        pairs = np.unique(
+            np.stack([g["a_id"].to_numpy(zero_copy_only=False),
+                      g["b_id"].to_numpy(zero_copy_only=False)], axis=1),
+            axis=0,
+        )
+        va, A = self.cache.get(i)
+        vb, B = self.cache.get(j)
+        ai = np.searchsorted(va, pairs[:, 0])
+        bi = np.searchsorted(vb, pairs[:, 1])
+        cos = np.einsum("ij,ij->i", A[ai], B[bi])
+        keep = cos >= COS_DUP_T
+        return pa.table(
+            {
+                "a_id": pa.array(pairs[keep, 0], type=pa.int64()),
+                "b_id": pa.array(pairs[keep, 1], type=pa.int64()),
+                "cos": pa.array(np.round(cos[keep], 6), type=pa.float64()),
+            }
+        )
+
+
 def q_embedding_near_dup_lsh(
-    sf_dir: str, n_tables: int = 12, n_bits: int = 4
+    sf_dir: str,
+    n_tables: int = 12,
+    n_bits: int = 4,
+    tile_rows: int = 256,
+    max_bucket: int = MAX_BUCKET,
 ) -> pa.Table:
     """Approximate near-dup pairs: LSH-bucketed candidate generation +
-    EXACT in-bucket verification (the sub-quadratic scale path the
-    exact baseline documents). Vectors shuffle by (table, bucket) key —
-    each group holds only its bucket's vectors, computes exact cosine
-    all-pairs inside, and emits verified pairs; a final pair-level
-    dedup folds hits from different tables. Precision is exact by
-    construction; recall depends on (n_tables, n_bits) — pytest
-    measures it against the exact baseline (rows-only gate entry)."""
+    EXACT verification (the sub-quadratic scale path the exact baseline
+    documents). The bucket shuffle moves ONLY narrow (bkey, vec_id)
+    rows — embeddings are never replicated through it (the r2 version
+    shipped every normalized vector n_tables×); vectors are read back
+    from staged parquet tiles at verification time. Candidate buckets
+    larger than ``max_bucket`` are stop-buckets: dropped with a WARNING
+    (dedup.py MAX_GROUP discipline) so a duplicate-heavy corpus
+    degrades predictably instead of collapsing into one O(b²) group.
+    Precision is exact by construction; recall depends on
+    (n_tables, n_bits) — pytest + RECALL.json measure it against the
+    exact baseline (rows-only gate entry)."""
+    import shutil
+    import tempfile
+
     rng = np.random.default_rng(7)
     ds = _read_embeddings(sf_dir)
     import pyarrow.parquet as pq
@@ -300,52 +466,51 @@ def q_embedding_near_dup_lsh(
     planes = rng.standard_normal((n_tables, n_bits, dim))
     p_ref = ray.put(planes)
 
-    def bucket_rows(batch: pa.Table, _p=p_ref) -> pa.Table:
-        pl = ray.get(_p)
-        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        X = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        T, B, _ = pl.shape
-        out_key, out_vid, out_emb = [], [], []
-        for t_i in range(T):
-            bits = (Xn @ pl[t_i].T) > 0
-            codes = (bits @ (1 << np.arange(B))).astype(np.int64)
-            out_key.append(t_i * (1 << B) + codes)  # (table, bucket) composite
-            out_vid.append(vids.astype(np.int64))
-            out_emb.append(Xn)
-        return pa.table(
-            {
-                "bkey": pa.array(np.concatenate(out_key), type=pa.int64()),
-                "vec_id": pa.array(np.concatenate(out_vid), type=pa.int64()),
-                "emb": pa.array(list(np.concatenate(out_emb))),
-            }
-        )
+    work = tempfile.mkdtemp(prefix="neardup-lsh-", dir="/tmp")
+    try:
+        _, n_tiles = _stage_tiles(sf_dir, work, tile_rows)
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        vids = g["vec_id"].to_numpy(zero_copy_only=False)
-        Xn = np.stack(g["emb"].to_numpy(zero_copy_only=False))
-        order = np.argsort(vids)
-        vids, Xn = vids[order], Xn[order]
-        cos = Xn @ Xn.T
-        r, c = np.triu_indices(len(vids), k=1)
-        keep = cos[r, c] >= COS_DUP_T
-        return pa.table(
-            {
-                "a_id": pa.array(vids[r[keep]], type=pa.int64()),
-                "b_id": pa.array(vids[c[keep]], type=pa.int64()),
-                "cos": pa.array(np.round(cos[r[keep], c[keep]], 6), type=pa.float64()),
-            }
-        )
+        def bucket_rows(batch: pa.Table, _p=p_ref) -> pa.Table:
+            """(bkey, vec_id) membership rows — NARROW; one row per
+            (vector, table), 16 bytes each."""
+            pl = ray.get(_p)
+            vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            X = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            T, B, _ = pl.shape
+            out_key, out_vid = [], []
+            for t_i in range(T):
+                bits = (Xn @ pl[t_i].T) > 0
+                codes = (bits @ (1 << np.arange(B))).astype(np.int64)
+                out_key.append(t_i * (1 << B) + codes)  # (table, bucket) composite
+                out_vid.append(vids)
+            return pa.table(
+                {
+                    "bkey": pa.array(np.concatenate(out_key), type=pa.int64()),
+                    "vec_id": pa.array(np.concatenate(out_vid), type=pa.int64()),
+                }
+            )
 
-    bucket_pairs.__name__ = "bucket_pairs"
-    out = (
-        ds.map_batches(bucket_rows, batch_format="pyarrow", batch_size=1024)
-        .groupby("bkey")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-        .to_pandas()
-    )
-    # pair-level dedup across tables (same pair found in many buckets)
-    out = out.drop_duplicates(subset=["a_id", "b_id"])
+        def bucket_cands(g: pa.Table) -> pa.Table:
+            return _bucket_candidates(
+                np.unique(g["vec_id"].to_numpy(zero_copy_only=False)), n_tiles, max_bucket
+            )
+
+        bucket_cands.__name__ = "bucket_cands"
+        out = (
+            ds.map_batches(bucket_rows, batch_format="pyarrow", batch_size=1024)
+            .groupby("bkey")
+            .map_groups(bucket_cands, batch_format="pyarrow")
+            .groupby("vkey")
+            .map_groups(VerifyPairs(work, n_tiles), batch_format="pyarrow")
+            .to_pandas()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    if out.empty:  # no candidate survived (e.g. every bucket capped)
+        return pa.table({"a_id": pa.array([], type=pa.int64()),
+                         "b_id": pa.array([], type=pa.int64()),
+                         "cos": pa.array([], type=pa.float64())})
     return pa.Table.from_pandas(
         out.sort_values(["a_id", "b_id"]).reset_index(drop=True), preserve_index=False
     )
@@ -399,13 +564,29 @@ class IvfCosine:
         )
 
 
-def train_centroids(sf_dir: str, n_centroids: int = 8, iters: int = 4, seed: int = 42) -> np.ndarray:
-    """Seeded mini k-means on the (sampled) embedding table. Driver-side
-    at test scale; a seeded ds.random_sample feeds it at cluster scale."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
-    X = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+def train_centroids(
+    sf_dir: str,
+    n_centroids: int = 8,
+    iters: int = 4,
+    seed: int = 42,
+    max_train: int = 65536,
+) -> np.ndarray:
+    """Seeded mini k-means over a BOUNDED training sample. The driver
+    never reads the full embedding table: tables larger than
+    ``max_train`` rows are down-sampled with a seeded
+    ``Dataset.random_sample`` (workers do the sampling; only ≤max_train
+    narrow rows reach the driver). k-means quality needs only a
+    representative sample, so the trained index is unaffected by
+    corpus size."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    n = ds.count()
+    if n > max_train:
+        # 1.1 oversample headroom, then a hard limit — sampling is
+        # Bernoulli per row, so the fraction alone can overshoot
+        ds = ds.random_sample(min(1.0, 1.1 * max_train / n), seed=seed).limit(max_train)
+    X = np.stack(ds.to_pandas()["embedding"].to_numpy()).astype(np.float64)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
     C = Xn[rng.choice(len(Xn), size=n_centroids, replace=False)]

@@ -1,0 +1,86 @@
+"""Produce RECALL.json: quantitative evidence for the approximate
+(no-oracle) similarity ops.
+
+The driver's correctness gate records `knn_cosine_lsh`,
+`knn_cosine_ivf` and `embedding_near_dup_lsh` as rows-only entries
+(approximate results have no SQL oracle). This script measures each
+against its EXACT counterpart on the same input and records:
+
+- `knn_cosine_lsh` / `knn_cosine_ivf`: mean top-10 recall per query
+  vs `knn_cosine` (brute-force cosine);
+- `embedding_near_dup_lsh`: pair recall and precision vs
+  `embedding_near_dup` (exact all-pairs) — precision must be 1.0 by
+  construction (candidates are exactly verified).
+
+Run: python scripts/make_recall.py  [sf_dir]  (default /root/testdata/sf0.01)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from docinsight_ray.functions.knn import (
+        q_embedding_near_dup,
+        q_embedding_near_dup_lsh,
+        q_knn_cosine,
+        q_knn_cosine_ivf,
+        q_knn_cosine_lsh,
+    )
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out: dict = {"sf_dir": sf}
+
+    exact = q_knn_cosine(sf).to_pandas()
+    for name, fn in [("knn_cosine_lsh", q_knn_cosine_lsh), ("knn_cosine_ivf", q_knn_cosine_ivf)]:
+        approx = fn(sf).to_pandas()
+        recalls = []
+        for qid, e in exact.groupby("query_id"):
+            a = approx[approx.query_id == qid]
+            es, as_ = set(e.vec_id.astype(int)), set(a.vec_id.astype(int))
+            recalls.append(len(es & as_) / len(es))
+        out[name] = {
+            "metric": "mean top-k recall vs exact knn_cosine",
+            "k": 10,
+            "n_queries": len(recalls),
+            "recall": round(sum(recalls) / len(recalls), 4),
+            "per_query": [round(r, 4) for r in recalls],
+        }
+
+    truth = q_embedding_near_dup(sf).to_pandas()
+    approx = q_embedding_near_dup_lsh(sf).to_pandas()
+    tset = set(zip(truth.a_id.astype(int), truth.b_id.astype(int)))
+    aset = set(zip(approx.a_id.astype(int), approx.b_id.astype(int)))
+    out["embedding_near_dup_lsh"] = {
+        "metric": "pair recall/precision vs exact embedding_near_dup",
+        "true_pairs": len(tset),
+        "found_pairs": len(aset),
+        "recall": round(len(tset & aset) / len(tset), 4) if tset else None,
+        "precision": round(len(tset & aset) / len(aset), 4) if aset else None,
+    }
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "RECALL.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps(out, indent=1, sort_keys=True))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -164,3 +164,47 @@ def test_knn_ivf_recall():
     # deterministic (seeded centroids)
     b = q_knn_cosine_ivf(SF).to_pandas()
     assert approx.equals(b)
+
+
+def test_embedding_near_dup_lsh_skew_guard(tmp_path):
+    """A candidate bucket holding more than max_bucket vectors (a
+    duplicate-heavy corpus — the op's own target case) WARNS and
+    degrades predictably: the capped bucket emits no pairs, while
+    near-dups that co-bucket elsewhere are still found."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docinsight_ray.functions.knn import q_embedding_near_dup_lsh
+
+    rng = np.random.default_rng(0)
+    dim = 16
+    v0 = rng.standard_normal(dim)
+    dup = np.tile(v0, (150, 1))  # identical codes → one bucket per table
+    v1 = rng.standard_normal(dim)
+    v1 -= (v1 @ v0) / (v0 @ v0) * v0  # ⊥ v0: outside the hot bucket w.h.p.
+    v2 = v1 + 0.1 * rng.standard_normal(dim)  # near-dup of v1 (cos ≈ 0.99)
+    M = np.vstack([dup, v1, v2])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(M)), type=pa.int64()),
+            "embedding": pa.array(list(M.astype(np.float32))),
+        }
+    )
+    d = tmp_path / "skew"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    # cap + warning unit-level (map_groups workers swallow driver-side
+    # pytest.warns, so the shared helper is asserted directly)
+    from docinsight_ray.functions.knn import _bucket_candidates
+
+    with pytest.warns(UserWarning, match="max_bucket"):
+        capped = _bucket_candidates(np.arange(150), n_tiles=4, max_bucket=100)
+    assert capped.num_rows == 0
+    assert _bucket_candidates(np.arange(50), n_tiles=4, max_bucket=100).num_rows == 50 * 49 // 2
+
+    out = q_embedding_near_dup_lsh(str(d), max_bucket=100).to_pandas()
+    pairs = set(zip(out.a_id.astype(int), out.b_id.astype(int)))
+    assert (150, 151) in pairs, "independent near-dup pair must survive the cap"
+    assert not any(a < 150 and b < 150 for a, b in pairs), (
+        "capped stop-bucket must emit no intra-bucket pairs"
+    )
