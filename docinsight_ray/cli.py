@@ -191,6 +191,22 @@ def cmd_validate(args) -> int:
     return 0 if not problems else 1
 
 
+def cmd_purge(args) -> int:
+    """GC an index directory: staging leftovers, interrupted-write tmp
+    files, stale-fingerprint manifests; ``--all`` cascades to a full
+    delete (reference cmd_purge analogue,
+    /root/reference/docinsight_cli.py:184-207). No Ray session needed."""
+    from .state.gc import purge
+
+    if args.all and not args.yes and not args.dry_run:
+        print("error: --all deletes the whole index dir; pass --yes to confirm",
+              file=sys.stderr)
+        return 2
+    report = purge(args.index_dir, remove_all=args.all, dry_run=args.dry_run)
+    print(json.dumps(report, indent=1))
+    return 0
+
+
 def cmd_bench(args) -> int:
     os.environ.setdefault("RAY_GRAFT_CPUS", str(args.num_cpus or 32))
     sys.argv = ["bench.py"] + (["--scaling"] if args.scaling else [])
@@ -241,6 +257,16 @@ def main(argv=None) -> int:
     v.add_argument("--corpus", default=None, help="source corpus for sha256 spot checks")
     v.add_argument("--spot-checks", type=int, default=50)
     v.set_defaults(fn=cmd_validate)
+
+    g = sub.add_parser("purge", parents=[common],
+                       help="GC staging leftovers / stale manifests from an index dir")
+    g.add_argument("index_dir")
+    g.add_argument("--all", action="store_true",
+                   help="cascading delete of the whole index dir (needs --yes)")
+    g.add_argument("--yes", action="store_true", help="confirm --all")
+    g.add_argument("--dry-run", action="store_true",
+                   help="report what would be removed without removing")
+    g.set_defaults(fn=cmd_purge)
 
     be = sub.add_parser("bench", parents=[common], help="run the bench suite")
     be.add_argument("--scaling", action="store_true")

@@ -72,3 +72,56 @@ def test_cli_conjunctive_mode(built_cli, capsys):
     assert rc == 0
     line = json.loads(capsys.readouterr().out.strip().splitlines()[0])
     assert line["hits"] == []  # unknown term empties a conjunctive query
+
+
+def test_cli_purge_crash_leftovers(built_cli, capsys):
+    """purge removes staging dirs, interrupted-write tmp files and
+    stale-fingerprint manifests — and the committed index still serves
+    identically afterwards."""
+    import numpy as np
+
+    from docinsight_ray.config import EngineConfig
+    from docinsight_ray.scorer import BM25Scorer
+
+    corpus_path, idx, root = built_cli
+    cfg = EngineConfig()
+    before_d, before_s = BM25Scorer(idx, cfg).score_taat("public static void", 5)
+
+    # simulate a crash: leftover staging dirs + a truncated tmp file +
+    # a stale-fingerprint manifest
+    os.makedirs(os.path.join(idx, "merge_stage", "gkey=3"), exist_ok=True)
+    with open(os.path.join(idx, "merge_stage", "gkey=3", "junk.parquet"), "wb") as f:
+        f.write(b"partial")
+    os.makedirs(os.path.join(idx, "shard_input"), exist_ok=True)
+    with open(os.path.join(idx, "parts", ".postings.parquet.deadbeef.tmp"), "wb") as f:
+        f.write(b"truncated write")
+    with open(os.path.join(idx, "manifest", "g999.json"), "w") as f:
+        json.dump({"part_id": "g999", "fingerprint": "OLD-RUN", "status": "committed"}, f)
+
+    rc = main(["purge", idx, "--dry-run"])
+    assert rc == 0
+    dry = json.loads(capsys.readouterr().out)
+    assert any(p.endswith("merge_stage") for p in dry["staging_dirs"])
+    assert os.path.isdir(os.path.join(idx, "merge_stage")), "dry-run must not delete"
+
+    rc = main(["purge", idx])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert not os.path.exists(os.path.join(idx, "merge_stage"))
+    assert not os.path.exists(os.path.join(idx, "shard_input"))
+    assert not os.path.exists(os.path.join(idx, "fragments"))
+    assert not os.path.exists(os.path.join(idx, "parts", ".postings.parquet.deadbeef.tmp"))
+    assert not os.path.exists(os.path.join(idx, "manifest", "g999.json"))
+    assert any(p.endswith("g999.json") for p in rep["stale_manifests"])
+    # committed state intact: current manifests survive, serving identical
+    assert os.path.exists(os.path.join(idx, "manifest", "_SUCCESS.json"))
+    after_d, after_s = BM25Scorer(idx, cfg).score_taat("public static void", 5)
+    np.testing.assert_array_equal(after_d, before_d)
+    np.testing.assert_array_equal(after_s, before_s)
+
+    # cascading delete requires confirmation
+    assert main(["purge", idx, "--all"]) == 2
+    assert os.path.isdir(idx)
+    assert main(["purge", idx, "--all", "--yes"]) == 0
+    capsys.readouterr()
+    assert not os.path.exists(idx)
