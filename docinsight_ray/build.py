@@ -101,6 +101,70 @@ def tf_sat_weight(tfs: np.ndarray, doc_lens: np.ndarray, avgdl: float, cfg: Engi
 # --------------------------------------------------------------------------
 
 
+def _tokenize_rows(batch: pa.Table, cfg: EngineConfig):
+    """Shared per-batch tokenize step (single and sharded builds):
+    → (doc_ids, content_sha, doc_lens, terms, doc_idx, tfs)."""
+    contents = batch["content"].to_pylist()
+    sha = sha256_hex(contents)
+    if cfg.doc_id_mode == "column":
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        doc_ids = doc_id_from_key(
+            batch["repo"].to_pylist(), batch["path"].to_pylist(), batch["commit"].to_pylist()
+        )
+    terms, doc_idx, tfs, doc_lens = tokenize_batch(contents, cfg)
+    return doc_ids, sha, doc_lens, terms, doc_idx, tfs
+
+
+def _write_fragment(
+    frag_dir: str,
+    dfstats_dir: str,
+    terms: np.ndarray,
+    row_doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    row_doc_lens: np.ndarray,
+    n_docs_batch: int,
+    tag_ids: np.ndarray,
+) -> None:
+    """One sorted SPIMI fragment parquet + its df sidecar.
+
+    Content-addressed names (sha of ``tag_ids``): Ray task retries
+    overwrite idempotently; distinct batches can never collide. fsio
+    handles plain paths (tmp + atomic rename) and URIs (object-store
+    PUT) — the fragments side-channel is the one path every worker
+    writes, so on a multi-node cluster it must live on shared/object
+    storage (build_index docstring). The sidecar records this batch's
+    per-term df (fragment rows are unique (term, doc) pairs, so
+    value_counts IS df) plus the batch's doc count for the pigeonhole
+    cutoff in hot-term detection."""
+    if not terms.size:
+        return
+    from .state.fsio import write_parquet_atomic
+
+    frag = pa.table(
+        {
+            "term": pa.array(terms, type=pa.string()),
+            "doc_id": pa.array(row_doc_ids, type=pa.uint64()),
+            "tf": pa.array(tfs, type=pa.uint32()),
+            "doc_len": pa.array(row_doc_lens, type=pa.uint32()),
+        }
+    )
+    batch_id = hashlib.sha256(np.ascontiguousarray(tag_ids).tobytes()).hexdigest()[:20]
+    name = f"frag-{batch_id}-{terms.size}"
+    write_parquet_atomic(frag, f"{frag_dir}/{name}.parquet")
+    vc = pc.value_counts(frag["term"])
+    side = pa.table(
+        {
+            "term": vc.field("values"),
+            "pdf": pc.cast(vc.field("counts"), pa.uint32()),
+            "ndocs": pa.array(
+                np.full(len(vc), n_docs_batch, dtype=np.uint32), type=pa.uint32()
+            ),
+        }
+    )
+    write_parquet_atomic(side, f"{dfstats_dir}/{name}.parquet")
+
+
 class SpimiTokenizer:
     """``map_batches`` callable: one pass over the corpus.
 
@@ -125,54 +189,12 @@ class SpimiTokenizer:
         makedirs(self.dfstats_dir)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
-        repos = batch["repo"].to_pylist()
-        paths = batch["path"].to_pylist()
-        commits = batch["commit"].to_pylist()
-        contents = batch["content"].to_pylist()
-        sha = sha256_hex(contents)
-        if cfg.doc_id_mode == "column":
-            doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        else:
-            doc_ids = doc_id_from_key(repos, paths, commits)
-
-        terms, doc_idx, tfs, doc_lens = tokenize_batch(contents, cfg)
-
-        if terms.size:
-            frag = pa.table(
-                {
-                    "term": pa.array(terms, type=pa.string()),
-                    "doc_id": pa.array(doc_ids[doc_idx], type=pa.uint64()),
-                    "tf": pa.array(tfs, type=pa.uint32()),
-                    "doc_len": pa.array(doc_lens[doc_idx], type=pa.uint32()),
-                }
-            )
-            # content-addressed fragment name: retries of the same batch
-            # overwrite idempotently; distinct batches can never collide.
-            # fsio handles plain paths (tmp + atomic rename) and URIs
-            # (object-store PUT) — the fragments side-channel is the one
-            # path every worker writes, so on a multi-node cluster it
-            # must live on shared/object storage (build_index docstring)
-            from .state.fsio import write_parquet_atomic
-
-            batch_id = hashlib.sha256(doc_ids.tobytes()).hexdigest()[:20]
-            name = f"frag-{batch_id}-{terms.size}"
-            write_parquet_atomic(frag, f"{self.fragments_dir}/{name}.parquet")
-            # sidecar: this batch's per-term df (fragment rows are
-            # unique (term, doc) pairs, so value_counts IS df) plus
-            # the batch's doc count for the pigeonhole cutoff
-            vc = pc.value_counts(frag["term"])
-            side = pa.table(
-                {
-                    "term": vc.field("values"),
-                    "pdf": pc.cast(vc.field("counts"), pa.uint32()),
-                    "ndocs": pa.array(
-                        np.full(len(vc), len(doc_ids), dtype=np.uint32), type=pa.uint32()
-                    ),
-                }
-            )
-            write_parquet_atomic(side, f"{self.dfstats_dir}/{name}.parquet")
-
+        doc_ids, sha, doc_lens, terms, doc_idx, tfs = _tokenize_rows(batch, self.cfg)
+        _write_fragment(
+            self.fragments_dir, self.dfstats_dir,
+            terms, doc_ids[doc_idx], tfs, doc_lens[doc_idx],
+            n_docs_batch=len(doc_ids), tag_ids=doc_ids,
+        )
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, type=pa.uint64()),
@@ -501,6 +523,7 @@ def build_index(
     cfg: EngineConfig | None = None,
     fingerprint: str = "",
     fragments_dir: str | None = None,
+    ext_losers_dir: str | None = None,
 ) -> BuildResult:
     """Build the full index under ``index_dir``. Resumable: committed
     partitions (matching fingerprint + config hash) are skipped.
@@ -512,7 +535,15 @@ def build_index(
     semantics) or an object store via pyarrow.fs URIs (``s3://…``,
     ``file:///…`` — PUT-commit semantics; state/fsio.py handles both).
     Single-node/tests need nothing: everything defaults to local
-    directories under ``index_dir``."""
+    directories under ``index_dir``.
+
+    ``ext_losers_dir``: parquet dir of EXTERNALLY-computed dedup loser
+    rows (doc_id, doc_len) to drop from this build — the sharded build
+    passes each shard its slice of a GLOBAL keep-first pass (a
+    duplicate's copies can land in different shards, so per-shard dedup
+    cannot see them). Mutually exclusive with cfg.dedup's own pass
+    (takes precedence); the directory is caller-owned and never
+    deleted here."""
     from .state.fsio import makedirs as fs_makedirs, rmtree as fs_rmtree
 
     cfg = cfg or EngineConfig()
@@ -603,7 +634,22 @@ def build_index(
     losers_len = 0
     losers_count = 0
     losers_spill: str | None = None  # join-path loser Dataset location
-    if cfg.dedup:
+    from .state.fsio import glob_parquet as _gp
+
+    if ext_losers_dir is not None and _gp(ext_losers_dir):
+        # externally-computed loser set (sharded global dedup): stats
+        # from the narrow spill; small sets broadcast, large sets take
+        # the same anti-join path as the internal join-path dedup
+        losers_ds = ray.data.read_parquet(_gp(ext_losers_dir))
+        losers_count = losers_ds.count()
+        losers_len = int(losers_ds.sum("doc_len") or 0)
+        if losers_count <= cfg.broadcast_limit:
+            losers = np.sort(
+                losers_ds.to_pandas()["doc_id"].to_numpy().astype(np.uint64)
+            )
+        else:
+            losers_spill = ext_losers_dir
+    elif cfg.dedup:
         sha_counts = (
             docs_ds.select_columns(["content_sha256"])
             .groupby("content_sha256")
@@ -867,8 +913,9 @@ def build_index(
     _stage("hot_merge", t0)
 
     # the join-path loser spill has served its purpose (dedup is
-    # recomputed from the docs registry on any resume)
-    if losers_spill is not None:
+    # recomputed from the docs registry on any resume); an EXTERNAL
+    # loser dir is caller-owned — never deleted here
+    if losers_spill is not None and losers_spill != ext_losers_dir:
         fs_rmtree(losers_spill)
 
     stats = {

@@ -31,9 +31,184 @@ import ray.data
 
 from ..build import build_index
 from ..config import EngineConfig
-from ..ids import doc_id_from_key
 from ..scorer import RESULTS_SCHEMA, BM25Scorer
 from ..state.manifest import atomic_write_bytes
+
+
+class ShardSplitTokenizer:
+    """ONE corpus pass for the sharded build: tokenize each batch once
+    and route both the SPIMI fragment rows AND the docs-registry rows
+    to per-shard side files (shard = doc_id % S). Replaces the r2
+    two-pass layout (dedup pre-pass over content + hive re-write of the
+    annotated corpus + per-shard re-tokenization): content is read
+    once, tokenized once, and never written again — only fragments and
+    docs rows land on disk, exactly where each shard's build_index
+    expects them. All writes are content-addressed + atomic (fsio), so
+    Ray task retries overwrite idempotently."""
+
+    def __init__(self, cfg: EngineConfig, index_dir: str, n_shards: int):
+        from ..state.fsio import makedirs
+
+        self.cfg = cfg
+        self.index_dir = index_dir
+        self.n_shards = n_shards
+        self.__name__ = "ShardSplitTokenizer"
+        for s in range(n_shards):
+            d = os.path.join(index_dir, f"shard={s}")
+            makedirs(os.path.join(d, "fragments"))
+            makedirs(os.path.join(d, "fragments-dfstats"))
+            makedirs(os.path.join(d, "docs"))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        from ..build import _tokenize_rows, _write_fragment
+        from ..state.fsio import write_parquet_atomic
+
+        doc_ids, sha, doc_lens, terms, doc_idx, tfs = _tokenize_rows(batch, self.cfg)
+        shard = (doc_ids % np.uint64(self.n_shards)).astype(np.int64)
+        row_shard = shard[doc_idx] if terms.size else np.empty(0, dtype=np.int64)
+        docs_tbl = pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.uint64()),
+                "repo": batch["repo"],
+                "path": batch["path"],
+                "commit": batch["commit"],
+                "lang": batch["lang"],
+                "content_sha256": pa.array(sha, type=pa.string()),
+                "doc_len": pa.array(doc_lens, type=pa.uint32()),
+            }
+        )
+        for s in np.unique(shard):
+            dmask = shard == s
+            rmask = row_shard == s
+            d = os.path.join(self.index_dir, f"shard={int(s)}")
+            tag_ids = doc_ids[dmask]
+            _write_fragment(
+                os.path.join(d, "fragments"),
+                os.path.join(d, "fragments-dfstats"),
+                terms[rmask], doc_ids[doc_idx][rmask], tfs[rmask],
+                doc_lens[doc_idx][rmask],
+                n_docs_batch=int(dmask.sum()), tag_ids=tag_ids,
+            )
+            batch_id = hashlib.sha256(np.ascontiguousarray(tag_ids).tobytes()).hexdigest()[:20]
+            write_parquet_atomic(
+                docs_tbl.filter(pa.array(dmask)),
+                os.path.join(d, "docs", f"docs-{batch_id}.parquet"),
+            )
+        return pa.table(
+            {
+                "n_docs": pa.array([len(doc_ids)], type=pa.int64()),
+                "n_rows": pa.array([int(terms.size)], type=pa.int64()),
+            }
+        )
+
+
+def _write_global_losers(index_dir: str, n_shards: int, cfg: EngineConfig) -> None:
+    """GLOBAL exact dedup for the sharded build: a duplicate's copies
+    can land in DIFFERENT shards, so per-shard dedup cannot see them.
+    Distributed keep-first (min doc_id per content_sha256) over the
+    narrow union of the per-shard docs registries — content never
+    moves; loser (doc_id, doc_len) rows spill hive-partitioned by the
+    loser's shard so each shard build drops exactly its own losers
+    (build_index ``ext_losers_dir``)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count as _Count, Min as _Min
+
+    from ..state.fsio import glob_parquet, rmtree as fs_rmtree
+
+    files = [
+        f
+        for s in range(n_shards)
+        for f in glob_parquet(os.path.join(index_dir, f"shard={s}", "docs"))
+    ]
+    if not files:
+        return
+    docs_all = ray.data.read_parquet(files, columns=["content_sha256", "doc_id", "doc_len"])
+    dup_ds = (
+        docs_all.select_columns(["content_sha256"])
+        .groupby("content_sha256")
+        .aggregate(_Count(alias_name="n"))
+        .map_batches(lambda t: t.filter(pc.greater(t["n"], pa.scalar(1))),
+                     batch_format="pyarrow")
+        .materialize()  # bounded by the duplicate-sha count
+    )
+    n_dup_shas = dup_ds.count()
+    if n_dup_shas == 0:
+        return
+    out_dir = os.path.join(index_dir, "dedup_global")
+    fs_rmtree(out_dir)
+    losers_count = int(dup_ds.sum("n")) - n_dup_shas
+    if losers_count <= cfg.broadcast_limit:
+        # broadcast fast path (duplicates are rare): fetch ONLY the
+        # dup-sha rows, keep-first driver-side, write the small spill
+        # directly — the distributed join below costs seconds of fixed
+        # shuffle setup that dominates at bench scale (same two-path
+        # split as build_index's own dedup)
+        from ..state.fsio import makedirs as fs_makedirs, write_parquet_atomic
+
+        dup_ref = ray.put(pa.array(sorted(dup_ds.to_pandas()["content_sha256"]),
+                                   type=pa.string()))
+
+        def only_dups(batch: pa.Table, *, _ref=dup_ref) -> pa.Table:
+            return batch.filter(pc.is_in(batch["content_sha256"], value_set=ray.get(_ref)))
+
+        dup_rows = docs_all.map_batches(only_dups, batch_format="pyarrow").to_pandas()
+        dup_rows = dup_rows.sort_values("doc_id")
+        losers_df = dup_rows[dup_rows.duplicated("content_sha256", keep="first")]
+        ids = losers_df["doc_id"].to_numpy().astype(np.uint64)
+        shard = (ids % np.uint64(n_shards)).astype(np.int64)
+        for s in np.unique(shard):
+            m = shard == s
+            fs_makedirs(os.path.join(out_dir, f"shard={int(s)}"))
+            write_parquet_atomic(
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids[m], type=pa.uint64()),
+                        "doc_len": pa.array(
+                            losers_df["doc_len"].to_numpy()[m].astype(np.uint32),
+                            type=pa.uint32(),
+                        ),
+                    }
+                ),
+                os.path.join(out_dir, f"shard={int(s)}", "losers.parquet"),
+            )
+        return
+
+    def with_skey(t: pa.Table) -> pa.Table:
+        # Ray 2.49 hazard: Min on full-range uint64 overflows — aggregate
+        # the sign-bit-flipped int64 view (order-preserving)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        skey = (ids ^ np.uint64(1 << 63)).view(np.int64)
+        return t.append_column("skey", pa.array(skey, type=pa.int64()))
+
+    shifted = docs_all.map_batches(with_skey, batch_format="pyarrow")
+    winners = (
+        shifted.select_columns(["content_sha256", "skey"])
+        .groupby("content_sha256")
+        .aggregate(_Min("skey", alias_name="winner_skey"))
+        # Ray 2.49: joins break on empty right-side blocks (joins.py)
+        .repartition(cfg.num_buckets)
+    )
+
+    def keep_losers(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.not_equal(t["skey"], t["winner_skey"]))
+        ids = sel["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "doc_id": sel["doc_id"],
+                "doc_len": sel["doc_len"],
+                "shard": pa.array((ids % np.uint64(n_shards)).astype(np.int32),
+                                  type=pa.int32()),
+            }
+        )
+
+    shifted.join(
+        winners, join_type="inner", num_partitions=cfg.num_buckets,
+        on=("content_sha256",),
+    ).map_batches(keep_losers, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["shard"]
+    )
 
 
 def build_sharded_index(
@@ -43,148 +218,110 @@ def build_sharded_index(
     cfg: EngineConfig | None = None,
     fingerprint: str = "",
 ) -> list[str]:
-    """Build S doc-partitioned sub-indexes. Global corpus stats
-    (n_docs, avgdl) are computed over the union and written into every
-    shard so per-shard scoring uses global BM25 statistics."""
-    cfg = cfg or EngineConfig()
+    """Build S doc-partitioned sub-indexes from ONE corpus pass.
 
-    def batch_ids(batch: pa.Table) -> np.ndarray:
-        if cfg.doc_id_mode == "column":
-            return batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return doc_id_from_key(
-            batch["repo"].to_pylist(), batch["path"].to_pylist(), batch["commit"].to_pylist()
-        )
+    1. ``ShardSplitTokenizer``: read + tokenize the corpus once,
+       writing per-shard SPIMI fragments, df sidecars and docs-registry
+       files directly into each ``shard=s/`` directory (content never
+       re-read or re-written).
+    2. Global exact dedup over the narrow union of docs registries →
+       per-shard loser spill (``_write_global_losers``).
+    3. Per-shard ``build_index`` with a pre-committed docs manifest, so
+       each build skips its tokenize stage and runs only the merge
+       shuffle over its own fragments (dedup off; global losers applied
+       via ``ext_losers_dir``).
+    4. ``distribute_global_stats``: global n_docs/avgdl/df into every
+       shard so per-shard BM25 scores are final (exact top-k merge at
+       query time).
 
-    # ---- GLOBAL exact dedup BEFORE the shard split: duplicates with
-    # different doc_ids land in different shards, so per-shard dedup
-    # cannot see them. Distributed keep-first over the narrow
-    # (sha, doc_id) projection — content never shuffles; the loser set
-    # then either broadcasts (small) or anti-joins (above
-    # cfg.broadcast_limit; docinsight_ray.joins).
-    losers = np.empty(0, dtype=np.uint64)
-    if cfg.dedup:
-        from ray.data.aggregate import Min as _Min
-        import pyarrow.compute as pc
-
-        from ..ids import sha256_hex
-        from ..joins import anti_join
-
-        def sha_ids(batch: pa.Table) -> pa.Table:
-            ids = batch_ids(batch)
-            # skey: sign-bit-flipped int64 view of the uint64 doc_id —
-            # Ray 2.49's Min overflows on full-range uint64 (SIGSEGVs
-            # the hash-shuffle aggregator); int64 order after XOR 2^63
-            # equals uint64 order, so min(skey) is min(doc_id)
-            skey = (ids ^ np.uint64(1 << 63)).view(np.int64)
-            return pa.table(
-                {
-                    "content_sha256": pa.array(sha256_hex(batch["content"].to_pylist())),
-                    "doc_id": pa.array(ids, type=pa.uint64()),
-                    "skey": pa.array(skey, type=pa.int64()),
-                }
-            )
-
-        narrow = corpus.map_batches(sha_ids, batch_format="pyarrow", zero_copy_batch=True).materialize()
-        winners = narrow.select_columns(["content_sha256", "skey"]).groupby(
-            "content_sha256"
-        ).aggregate(_Min("skey", alias_name="winner_skey")).repartition(cfg.num_buckets)
-        # ^ Ray 2.49: joins break on empty right-side blocks (joins.py)
-        losers_ds = narrow.join(
-            winners, join_type="inner", num_partitions=cfg.num_buckets, on=("content_sha256",)
-        ).map_batches(
-            lambda t: t.select(["doc_id"]).filter(pc.not_equal(t["skey"], t["winner_skey"])),
-            batch_format="pyarrow",
-        ).materialize()
-        n_losers = losers_ds.count()
-        if n_losers == 0:
-            pass
-        elif n_losers <= cfg.broadcast_limit:
-            losers = np.sort(losers_ds.to_pandas()["doc_id"].to_numpy().astype(np.uint64))
-        else:
-            # anti-join path: annotate with the doc_id key, drop losers,
-            # continue with the filtered corpus (no broadcast)
-            def with_key(batch: pa.Table) -> pa.Table:
-                return batch.append_column(
-                    "__doc_id", pa.array(batch_ids(batch), type=pa.uint64())
-                )
-
-            keys = losers_ds.map_batches(
-                lambda t: t.rename_columns(["__doc_id"]), batch_format="pyarrow"
-            )
-            corpus = anti_join(
-                corpus.map_batches(with_key, batch_format="pyarrow", zero_copy_batch=True),
-                keys, "__doc_id", cfg.num_buckets,
-            ).drop_columns(["__doc_id"])
-    losers_ref = ray.put(losers)
-    # shards build with dedup off — global dedup already applied above
+    Cost model: corpus read+tokenize once, fragments written once, S
+    independent merge shuffles over disjoint fragment sets — the whole
+    build is a constant factor over a single build, not S× (r2 measured
+    3.1× at S=2; this layout is the fix)."""
     import dataclasses
 
-    shard_cfg = cfg if not cfg.dedup else dataclasses.replace(cfg, dedup=False)
-
-    def add_shard(batch: pa.Table, _l=losers_ref) -> pa.Table:
-        ids = batch_ids(batch)
-        lo = ray.get(_l)
-        if lo.size:
-            keep = ~np.isin(ids, lo)
-            batch = batch.filter(pa.array(keep))
-            ids = ids[keep]
-        return batch.append_column(
-            "shard", pa.array((ids % np.uint64(n_shards)).astype(np.int32), type=pa.int32())
-        )
-
-    # ---- ONE pass over the corpus: hive-partitioned write by shard.
-    # (The round-1 layout filtered the full annotated corpus once per
-    # shard — S sequential re-reads. This is the materialized
-    # repartition every partitioned build does at scale: each shard
-    # then builds from its own partition directory only.)
     from ..state.fsio import (
         exists as fs_exists,
-        glob_parquet,
+        listdir_names,
         makedirs as fs_makedirs,
         read_bytes,
+        remove_path,
         rmtree as fs_rmtree,
     )
+    from ..state.manifest import committed_parts, write_manifest
     from ..state.manifest import atomic_write_bytes as _awb
 
-    sharded = corpus.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
-    split_dir = os.path.join(index_dir, "shard_input")
-    split_done = os.path.join(split_dir, "_SPLIT_DONE")
-    split_tag = f"{fingerprint}:{n_shards}:{shard_cfg.config_hash()}"
-    prev = read_bytes(split_done)
+    cfg = cfg or EngineConfig()
+    # shards build with dedup off — global dedup is applied via the
+    # ext loser spill (step 2)
+    shard_cfg = cfg if not cfg.dedup else dataclasses.replace(cfg, dedup=False)
+    shard_fps = [f"{fingerprint}:shard{s}/{n_shards}" for s in range(n_shards)]
+    inner_fps = [f"{fp}:{shard_cfg.config_hash()}" for fp in shard_fps]
+    fs_makedirs(index_dir)
+    marker = os.path.join(index_dir, "_SPLIT_DONE")
+    split_tag = f"{fingerprint}:{n_shards}:{cfg.config_hash()}:{shard_cfg.config_hash()}:v3"
+    prev = read_bytes(marker)
     if prev is None or prev.decode() != split_tag:
-        fs_rmtree(split_dir)
-        fs_makedirs(split_dir)
-        sharded.write_parquet(split_dir, partition_cols=["shard"])
-        _awb(split_done, split_tag.encode())
+        # no resumable split for THIS (input, shards, config) → clean slate
+        for n in listdir_names(index_dir):
+            if n.startswith("shard=") or n in ("dedup_global", "shard_input"):
+                fs_rmtree(os.path.join(index_dir, n))
+        remove_path(marker)
+        stats = corpus.map_batches(
+            ShardSplitTokenizer(cfg, index_dir, n_shards),
+            batch_format="pyarrow",
+            batch_size=cfg.tokenize_batch_size,
+            zero_copy_batch=True,
+        )
+        n_total = int(stats.sum("n_docs") or 0)  # drives the pass
+        if cfg.dedup and n_total:
+            _write_global_losers(index_dir, n_shards, cfg)
+        # pre-commit each shard's docs manifest: its build_index call
+        # then resumes past Stage A straight into the merge shuffle
+        for s in range(n_shards):
+            write_manifest(
+                os.path.join(index_dir, f"shard={s}", "manifest"),
+                "docs",
+                {
+                    "part_id": "docs", "stage": "tokenize", "status": "committed",
+                    "fingerprint": inner_fps[s],
+                    "config_hash": shard_cfg.config_hash(),
+                    "split": "sharded-single-pass",
+                },
+            )
+        _awb(marker, split_tag.encode())
 
     shard_dirs = []
-    empty_corpus = None
+    placeholder = ray.data.from_arrow(
+        pa.schema([("doc_id", pa.uint64())]).empty_table()
+    )
     for s in range(n_shards):
-        part = os.path.join(split_dir, f"shard={s}")
-        if fs_exists(part):
-            sub = ray.data.read_parquet(part)
-        else:  # hash-empty shard: commit an empty-but-valid sub-index
-            if empty_corpus is None:
-                split_files = glob_parquet(split_dir)
-                if split_files:
-                    import pyarrow.parquet as _pq
-
-                    empty_corpus = _pq.read_table(split_files[0]).schema.empty_table()
-                else:
-                    # empty or fully-deduplicated corpus: the split wrote
-                    # no files at all — derive the schema from the input
-                    # Dataset so every shard still commits an
-                    # empty-but-valid sub-index (build_index's own
-                    # empty-corpus path)
-                    schema = corpus.schema()
-                    empty_corpus = getattr(schema, "base_schema", schema).empty_table()
-            sub = ray.data.from_arrow(empty_corpus)
         d = os.path.join(index_dir, f"shard={s}")
-        build_index(sub, d, shard_cfg, fingerprint=f"{fingerprint}:shard{s}/{n_shards}")
+        # the docs manifest MUST be committed (step above / prior run) —
+        # otherwise build_index would tokenize the placeholder and
+        # silently commit a wrong (empty) shard
+        if "docs" not in committed_parts(os.path.join(d, "manifest"), inner_fps[s]):
+            raise RuntimeError(
+                f"sharded build: {d} has no committed docs manifest for this "
+                f"fingerprint — split pass incomplete; re-run the build"
+            )
         shard_dirs.append(d)
 
-    # the split copy has served its purpose once every shard committed
-    fs_rmtree(split_dir)
+    # shard builds are independent (disjoint dirs/fragments) but run
+    # SEQUENTIALLY: concurrent driver threads race in Ray's
+    # read_parquet datasource setup (a failing optional fsspec/aiohttp
+    # import is retried per call; parallel retries hit a Python
+    # import-machinery race and surface as spurious ImportError), and
+    # each build already saturates the cluster via its own stages.
+    for s in range(n_shards):
+        ext = os.path.join(index_dir, "dedup_global", f"shard={s}")
+        build_index(
+            placeholder, shard_dirs[s], shard_cfg, fingerprint=shard_fps[s],
+            ext_losers_dir=ext if fs_exists(ext) else None,
+        )
+
+    # the loser spill has served its purpose once every shard committed
+    fs_rmtree(os.path.join(index_dir, "dedup_global"))
 
     distribute_global_stats(shard_dirs)
     return shard_dirs

@@ -41,6 +41,7 @@ STAGING_SUBDIRS = (
     "merge_stage",
     "shard_input",
     "dedup_losers",
+    "dedup_global",
     "partial",
 )
 
