@@ -190,7 +190,7 @@ def q_postings_probe(sf_dir: str) -> pa.Table:
     return collect_table(ds.map_batches(explode, batch_format="pyarrow"), empty)
 
 
-def q_bm25_topk(sf_dir: str, mode: str = "taat") -> pa.Table:
+def q_bm25_topk(sf_dir: str, mode: str = "taat", max_loaded_parts: int | None = None) -> pa.Table:
     """Full engine path END-TO-END: build → Dataset of queries →
     actor-pool scorers (the serving path, not a driver loop) → top-10
     per fixed query, ranked by (round(score,6) desc, doc_id asc) for
@@ -206,7 +206,8 @@ def q_bm25_topk(sf_dir: str, mode: str = "taat") -> pa.Table:
         }
     )
     res = (
-        query_index(ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG, mode=mode, concurrency=2)
+        query_index(ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG, mode=mode,
+                    concurrency=2, max_loaded_parts=max_loaded_parts)
         .to_pandas()
     )
     qids, ranks, dids, scores = [], [], [], []
@@ -232,6 +233,15 @@ def q_bm25_topk(sf_dir: str, mode: str = "taat") -> pa.Table:
 
 def q_bm25_topk_bmw(sf_dir: str) -> pa.Table:
     return q_bm25_topk(sf_dir, mode="bmw")
+
+
+def q_bm25_topk_lazy(sf_dir: str) -> pa.Table:
+    """Partition-LAZY serving (ROADMAP §5): scorer actors cap resident
+    postings partitions at 2 (load on first term touch, LRU-evicted)
+    so actor RSS is bounded independently of index size. Same oracle
+    as bm25_topk — the gate proves rank/score identity at the hash
+    level."""
+    return q_bm25_topk(sf_dir, mode="maxscore", max_loaded_parts=2)
 
 
 def q_bm25_conjunctive(sf_dir: str) -> pa.Table:
@@ -405,6 +415,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "bm25_topk": BM25_CTE + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}",
     "bm25_topk_bmw": BM25_CTE + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}",
+    "bm25_topk_lazy": BM25_CTE + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}",
     "bm25_hydrated": BM25_CTE + f"""
         SELECT r.query_id, r.rank, r.doc_id, r.score, d.lang, d.source
         FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
@@ -455,6 +466,7 @@ QUERIES = {
     "postings_probe": q_postings_probe,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_bmw": q_bm25_topk_bmw,
+    "bm25_topk_lazy": q_bm25_topk_lazy,
     "bm25_hydrated": q_bm25_hydrated,
     "bm25_conjunctive": q_bm25_conjunctive,
     "bm25_doc_query": q_bm25_doc_query,
