@@ -129,6 +129,20 @@ def _run_suite(sf_dir: str, num_cpus: int) -> dict:
         extra[f"bm25_{mode}_p50_ms"] = round(float(np.percentile(lats, 50)) * 1e3, 3)
         extra[f"bm25_{mode}_p99_ms"] = round(float(np.percentile(lats, 99)) * 1e3, 3)
 
+    # partition-lazy serving (capped actor RSS; ROADMAP §5): same
+    # queries through a scorer bounded to 8 resident partitions —
+    # measures the residency-cap tax vs the eager maxscore above
+    with timed("bm25_maxscore_lazy"):
+        scorer = BM25Scorer(idx_dir, cfg, mode="maxscore", max_loaded_parts=8)
+        lats = []
+        for qid, text, k in kw_queries:
+            t0 = time.monotonic()
+            scorer.score_maxscore(text, k)
+            lats.append(time.monotonic() - t0)
+    extra["bm25_maxscore_lazy_p50_ms"] = round(float(np.percentile(lats, 50)) * 1e3, 3)
+    extra["bm25_maxscore_lazy_partitions_loaded"] = scorer.partitions_loaded
+    del scorer
+
     # distributed scoring pass through the Dataset actor-pool path
     from docinsight_ray.scorer import query_index
 

@@ -76,36 +76,62 @@ class CosineTopK:
         )
 
 
+def _final_topk(g: pa.Table) -> pa.Table:
+    """Exact global top-k merge for ONE query's per-batch partials
+    ((round6 cos desc, vec_id asc) — same order the partials used, so
+    the tie margin guarantees no boundary candidate was dropped)."""
+    cos6 = np.round(g["cos"].to_numpy(zero_copy_only=False), 6)
+    vids = g["vec_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((vids, -cos6))[:KNN_K]
+    return pa.table(
+        {
+            "query_id": pa.array(
+                np.full(order.size, g["query_id"][0].as_py(), dtype=np.int64),
+                type=pa.int64(),
+            ),
+            "rank": pa.array(np.arange(order.size, dtype=np.int64), type=pa.int64()),
+            "vec_id": pa.array(vids[order].astype(np.int64), type=pa.int64()),
+            "cos": pa.array(cos6[order], type=pa.float64()),
+        }
+    )
+
+
+_final_topk.__name__ = "_final_topk"
+
+
+def _merge_topk(partials: "ray.data.Dataset") -> pa.Table:
+    """Distributed per-query merge: partials shuffle by query_id (a few
+    groups, each ≤ margin × n_batches rows) instead of materializing
+    every partial row on the driver — the driver only ever holds the
+    final n_queries × k table."""
+    out = (
+        partials.groupby("query_id")
+        .map_groups(_final_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if out.empty:
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         "rank": pa.array([], type=pa.int64()),
+                         "vec_id": pa.array([], type=pa.int64()),
+                         "cos": pa.array([], type=pa.float64())})
+    return pa.Table.from_pandas(
+        out.sort_values(["query_id", "rank"]).reset_index(drop=True), preserve_index=False
+    )
+
+
 def q_knn_cosine(sf_dir: str) -> pa.Table:
     """Exact cosine top-10 per query vector (brute force, partial top-k
-    per batch + driver-side final merge)."""
+    per batch + distributed per-query merge)."""
     qmat = _query_matrix(sf_dir)
     q_ref = ray.put(qmat)
-    partials = (
-        _read_embeddings(sf_dir)
-        .map_batches(
+    return _merge_topk(
+        _read_embeddings(sf_dir).map_batches(
             CosineTopK,
             fn_constructor_args=(q_ref, KNN_K),
             batch_format="pyarrow",
             batch_size=1024,
             concurrency=2,
         )
-        .to_pandas()
-    )
-    out_rows = []
-    for qid, g in partials.groupby("query_id"):
-        cos6 = np.round(g["cos"].to_numpy(), 6)
-        vids = g["vec_id"].to_numpy()
-        order = np.lexsort((vids, -cos6))[:KNN_K]
-        for r, i in enumerate(order):
-            out_rows.append((int(qid), r, int(vids[i]), float(cos6[i])))
-    return pa.table(
-        {
-            "query_id": pa.array([r[0] for r in out_rows], type=pa.int64()),
-            "rank": pa.array([r[1] for r in out_rows], type=pa.int64()),
-            "vec_id": pa.array([r[2] for r in out_rows], type=pa.int64()),
-            "cos": pa.array([r[3] for r in out_rows], type=pa.float64()),
-        }
     )
 
 
@@ -178,31 +204,14 @@ def q_knn_cosine_lsh(sf_dir: str, n_tables: int = 8, n_bits: int = 6) -> pa.Tabl
     planes = rng.standard_normal((n_tables, n_bits, dim))
     q_ref = ray.put(qmat)
     p_ref = ray.put(planes)
-    partials = (
-        _read_embeddings(sf_dir)
-        .map_batches(
+    return _merge_topk(
+        _read_embeddings(sf_dir).map_batches(
             LshBucketCosine,
             fn_constructor_args=(q_ref, KNN_K, p_ref),
             batch_format="pyarrow",
             batch_size=1024,
             concurrency=2,
         )
-        .to_pandas()
-    )
-    out_rows = []
-    for qid, g in partials.groupby("query_id"):
-        cos6 = np.round(g["cos"].to_numpy(), 6)
-        vids = g["vec_id"].to_numpy()
-        order = np.lexsort((vids, -cos6))[:KNN_K]
-        for r, i in enumerate(order):
-            out_rows.append((int(qid), r, int(vids[i]), float(cos6[i])))
-    return pa.table(
-        {
-            "query_id": pa.array([r[0] for r in out_rows], type=pa.int64()),
-            "rank": pa.array([r[1] for r in out_rows], type=pa.int64()),
-            "vec_id": pa.array([r[2] for r in out_rows], type=pa.int64()),
-            "cos": pa.array([r[3] for r in out_rows], type=pa.float64()),
-        }
     )
 
 
@@ -606,31 +615,14 @@ def q_knn_cosine_ivf(sf_dir: str, n_centroids: int = 8, nprobe: int = 3) -> pa.T
     C = train_centroids(sf_dir, n_centroids=n_centroids)
     q_ref = ray.put(qmat)
     c_ref = ray.put(C)
-    partials = (
-        _read_embeddings(sf_dir)
-        .map_batches(
+    return _merge_topk(
+        _read_embeddings(sf_dir).map_batches(
             IvfCosine,
             fn_constructor_args=(q_ref, c_ref, KNN_K, nprobe),
             batch_format="pyarrow",
             batch_size=1024,
             concurrency=2,
         )
-        .to_pandas()
-    )
-    out_rows = []
-    for qid, g in partials.groupby("query_id"):
-        cos6 = np.round(g["cos"].to_numpy(), 6)
-        vids = g["vec_id"].to_numpy()
-        order = np.lexsort((vids, -cos6))[:KNN_K]
-        for r, i in enumerate(order):
-            out_rows.append((int(qid), r, int(vids[i]), float(cos6[i])))
-    return pa.table(
-        {
-            "query_id": pa.array([r[0] for r in out_rows], type=pa.int64()),
-            "rank": pa.array([r[1] for r in out_rows], type=pa.int64()),
-            "vec_id": pa.array([r[2] for r in out_rows], type=pa.int64()),
-            "cos": pa.array([r[3] for r in out_rows], type=pa.float64()),
-        }
     )
 
 
