@@ -150,3 +150,56 @@ def test_sharded_global_dedup(ray_session, tmp_path):
         sub = out[out.query_id == qid].sort_values("rank")
         np.testing.assert_array_equal(sub.doc_id.to_numpy(dtype=np.uint64), od)
         np.testing.assert_array_equal(sub.score.to_numpy(), osc)
+
+
+def test_sharded_resume_after_shard_crash(ray_session, tmp_path):
+    """Crash recovery for the single-pass split layout: if one shard's
+    build is destroyed after the split committed, re-running
+    build_sharded_index with the SAME fingerprint skips the split pass
+    (staged fragments + docs reused, no re-tokenization) and rebuilds
+    only the damaged shard; the intact shard's postings keep their
+    mtimes. A DIFFERENT fingerprint wipes and redoes the split."""
+    import glob
+    import os
+    import shutil
+
+    import ray.data
+
+    cfg = EngineConfig(num_buckets=4, dedup=False)
+    corpus = gen_corpus(200, seed=77)
+    idx = str(tmp_path / "resume")
+    build_sharded_index(ray.data.from_arrow(corpus), idx, 2, cfg, fingerprint="r1")
+
+    intact = sorted(glob.glob(os.path.join(idx, "shard=0", "parts", "**", "*.parquet"),
+                              recursive=True))
+    mtimes = {p: os.path.getmtime(p) for p in intact}
+    # destroy shard 1's committed output (keep its staged fragments/docs)
+    shutil.rmtree(os.path.join(idx, "shard=1", "parts"))
+    for m in glob.glob(os.path.join(idx, "shard=1", "manifest", "*.json")):
+        if not m.endswith("docs.json"):
+            os.unlink(m)
+    os.unlink(os.path.join(idx, "shard=1", "corpus_stats.json"))
+
+    frag_before = set(glob.glob(os.path.join(idx, "shard=1", "fragments", "*.parquet")))
+    build_sharded_index(ray.data.from_arrow(corpus), idx, 2, cfg, fingerprint="r1")
+    # split pass skipped: staged fragments are the same files
+    frag_after = set(glob.glob(os.path.join(idx, "shard=1", "fragments", "*.parquet")))
+    assert frag_after == frag_before
+    # intact shard untouched
+    for p in intact:
+        assert os.path.getmtime(p) == mtimes[p], f"intact shard partition rewritten: {p}"
+    # and the resumed index serves rank-identically
+    oracle = OracleIndex(corpus, cfg)
+    queries = gen_queries(corpus, n_keyword=5, seed=77)
+    qds = ray.data.from_arrow(queries_table(queries))
+    out = query_sharded(qds, idx, 2, cfg, mode="taat").to_pandas()
+    for qid, text, k in queries:
+        od, osc = oracle.score(text, k)
+        sub = out[out.query_id == qid].sort_values("rank")
+        np.testing.assert_array_equal(sub.doc_id.to_numpy(dtype=np.uint64), od)
+        np.testing.assert_array_equal(sub.score.to_numpy(), osc)
+
+    # new fingerprint ⇒ fresh split (marker mismatch wipes shard dirs)
+    build_sharded_index(ray.data.from_arrow(corpus), idx, 2, cfg, fingerprint="r2")
+    out2 = query_sharded(qds, idx, 2, cfg, mode="taat").to_pandas()
+    assert len(out2) == len(out)
