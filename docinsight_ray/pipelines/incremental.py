@@ -125,6 +125,245 @@ def append_window(
     return dirs
 
 
+class _PostingsDecoder:
+    """Actor-pool stage for compaction: one source postings part file →
+    SPIMI fragment rows (term, doc_id, tf, doc_len) + df sidecar,
+    written straight into the compacted window's staging dirs.
+
+    doc_len rides back in via a per-window (doc_id → doc_len) lookup
+    loaded once per actor per window (the same per-sub-index doc-len
+    array the scorer itself holds — the documented partitioning
+    assumption is that ONE WINDOW's doc-len table fits a worker).
+    Fragment names are content-addressed by the source file path, so
+    Ray task retries overwrite idempotently.
+
+    Sidecar soundness: within one window a term's postings live in
+    exactly ONE parts file (its bucket, or one hot row), so pdf_f =
+    df_w and with ndocs_f = window n_docs the hot-term pigeonhole
+    (build.py hot detection) holds ACROSS windows: global df ≥
+    ratio·Σn_w implies some window has df_w ≥ ratio·n_w."""
+
+    def __init__(self, frag_dir: str, dfstats_dir: str):
+        self.frag_dir = frag_dir
+        self.dfstats_dir = dfstats_dir
+        self._dl: dict[str, tuple] = {}  # window dir → (sorted ids, lens)
+
+    def _doc_lens(self, wdir: str):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        cached = self._dl.get(wdir)
+        if cached is None:
+            t = pq.read_table(os.path.join(wdir, "docs"), columns=["doc_id", "doc_len"])
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            lens = t["doc_len"].to_numpy(zero_copy_only=False).astype(np.uint32)
+            order = np.argsort(ids, kind="stable")
+            cached = (ids[order], lens[order])
+            if len(self._dl) > 4:
+                self._dl.clear()
+            self._dl[wdir] = cached
+        return cached
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        import numpy as np
+
+        from ..codec import decode_posting
+        from ..state.fsio import write_parquet_atomic
+
+        n_terms_out = 0
+        for fpath, wdir, wdocs in zip(
+            batch["file"].to_pylist(), batch["wdir"].to_pylist(), batch["wdocs"].to_pylist()
+        ):
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(fpath, columns=["term", "df", "doc_ids_vb", "tfs_vb"])
+            if t.num_rows == 0:
+                continue
+            dl_ids, dl_lens = self._doc_lens(wdir)
+            terms_out, ids_out, tfs_out, lens_out = [], [], [], []
+            for term, df, dvb, tvb in zip(
+                t["term"].to_pylist(), t["df"].to_pylist(),
+                t["doc_ids_vb"].to_pylist(), t["tfs_vb"].to_pylist(),
+            ):
+                d, f = decode_posting(dvb, tvb, int(df))
+                terms_out.append(np.full(d.size, term, dtype=object))
+                ids_out.append(d)
+                tfs_out.append(f.astype(np.uint32))
+                lens_out.append(dl_lens[np.searchsorted(dl_ids, d)])
+            frag = pa.table(
+                {
+                    "term": pa.array(np.concatenate(terms_out), type=pa.string()),
+                    "doc_id": pa.array(np.concatenate(ids_out), type=pa.uint64()),
+                    "tf": pa.array(np.concatenate(tfs_out), type=pa.uint32()),
+                    "doc_len": pa.array(np.concatenate(lens_out), type=pa.uint32()),
+                }
+            )
+            tag = hashlib.sha256(fpath.encode()).hexdigest()[:20]
+            write_parquet_atomic(frag, f"{self.frag_dir}/frag-{tag}-{frag.num_rows}.parquet")
+            side = pa.table(
+                {
+                    "term": t["term"],
+                    "pdf": pa.array(
+                        t["df"].to_numpy(zero_copy_only=False).astype(np.uint32),
+                        type=pa.uint32(),
+                    ),
+                    "ndocs": pa.array(
+                        np.full(t.num_rows, int(wdocs), dtype=np.uint32), type=pa.uint32()
+                    ),
+                }
+            )
+            write_parquet_atomic(side, f"{self.dfstats_dir}/frag-{tag}.parquet")
+            n_terms_out += t.num_rows
+        return pa.table({"n_terms": pa.array([n_terms_out], type=pa.int64())})
+
+
+def compact_windows(
+    index_root: str,
+    window_ids: list[str] | None = None,
+    out_window_id: str | None = None,
+    cfg: EngineConfig | None = None,
+    delete_sources: bool = True,
+) -> str:
+    """Merge N committed window sub-indexes into ONE (Lucene-style
+    segment compaction): long-running windowed deployments accumulate
+    per-window fan-out cost at query time; compaction folds old
+    windows back into a single sub-index with rank-identical results.
+
+    Pipeline (all staged + resumable, no in-place mutation):
+    1. decode every source window's postings back into SPIMI fragments
+       (+ df sidecars) in the new ``window=<out_id>`` staging dirs —
+       content is NOT re-tokenized (it was never stored);
+    2. concatenate the source docs registries into the new docs dir;
+    3. run the ordinary ``build_index`` merge shuffle over the staged
+       fragments (docs manifest pre-committed, same trick as the
+       sharded split) — dedup semantics recompute to the identical
+       winner set (keep-first = global min doc_id);
+    4. crash-safe cutover: a ``_COMPACTED_FROM`` marker in the new dir
+       (written BEFORE the build; effective only once the build
+       commits) makes ``query_windows`` exclude the sources even if
+       deletion hasn't happened yet — at no point can a query double-
+       count; source dirs are deleted last, then global stats
+       redistribute over the remaining windows.
+
+    Returns the new window dir."""
+    import hashlib
+
+    from ..state.fsio import (
+        glob_parquet,
+        makedirs as fs_makedirs,
+        read_bytes,
+        rmtree as fs_rmtree,
+    )
+    from ..state.manifest import atomic_write_bytes, committed_parts, write_manifest
+
+    cfg = cfg or EngineConfig()
+    committed = [(d, s) for d in _window_dirs(index_root)
+                 if (s := _window_stats(d)) is not None]
+    excluded = _compacted_sources(index_root)
+    committed = [(d, s) for d, s in committed if os.path.basename(d) not in excluded]
+    if window_ids is not None:
+        want = {f"window={w}" for w in window_ids}
+        sources = [(d, s) for d, s in committed if os.path.basename(d) in want]
+        if len(sources) != len(want):
+            have = {os.path.basename(d) for d, _ in sources}
+            raise FileNotFoundError(f"compact_windows: missing committed windows: {sorted(want - have)}")
+    else:
+        sources = committed
+    if not sources:
+        raise FileNotFoundError(f"compact_windows: no committed windows under {index_root}")
+    src_names = sorted(os.path.basename(d) for d, _ in sources)
+    if out_window_id is None:
+        out_window_id = "compact-" + hashlib.sha256("|".join(src_names).encode()).hexdigest()[:10]
+    out_dir = os.path.join(index_root, f"window={out_window_id}")
+    if os.path.basename(out_dir) in src_names:
+        raise ValueError(f"compact_windows: output window id collides with a source: {out_window_id}")
+
+    fingerprint = f"compact:{out_window_id}:{','.join(src_names)}"
+    inner_fp = f"{fingerprint}:{cfg.config_hash()}"
+    man_dir = os.path.join(out_dir, "manifest")
+    if "docs" not in committed_parts(man_dir, inner_fp):
+        # fresh staging for THIS source-set identity
+        fs_rmtree(out_dir)
+        frag_dir = os.path.join(out_dir, "fragments")
+        dfstats_dir = os.path.join(out_dir, "fragments-dfstats")
+        docs_dir = os.path.join(out_dir, "docs")
+        for p in (frag_dir, dfstats_dir, docs_dir):
+            fs_makedirs(p)
+        # marker = TRANSITIVE supersession closure: direct sources plus
+        # whatever they themselves superseded — so exclusion survives
+        # the deletion of an intermediate compacted window whose own
+        # marker was the only thing excluding still-on-disk leftovers
+        closure = set(src_names)
+        for d, _ in sources:
+            prior = read_bytes(os.path.join(d, "_COMPACTED_FROM"))
+            if prior:
+                closure.update(json.loads(prior))
+        atomic_write_bytes(os.path.join(out_dir, "_COMPACTED_FROM"),
+                           json.dumps(sorted(closure)).encode())
+        # 2. union docs registries (narrow metadata, one pass)
+        docs_files = [f for d, _ in sources for f in glob_parquet(os.path.join(d, "docs"))]
+        ray.data.read_parquet(docs_files).write_parquet(docs_dir)
+        # 1. decode postings → fragments (+ sidecars)
+        items = []
+        for d, s in sources:
+            wdocs = s.get("shard_n_docs", s["n_docs"])
+            for f in glob_parquet(os.path.join(d, "parts")):
+                items.append({"file": f, "wdir": d, "wdocs": int(wdocs)})
+        if items:
+            ray.data.from_items(items).map_batches(
+                _PostingsDecoder,
+                fn_constructor_args=(frag_dir, dfstats_dir),
+                batch_format="pyarrow",
+                batch_size=4,
+                concurrency=4,
+            ).sum("n_terms")
+        write_manifest(man_dir, "docs", {
+            "part_id": "docs", "stage": "compact-stage", "status": "committed",
+            "fingerprint": inner_fp, "config_hash": cfg.config_hash(),
+            "sources": src_names,
+        })
+    # 3. ordinary build over the staged fragments
+    placeholder = ray.data.from_arrow(pa.schema([("doc_id", pa.uint64())]).empty_table())
+    build_index(placeholder, out_dir, cfg, fingerprint=fingerprint)
+    # 4. cutover: sources are already query-excluded by the marker now
+    # that the build committed; delete them, then refresh global stats
+    if delete_sources:
+        for d, _ in sources:
+            fs_rmtree(d)
+        # also reclaim windows superseded by ANY committed compaction
+        # (e.g. kept on disk by an earlier delete_sources=False run) —
+        # they are already query-excluded, on disk purely as leftovers
+        superseded = _compacted_sources(index_root)
+        for d in _window_dirs(index_root):
+            if os.path.basename(d) in superseded:
+                fs_rmtree(d)
+    live = _compacted_sources(index_root)
+    remaining = [
+        d for d in _window_dirs(index_root)
+        if _window_stats(d) is not None and os.path.basename(d) not in live
+    ]
+    distribute_global_stats(remaining)
+    return out_dir
+
+
+def _compacted_sources(index_root: str) -> set[str]:
+    """Window basenames superseded by a COMMITTED compacted window
+    (its _COMPACTED_FROM marker only takes effect once its own
+    corpus_stats exists — a half-built compaction excludes nothing)."""
+    from ..state.fsio import read_bytes
+
+    excluded: set[str] = set()
+    for d in _window_dirs(index_root):
+        if _window_stats(d) is None:
+            continue
+        data = read_bytes(os.path.join(d, "_COMPACTED_FROM"))
+        if data:
+            excluded.update(json.loads(data))
+    return excluded
+
+
 def query_windows(
     queries: "ray.data.Dataset",
     index_root: str,
@@ -135,10 +374,15 @@ def query_windows(
     """Fan queries over all window sub-indexes; exact top-k merge
     (same shape as sharded.query_sharded)."""
     cfg = cfg or EngineConfig()
+    excluded = _compacted_sources(index_root)
     dirs = []
     for d in _window_dirs(index_root):
-        # skip empty windows (fully-deduplicated appends) and
-        # partially-built dirs (no committed corpus_stats yet)
+        # skip empty windows (fully-deduplicated appends),
+        # partially-built dirs (no committed corpus_stats yet), and
+        # windows superseded by a committed compaction (their docs live
+        # in the compacted window now — serving both would double-count)
+        if os.path.basename(d) in excluded:
+            continue
         s = _window_stats(d)
         if s is not None and s.get("shard_n_docs", s["n_docs"]) > 0:
             dirs.append(d)

@@ -119,6 +119,30 @@ def purge(index_dir: str, remove_all: bool = False, dry_run: bool = False) -> di
         if not dry_run:
             rmtree(index_dir)
         return report
+    # windows superseded by a COMMITTED compaction (_COMPACTED_FROM
+    # marker in a committed window, pipelines/incremental.py) are
+    # query-excluded leftovers — reclaim them
+    superseded: set[str] = set()
+    for n in listdir_names(index_dir):
+        if not n.startswith("window="):
+            continue
+        d = os.path.join(index_dir, n)
+        if read_bytes(os.path.join(d, "corpus_stats.json")) is None:
+            continue
+        data = read_bytes(os.path.join(d, "_COMPACTED_FROM"))
+        if data:
+            try:
+                superseded.update(json.loads(data))
+            except json.JSONDecodeError:
+                pass
+    report["superseded_windows"] = []
+    for n in sorted(superseded):
+        p = os.path.join(index_dir, n)
+        if exists(p):
+            report["superseded_windows"].append(p)
+            if not dry_run:
+                rmtree(p)
+
     for root in _index_roots(index_dir):
         for sub in STAGING_SUBDIRS:
             p = os.path.join(root, sub)

@@ -126,3 +126,67 @@ def test_cross_window_dedup_join_path(ray_session, tmp_path):
         sub = out[out.query_id == qid].sort_values("rank")
         np.testing.assert_array_equal(sub.doc_id.to_numpy(dtype=np.uint64), od)
         np.testing.assert_array_equal(sub.score.to_numpy(), osc)
+
+
+def test_compaction_rank_identical_and_crash_safe(ray_session, tmp_path):
+    """Window compaction: merging the first two windows into one leaves
+    query results rank- AND score-identical to both the pre-compaction
+    windowed index and the full-corpus oracle; the marker makes the
+    cutover double-count-proof even before source deletion; compacting
+    everything yields a single window with the same results."""
+    import json
+    import os
+
+    import ray.data
+
+    from docinsight_ray.pipelines.incremental import (
+        _window_dirs,
+        compact_windows,
+    )
+
+    corpus = gen_corpus(360, seed=29)
+    n = corpus.num_rows
+    windows = [corpus.slice(0, n // 3), corpus.slice(n // 3, n // 3), corpus.slice(2 * (n // 3))]
+    root = str(tmp_path / "cmp")
+    for i, w in enumerate(windows):
+        append_window(ray.data.from_arrow(w), root, f"{i:03d}", CFG)
+
+    oracle = OracleIndex(corpus, CFG)
+    queries = gen_queries(corpus, n_keyword=8, seed=29)
+    qds = ray.data.from_arrow(queries_table(queries))
+
+    def check(tag):
+        out = query_windows(qds, root, CFG, mode="taat").to_pandas()
+        for qid, text, k in queries:
+            od, osc = oracle.score(text, k)
+            sub = out[out.query_id == qid].sort_values("rank")
+            np.testing.assert_array_equal(
+                sub.doc_id.to_numpy(dtype=np.uint64), od, err_msg=f"{tag} doc mismatch q{qid}"
+            )
+            np.testing.assert_array_equal(
+                sub.score.to_numpy(), osc, err_msg=f"{tag} score mismatch q{qid}"
+            )
+
+    check("pre-compaction")
+
+    # keep sources on disk: the committed marker alone must already
+    # exclude them from serving (the crash window between build-commit
+    # and source deletion can never double-count)
+    out_dir = compact_windows(root, ["000", "001"], out_window_id="c01",
+                              cfg=CFG, delete_sources=False)
+    names = {os.path.basename(d) for d in _window_dirs(root)}
+    assert {"window=000", "window=001", "window=c01", "window=002"} <= names
+    check("marker-cutover (sources still on disk)")
+
+    # stats of the compacted window match the sum of its sources
+    st = json.load(open(os.path.join(out_dir, "corpus_stats.json")))
+    assert st["shard_n_docs"] > 0 and st["n_docs"] == oracle.n_docs
+
+    # now compact EVERYTHING (the remaining live windows) into one
+    compact_windows(root, cfg=CFG, delete_sources=True)
+    live = [d for d in _window_dirs(root)
+            if os.path.exists(os.path.join(d, "corpus_stats.json"))]
+    # sources deleted: only compacted windows remain, and serving is
+    # still identical through a single sub-index
+    assert not any(os.path.basename(d) in ("window=000", "window=001") for d in live)
+    check("fully-compacted")
