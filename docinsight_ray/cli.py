@@ -191,6 +191,25 @@ def cmd_validate(args) -> int:
     return 0 if not problems else 1
 
 
+def cmd_compact(args) -> int:
+    """Merge committed window sub-indexes into one (crash-safe segment
+    compaction; pipelines/incremental.py:compact_windows)."""
+    _init_ray(args.num_cpus)
+    from .config import EngineConfig
+    from .pipelines.incremental import compact_windows
+
+    cfg = EngineConfig(tokenizer=args.tokenizer)
+    out = compact_windows(
+        args.index_root,
+        window_ids=args.windows or None,
+        out_window_id=args.out_id,
+        cfg=cfg,
+        delete_sources=not args.keep_sources,
+    )
+    print(json.dumps({"compacted_to": out}))
+    return 0
+
+
 def cmd_purge(args) -> int:
     """GC an index directory: staging leftovers, interrupted-write tmp
     files, stale-fingerprint manifests; ``--all`` cascades to a full
@@ -257,6 +276,17 @@ def main(argv=None) -> int:
     v.add_argument("--corpus", default=None, help="source corpus for sha256 spot checks")
     v.add_argument("--spot-checks", type=int, default=50)
     v.set_defaults(fn=cmd_validate)
+
+    c = sub.add_parser("compact", parents=[common],
+                       help="merge window=* sub-indexes into one (segment compaction)")
+    c.add_argument("index_root")
+    c.add_argument("--windows", nargs="*", default=None,
+                   help="window ids to merge (default: all live windows)")
+    c.add_argument("--out-id", default=None, help="id for the compacted window")
+    c.add_argument("--keep-sources", action="store_true",
+                   help="leave source windows on disk (query-excluded by marker)")
+    c.add_argument("--tokenizer", default="code", choices=["code", "simple"])
+    c.set_defaults(fn=cmd_compact)
 
     g = sub.add_parser("purge", parents=[common],
                        help="GC staging leftovers / stale manifests from an index dir")

@@ -125,3 +125,37 @@ def test_cli_purge_crash_leftovers(built_cli, capsys):
     assert main(["purge", idx, "--all", "--yes"]) == 0
     capsys.readouterr()
     assert not os.path.exists(idx)
+
+
+def test_cli_compact(ray_session, tmp_path, capsys):
+    """CLI compact merges all live windows into one; serving survives.
+    The config passed to compact must match the windows' build config
+    (scoring params are recorded in the compacted stats)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docinsight_ray.config import EngineConfig
+    from docinsight_ray.fixtures import gen_corpus
+    from docinsight_ray.pipelines.incremental import append_window, query_windows
+
+    cfg = EngineConfig()  # CLI compact uses the default config
+    root = str(tmp_path / "croot")
+    corpus = gen_corpus(120, seed=31)
+    append_window(ray.data.from_arrow(corpus.slice(0, 60)), root, "a", cfg)
+    append_window(ray.data.from_arrow(corpus.slice(60)), root, "b", cfg)
+    qds = ray.data.from_arrow(
+        pa.table({"query_id": pa.array([0], type=pa.int64()),
+                  "text": pa.array(["public static void"], type=pa.string()),
+                  "k": pa.array([5], type=pa.uint32())})
+    )
+    before = query_windows(qds, root, cfg).to_pandas().sort_values("rank")
+    rc = main(["compact", root, "--out-id", "all"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compacted_to"].endswith("window=all")
+    dirs = [n for n in os.listdir(root) if n.startswith("window=")]
+    assert dirs == ["window=all"]
+    after = query_windows(qds, root, cfg).to_pandas().sort_values("rank")
+    np.testing.assert_array_equal(after.doc_id.to_numpy(), before.doc_id.to_numpy())
+    np.testing.assert_array_equal(after.score.to_numpy(), before.score.to_numpy())
