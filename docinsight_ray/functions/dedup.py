@@ -316,40 +316,154 @@ def q_minhash_lsh_pairs(sf_dir: str) -> pa.Table:
     return out.sort_by([("a_id", "ascending"), ("b_id", "ascending")])
 
 
+def _simhash_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, simhash uint64, content_sha8) per document —
+    tf-weighted token-hash SimHash, shared by the hash and pair ops."""
+    import hashlib as _h
+
+    out = np.empty(batch.num_rows, dtype=np.uint64)
+    for i, text in enumerate(batch["text"].to_pylist()):
+        toks = _TOKEN_RE.findall(text.lower())
+        if not toks:
+            out[i] = 0
+            continue
+        uniq, tf = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        h = pd.util.hash_array(uniq)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = ((2 * bits - 1) * tf[:, None].astype(np.int64)).sum(axis=0)
+        out[i] = np.bitwise_or.reduce(
+            (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        )
+    # content_sha8: lineage column tying each hash row to the exact
+    # content bytes it was computed from. Also load-bearing: with
+    # only two fixed-width columns this op intermittently came back
+    # from Ray block transport with rows re-paired (ROADMAP.md §6b);
+    # the provenance column both suppresses that layout-sensitive
+    # hazard and makes any recurrence loudly detectable.
+    sha8 = [_h.sha256(t.encode()).hexdigest()[:8] for t in batch["text"].to_pylist()]
+    return pa.table(
+        {"doc_id": pa.array(batch["doc_id"], type=pa.int64()),
+         "simhash": pa.array(out, type=pa.uint64()),
+         "content_sha8": pa.array(sha8, type=pa.string())}
+    )
+
+
 def q_simhash64(sf_dir: str) -> pa.Table:
     """64-bit SimHash per document (tf-weighted token hashes)."""
-
-    def simhash(batch: pa.Table) -> pa.Table:
-        import hashlib as _h
-        out = np.empty(batch.num_rows, dtype=np.uint64)
-        for i, text in enumerate(batch["text"].to_pylist()):
-            toks = _TOKEN_RE.findall(text.lower())
-            if not toks:
-                out[i] = 0
-                continue
-            uniq, tf = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-            h = pd.util.hash_array(uniq)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-            acc = ((2 * bits - 1) * tf[:, None].astype(np.int64)).sum(axis=0)
-            out[i] = np.bitwise_or.reduce(
-                (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
-            )
-        # content_sha8: lineage column tying each hash row to the exact
-        # content bytes it was computed from. Also load-bearing: with
-        # only two fixed-width columns this op intermittently came back
-        # from Ray block transport with rows re-paired (ROADMAP.md §6b);
-        # the provenance column both suppresses that layout-sensitive
-        # hazard and makes any recurrence loudly detectable.
-        sha8 = [_h.sha256(t.encode()).hexdigest()[:8] for t in batch["text"].to_pylist()]
-        return pa.table(
-            {"doc_id": pa.array(batch["doc_id"], type=pa.int64()),
-             "simhash": pa.array(out, type=pa.uint64()),
-             "content_sha8": pa.array(sha8, type=pa.string())}
-        )
-
     from ..collect import collect_table
 
-    return collect_table(_read_documents(sf_dir).map_batches(simhash, batch_format="pyarrow"))
+    return collect_table(_read_documents(sf_dir).map_batches(_simhash_rows, batch_format="pyarrow"))
+
+
+SIMHASH_BANDS = 4  # disjoint 16-bit bands → EXACT blocking for hamming ≤ 3
+_POP_LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Portable vectorized popcount of a uint64 array (byte LUT — this
+    numpy predates bitwise_count)."""
+    return _POP_LUT[np.ascontiguousarray(x).view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
+
+
+def q_simhash_near_dup(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+    """SimHash near-duplicate pairs, EXACT for the given radius: pairs
+    (a < b) whose 64-bit SimHashes differ in ≤ ``max_hamming`` bits.
+
+    Blocking is the classic disjoint-band pigeonhole (Manku et al.'s
+    web-dedup scheme): with 4 disjoint 16-bit bands, any pair within
+    hamming distance ≤ 3 agrees EXACTLY on at least one band, so
+    grouping by (band_idx, band_value) and verifying candidates with a
+    real popcount loses nothing — the output equals the all-pairs
+    brute force (asserted in pytest). Shuffle rows are narrow
+    (bucketed band key, doc_id, hash-hex); band groups above MAX_GROUP
+    are stop-bands (warned, same discipline as the shingle cap).
+
+    ``max_hamming`` must stay < 64/SIMHASH_BANDS·… — concretely ≤ 3
+    for the 4×16 layout; a larger radius needs more/smaller bands."""
+    if max_hamming >= SIMHASH_BANDS:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the {SIMHASH_BANDS}-band "
+            f"pigeonhole (exact only for ≤ {SIMHASH_BANDS - 1})"
+        )
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        t = _simhash_rows(batch)
+        h = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        keys, dids, hexes = [], [], []
+        hx = np.array([f"{v:016x}" for v in h], dtype=object)
+        for b in range(SIMHASH_BANDS):
+            band = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            keys.append(b * (1 << 16) + band)
+            dids.append(d)
+            hexes.append(hx)
+        key = np.concatenate(keys)
+        return pa.table(
+            {
+                # coarse bucket: one Ray group per bucket, not per band
+                # value (tiny-group dispatch overhead — dedup.py note)
+                "bucket": pa.array(key % N_PAIR_BUCKETS, type=pa.int64()),
+                "key": pa.array(key, type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(dids), type=pa.int64()),
+                "hash_hex": pa.array(np.concatenate(hexes), type=pa.string()),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g["key"].to_numpy(), sort=True)
+        order = np.lexsort((g["doc_id"].to_numpy(), codes))
+        codes = codes[order]
+        ids = g["doc_id"].to_numpy()[order]
+        hsh = np.array([int(x, 16) for x in g["hash_hex"].to_numpy()[order]], dtype=np.uint64)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], codes.size]
+        a_out, b_out, d_out = [], [], []
+        n_dropped = 0
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            if n > MAX_GROUP:
+                n_dropped += 1
+                continue
+            a, b = np.triu_indices(n, k=1)
+            ham = _popcount64(hsh[s + a] ^ hsh[s + b])
+            keep = ham <= max_hamming
+            a_out.append(ids[s + a[keep]])
+            b_out.append(ids[s + b[keep]])
+            d_out.append(ham[keep])
+        if n_dropped:
+            import warnings
+
+            warnings.warn(
+                f"simhash_near_dup: dropped {n_dropped} band group(s) larger "
+                f"than MAX_GROUP={MAX_GROUP}; pairs only co-banded there are "
+                f"lost (stop-band discipline)",
+                stacklevel=2,
+            )
+        if not a_out:
+            return pd.DataFrame({"a_id": pd.Series(dtype="int64"),
+                                 "b_id": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64")})
+        return pd.DataFrame(
+            {"a_id": np.concatenate(a_out).astype("int64"),
+             "b_id": np.concatenate(b_out).astype("int64"),
+             "hamming": np.concatenate(d_out).astype("int64")}
+        )
+
+    bucket_pairs.__name__ = "bucket_pairs"
+    out = (
+        _read_documents(sf_dir)
+        .map_batches(band_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    # same pair found via several bands → dedup (result-sized)
+    out = out.drop_duplicates(subset=["a_id", "b_id"])
+    return pa.Table.from_pandas(
+        out.sort_values(["a_id", "b_id"]).reset_index(drop=True), preserve_index=False
+    )
 
 
 _PAIRS_SQL = f"""
@@ -390,4 +504,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash64": q_simhash64,
+    # exact-by-pigeonhole banding; hash values aren't SQL-derivable →
+    # rows-only gate, brute-force identity asserted in pytest
+    "simhash_near_dup": q_simhash_near_dup,
 }

@@ -208,3 +208,29 @@ def test_embedding_near_dup_lsh_skew_guard(tmp_path):
     assert not any(a < 150 and b < 150 for a, b in pairs), (
         "capped stop-bucket must emit no intra-bucket pairs"
     )
+
+
+def test_simhash_near_dup_equals_brute_force():
+    """Band blocking is EXACT for hamming ≤ 3: the distributed pair op
+    equals an all-pairs brute force over the same SimHashes."""
+    from docinsight_ray.functions.dedup import (
+        _popcount64,
+        q_simhash64,
+        q_simhash_near_dup,
+    )
+
+    hashes = q_simhash64(SF).to_pandas().sort_values("doc_id")
+    h = hashes["simhash"].to_numpy().astype(np.uint64)
+    ids = hashes["doc_id"].to_numpy().astype(np.int64)
+    a, b = np.triu_indices(ids.size, k=1)
+    ham = _popcount64(h[a] ^ h[b])
+    keep = ham <= 3
+    truth = sorted(zip(ids[a[keep]].tolist(), ids[b[keep]].tolist(), ham[keep].tolist()))
+    assert truth, "fixture duplicates must produce at least one near-dup pair"
+
+    got_df = q_simhash_near_dup(SF, max_hamming=3).to_pandas()
+    got = sorted(zip(got_df.a_id.astype(int), got_df.b_id.astype(int), got_df.hamming.astype(int)))
+    assert got == truth
+
+    with pytest.raises(ValueError):
+        q_simhash_near_dup(SF, max_hamming=4)  # breaks the 4-band pigeonhole
