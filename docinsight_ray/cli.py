@@ -120,6 +120,44 @@ def cmd_validate(args) -> int:
     from .codec import decode_posting
 
     idx = args.index_dir
+    # sharded / windowed ROOT: validate every committed sub-index, plus
+    # the cross-sub-index invariants (global stats are sums of locals,
+    # every sub-index agrees on the global n_docs/total_len)
+    subs = sorted(
+        os.path.join(idx, n) for n in (os.listdir(idx) if os.path.isdir(idx) else [])
+        if (n.startswith("shard=") or n.startswith("window="))
+        and os.path.exists(os.path.join(idx, n, "corpus_stats.json"))
+    )
+    if subs and not os.path.exists(os.path.join(idx, "corpus_stats.json")):
+        import copy
+
+        reports = []
+        rc = 0
+        for d in subs:
+            sub_args = copy.copy(args)
+            sub_args.index_dir = d
+            sub_args.corpus = None  # sha spot-checks only make sense per-corpus
+            rc |= cmd_validate(sub_args)
+        root_problems: list[str] = []
+        stats = [json.load(open(os.path.join(d, "corpus_stats.json"))) for d in subs]
+        if len({s["n_docs"] for s in stats}) != 1:
+            root_problems.append("sub-indexes disagree on global n_docs")
+        if len({s["total_len"] for s in stats}) != 1:
+            root_problems.append("sub-indexes disagree on global total_len")
+        n_sum = sum(s.get("shard_n_docs", s["n_docs"]) for s in stats)
+        l_sum = sum(s.get("shard_total_len", s["total_len"]) for s in stats)
+        if n_sum != stats[0]["n_docs"]:
+            root_problems.append(f"Σ shard_n_docs {n_sum} != global n_docs {stats[0]['n_docs']}")
+        if l_sum != stats[0]["total_len"]:
+            root_problems.append(f"Σ shard_total_len {l_sum} != global total_len {stats[0]['total_len']}")
+        # single line: the root summary is the machine-readable tail of
+        # the output (sub-index reports above are pretty-printed)
+        print(json.dumps({
+            "index_root": idx, "n_sub_indexes": len(subs),
+            "problems": root_problems, "ok": rc == 0 and not root_problems,
+        }))
+        return 1 if (rc or root_problems) else 0
+
     problems: list[str] = []
     man_dir = os.path.join(idx, "manifest")
     manifests = glob.glob(os.path.join(man_dir, "*.json"))

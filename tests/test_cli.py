@@ -159,3 +159,33 @@ def test_cli_compact(ray_session, tmp_path, capsys):
     after = query_windows(qds, root, cfg).to_pandas().sort_values("rank")
     np.testing.assert_array_equal(after.doc_id.to_numpy(), before.doc_id.to_numpy())
     np.testing.assert_array_equal(after.score.to_numpy(), before.score.to_numpy())
+
+
+def test_cli_validate_sharded_root(ray_session, tmp_path, capsys):
+    """validate on a sharded ROOT validates each sub-index plus the
+    cross-shard global-stat invariants; a corrupted global count is
+    reported."""
+    import ray.data
+
+    from docinsight_ray.config import EngineConfig
+    from docinsight_ray.fixtures import gen_corpus
+    from docinsight_ray.pipelines.sharded import build_sharded_index
+
+    cfg = EngineConfig(num_buckets=4, dedup=False)
+    idx = str(tmp_path / "shroot")
+    build_sharded_index(
+        ray.data.from_arrow(gen_corpus(120, seed=61)), idx, 2, cfg, fingerprint="v"
+    )
+    rc = main(["validate", idx])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["ok"] and out["n_sub_indexes"] == 2
+
+    # corrupt one shard's global count → root validation must fail
+    p = os.path.join(idx, "shard=0", "corpus_stats.json")
+    st = json.load(open(p))
+    st["n_docs"] += 1
+    with open(p, "w") as f:
+        json.dump(st, f)
+    rc = main(["validate", idx])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and not out["ok"] and out["problems"]
