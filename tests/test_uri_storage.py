@@ -76,3 +76,32 @@ def test_uri_sharded_and_windows(ray_session, tmp_path):
         sub = wout[wout.query_id == qid].sort_values("rank")
         np.testing.assert_array_equal(sub.doc_id.to_numpy(dtype=np.uint64), od)
         np.testing.assert_array_equal(sub.score.to_numpy(), osc)
+
+
+def test_uri_compaction(ray_session, tmp_path):
+    """Window compaction through a file:// root: decode-restage-rebuild
+    and the marker cutover work on pyarrow.fs URIs, results unchanged."""
+    import ray.data
+
+    from docinsight_ray.pipelines.incremental import (
+        append_window,
+        compact_windows,
+        query_windows,
+    )
+
+    corpus = gen_corpus(120, seed=97, with_cases=False)
+    root = f"file://{tmp_path}/cwin"
+    append_window(ray.data.from_arrow(corpus.slice(0, 60)), root, "a", CFG)
+    append_window(ray.data.from_arrow(corpus.slice(60)), root, "b", CFG)
+    queries = gen_queries(corpus, n_keyword=4, seed=97)
+    qds = ray.data.from_arrow(queries_table(queries))
+    before = query_windows(qds, root, CFG).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    compact_windows(root, cfg=CFG)
+    after = query_windows(qds, root, CFG).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert before.equals(after)
+    import os
+
+    wins = [n for n in os.listdir(str(tmp_path / "cwin")) if n.startswith("window=")]
+    assert len(wins) == 1 and wins[0].startswith("window=compact-")
