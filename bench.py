@@ -306,6 +306,20 @@ def main() -> None:
             }
         except Exception as e:  # noqa: BLE001
             result["stats"]["stress_100k"] = {"error": f"{type(e).__name__}: {e}"}
+        try:
+            # weak scaling (the single-core-meaningful protocol): 4x the
+            # data at fixed CPUs; eff = 4*t_small/t_big, 1.0 = linear
+            # cost in data, <0.8 = some shuffle grew superlinearly
+            ws = {n: _sub({"RAY_GRAFT_CPUS": str(num_cpus), "BENCH_DOCS": str(n)})
+                  for n in (5000, 20000)}
+            t_s = ws[5000]["queries"]["index_build"]
+            t_b = ws[20000]["queries"]["index_build"]
+            result["stats"]["weak_scaling"] = {
+                "index_build_sec_5k": t_s, "index_build_sec_20k": t_b,
+                "efficiency_4x_data": round(4 * t_s / t_b, 3),
+            }
+        except Exception as e:  # noqa: BLE001
+            result["stats"]["weak_scaling"] = {"error": f"{type(e).__name__}: {e}"}
 
     print(json.dumps(result))
 
