@@ -88,7 +88,82 @@ def q_sessionize(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_asof_join(sf_dir: str) -> pa.Table:
+    """AS-OF join (a custom operator Ray Data lacks): each 'purchase'
+    event picks up the MOST RECENT prior 'click' (click.ts ≤
+    purchase.ts) of the same user — the classic point-in-time
+    enrichment. Expressed as a per-user ``map_groups`` over the
+    ts-sorted group (the same user-partitioning assumption as
+    sessionize: one user's history fits a worker); inside, the match is
+    one vectorized ``searchsorted`` of purchase timestamps into the
+    user's click timeline. Purchases with no prior click keep nulls
+    (left semantics). Ties on ts resolve to the LAST click in
+    (ts, event_id) order — matching the SQL oracle's max-ts pick."""
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g.event_type == "purchase"].sort_values(["ts", "event_id"])
+        c = g[g.event_type == "click"].sort_values(["ts", "event_id"])
+        if p.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "ts": pd.Series(dtype="datetime64[us]"),
+                "value": pd.Series(dtype="float64"),
+                "click_event_id": pd.Series(dtype="float64"),
+                "click_ts": pd.Series(dtype="datetime64[us]"),
+                "click_value": pd.Series(dtype="float64"),
+            })
+        idx = np.searchsorted(c["ts"].to_numpy(), p["ts"].to_numpy(), side="right") - 1
+        has = idx >= 0
+        out = pd.DataFrame({
+            "event_id": p["event_id"].to_numpy(),
+            "user_id": p["user_id"].to_numpy(),
+            "ts": p["ts"].to_numpy(),
+            "value": np.round(p["value"].to_numpy(), 6),
+            "click_event_id": np.where(
+                has, c["event_id"].to_numpy()[np.maximum(idx, 0)], np.nan
+            ),
+            "click_ts": pd.Series(
+                np.where(has, c["ts"].to_numpy()[np.maximum(idx, 0)],
+                         np.datetime64("NaT")),
+                dtype="datetime64[us]",
+            ),
+            "click_value": np.where(
+                has, np.round(c["value"].to_numpy()[np.maximum(idx, 0)], 6), np.nan
+            ),
+        })
+        return out
+
+    asof.__name__ = "asof"
+    import pyarrow.compute as pc
+
+    wanted = pa.array(["purchase", "click"], type=pa.string())
+    out = (
+        _read_events(sf_dir)
+        .select_columns(["event_id", "ts", "user_id", "event_type", "value"])
+        .map_batches(  # vectorized Arrow predicate, not a per-row filter
+            lambda t: t.filter(pc.is_in(t["event_type"], value_set=wanted)),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .map_groups(asof, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("event_id").reset_index(drop=True), preserve_index=False
+    )
+
+
 ORACLE_SQL = {
+    "asof_join": """
+        SELECT p.event_id, p.user_id, p.ts, round(p.value, 6) AS value,
+               c.event_id::DOUBLE AS click_event_id,
+               c.ts AS click_ts,
+               round(c.value, 6) AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
     "windowed_agg": """
         SELECT event_type, date_trunc('hour', ts) AS window_start,
                count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
@@ -117,4 +192,5 @@ ORACLE_SQL = {
 QUERIES = {
     "windowed_agg": q_windowed_agg,
     "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
 }

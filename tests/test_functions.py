@@ -234,3 +234,29 @@ def test_simhash_near_dup_equals_brute_force():
 
     with pytest.raises(ValueError):
         q_simhash_near_dup(SF, max_hamming=4)  # breaks the 4-band pigeonhole
+
+
+def test_asof_join_semantics():
+    """Every purchase appears exactly once; matched clicks are the
+    latest click at-or-before the purchase for the same user (brute
+    force over the raw events)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from docinsight_ray.functions.windows import q_asof_join
+
+    out = q_asof_join(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    purchases = ev[ev.event_type == "purchase"]
+    clicks = ev[ev.event_type == "click"]
+    assert sorted(out.event_id) == sorted(purchases.event_id)
+    matched = out[out.click_event_id.notna()]
+    assert (matched.click_ts <= matched.ts).all()
+    for row in out.itertuples():
+        prior = clicks[(clicks.user_id == row.user_id) & (clicks.ts <= row.ts)]
+        if prior.empty:
+            assert pd.isna(row.click_event_id)
+        else:
+            best = prior.sort_values(["ts", "event_id"]).iloc[-1]
+            assert int(row.click_event_id) == int(best.event_id)
+            assert row.click_ts == best.ts
