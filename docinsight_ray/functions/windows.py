@@ -113,6 +113,18 @@ def q_asof_join(sf_dir: str) -> pa.Table:
                 "click_ts": pd.Series(dtype="datetime64[us]"),
                 "click_value": pd.Series(dtype="float64"),
             })
+        if c.empty:
+            # a purchase-only user: all left rows, no clicks to index
+            # (np.where would eagerly index the empty click arrays)
+            return pd.DataFrame({
+                "event_id": p["event_id"].to_numpy(),
+                "user_id": p["user_id"].to_numpy(),
+                "ts": p["ts"].to_numpy(),
+                "value": np.round(p["value"].to_numpy(), 6),
+                "click_event_id": np.full(len(p), np.nan),
+                "click_ts": pd.Series([pd.NaT] * len(p), dtype="datetime64[us]"),
+                "click_value": np.full(len(p), np.nan),
+            })
         idx = np.searchsorted(c["ts"].to_numpy(), p["ts"].to_numpy(), side="right") - 1
         has = idx >= 0
         out = pd.DataFrame({

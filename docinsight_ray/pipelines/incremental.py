@@ -84,8 +84,10 @@ def append_window(
         # (it would filter out every row of the resumed append), and
         # other partially-built windows aren't committed corpus either
         this_dir = os.path.join(index_root, f"window={window_id}")
+        superseded = _compacted_sources(index_root)
         prior_stats = [
-            (d, _window_stats(d)) for d in _window_dirs(index_root) if d != this_dir
+            (d, _window_stats(d)) for d in _window_dirs(index_root)
+            if d != this_dir and os.path.basename(d) not in superseded
         ]
         prior_stats = [(d, s) for d, s in prior_stats if s is not None]
         docs_dirs = [os.path.join(d, "docs") for d, _ in prior_stats
@@ -118,7 +120,15 @@ def append_window(
 
     d = os.path.join(index_root, f"window={window_id}")
     build_index(corpus_window, d, cfg, fingerprint=f"window:{window_id}")
-    dirs = _window_dirs(index_root)
+    # LIVE windows only: sources superseded by a committed compaction
+    # still on disk (delete_sources=False) hold docs the compacted
+    # window already carries — including them would double-count every
+    # global statistic (n_docs, avgdl, df) across the whole index
+    superseded = _compacted_sources(index_root)
+    dirs = [
+        w for w in _window_dirs(index_root)
+        if os.path.basename(w) not in superseded
+    ]
     # incremental df path: prior snapshot + this window's parts (falls
     # back to full re-aggregation when coverage doesn't line up)
     distribute_global_stats(dirs, appended=d)

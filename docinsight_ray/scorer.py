@@ -195,9 +195,15 @@ class _TermPostings:
         w = tf_sat_weight(tfs, sc._doc_len_of(docs), sc.avgdl, sc.cfg.k1, sc.cfg.b)
         blk = (docs, self._idf_mult * w)
         self._blocks[bi] = blk
-        nb = blk[0].nbytes + blk[1].nbytes
-        self.blocks_bytes += nb
-        sc._tp_note_bytes(nb)
+        # charge the shared budget only while this instance IS the
+        # cached one: an entry evicted mid-query (but still held by the
+        # in-flight tps dict) must not add unowned bytes the evictor
+        # can never reclaim — its small residual pool dies with the
+        # query instead
+        if sc._tp_cache.get(self.term) is self:
+            nb = blk[0].nbytes + blk[1].nbytes
+            self.blocks_bytes += nb
+            sc._tp_note_bytes(nb)
         return blk
 
     def block_of(self, doc_ids: np.ndarray) -> np.ndarray:
@@ -337,7 +343,14 @@ class BM25Scorer:
         self.partitions_loaded += 1
         if self.max_loaded_parts:
             while len(self._parts) > self.max_loaded_parts:
-                self._parts.popitem(last=False)
+                _, evicted = self._parts.popitem(last=False)
+                # cached _TermPostings hold strong refs to their
+                # partition's buffers — drop the ones pointing at the
+                # evicted partition, or the residency cap is defeated
+                # by the tp cache keeping every partition alive
+                stale = [t for t, tp in self._tp_cache.items() if tp._part is evicted]
+                for t in stale:
+                    self._tp_drop(self._tp_cache.pop(t))
         return part
 
     def _part_name_for(self, term: str) -> str:
@@ -371,6 +384,17 @@ class BM25Scorer:
         pos = np.searchsorted(self._dl_docid, doc_ids)
         return self._dl[pos]
 
+    def _tp_drop(self, tp: "_TermPostings") -> None:
+        """Release one _TermPostings' block pool from the budget. The
+        entry may still be referenced by an in-flight query (score_bmw
+        holds its tps for the whole call): zeroing blocks_bytes AND
+        clearing _blocks here is what keeps the accounting exact — a
+        later decode re-charges fresh bytes, and a later promotion has
+        nothing left to double-subtract."""
+        self._tp_bytes -= tp.blocks_bytes
+        tp.blocks_bytes = 0
+        tp._blocks.clear()
+
     def _tp_note_bytes(self, delta: int) -> None:
         """Account a _TermPostings per-block decode against the shared
         cache budget; evict oldest _TermPostings entries (freeing their
@@ -383,7 +407,7 @@ class BM25Scorer:
                 and len(self._tp_cache) > 1
             ):
                 _, old = self._tp_cache.popitem(last=False)
-                self._tp_bytes -= old.blocks_bytes
+                self._tp_drop(old)
 
     def _term_arrays(self, term: str):
         """Decode one term's postings → (doc_ids, contribs float64).
@@ -534,7 +558,7 @@ class BM25Scorer:
             self._tp_cache[term] = tp
             if len(self._tp_cache) > self.cache_terms:
                 _, old = self._tp_cache.popitem(last=False)
-                self._tp_bytes -= old.blocks_bytes
+                self._tp_drop(old)
         else:
             self._tp_cache.move_to_end(term)
         return tp

@@ -165,12 +165,16 @@ def remove_path(path: str) -> None:
 
 
 def listdir_names(dir_path: str) -> list[str]:
-    """Base names of directory entries ([] if missing)."""
+    """Base names of directory entries ([] if missing OR if the path
+    is a plain file — matching the local branch, where FileSelector on
+    a file would raise NotADirectoryError instead)."""
     fs, p = resolve(dir_path)
     if fs is None:
         return sorted(os.listdir(p)) if os.path.isdir(p) else []
     from pyarrow import fs as pafs
 
+    if fs.get_file_info(p).type != pafs.FileType.Directory:
+        return []
     infos = fs.get_file_info(pafs.FileSelector(p, allow_not_found=True))
     return sorted(i.base_name for i in infos)
 

@@ -143,6 +143,8 @@ def purge(index_dir: str, remove_all: bool = False, dry_run: bool = False) -> di
             if not dry_run:
                 rmtree(p)
 
+    report["reset_manifests"] = []
+    any_reset_child = False
     for root in _index_roots(index_dir):
         for sub in STAGING_SUBDIRS:
             p = os.path.join(root, sub)
@@ -150,12 +152,39 @@ def purge(index_dir: str, remove_all: bool = False, dry_run: bool = False) -> di
                 report["staging_dirs"].append(p)
                 if not dry_run:
                     rmtree(p)
-        for p in _stale_manifests(root):
-            report["stale_manifests"].append(p)
-            if not dry_run:
-                remove_path(p)
+        committed = read_bytes(os.path.join(root, "manifest", "_SUCCESS.json")) is not None
+        if committed:
+            # committed build: resume short-circuits on _SUCCESS, so
+            # removing staging is safe; only stale (other-fingerprint)
+            # manifests are leftovers
+            for p in _stale_manifests(root):
+                report["stale_manifests"].append(p)
+                if not dry_run:
+                    remove_path(p)
+        else:
+            # UNCOMMITTED build: its partial manifests (e.g. the docs
+            # manifest) exist to resume from the staging we just
+            # deleted — keeping them would make the next run resume
+            # into missing fragments and fail. Purge means "give up
+            # partial builds, keep committed state": clean-slate the
+            # manifest dir so the next run rebuilds from scratch.
+            man = os.path.join(root, "manifest")
+            if exists(man):
+                report["reset_manifests"].append(man)
+                if not dry_run:
+                    rmtree(man)
+            if root != index_dir:
+                any_reset_child = True
         for p in _tmp_leftovers(root):
             report["tmp_files"].append(p)
             if not dry_run:
                 remove_path(p)
+    # a reset shard/window invalidates the parent's split marker: the
+    # sharded build must re-split rather than trust staged state that
+    # no longer exists
+    split_marker = os.path.join(index_dir, "_SPLIT_DONE")
+    if any_reset_child and exists(split_marker):
+        report["reset_manifests"].append(split_marker)
+        if not dry_run:
+            remove_path(split_marker)
     return report
