@@ -171,6 +171,54 @@ def q_doc_fingerprint(sf_dir: str) -> pa.Table:
     )
 
 
+PHRASES: tuple[str, ...] = ("data query", "merge sort", "the fast", "order line")
+
+
+def q_phrase_match(sf_dir: str) -> pa.Table:
+    """Exact-phrase (substring) search: occurrence counts of a fixed
+    phrase set per document, matches only. The grep/phrase-query
+    primitive of a fulltext engine, run as a pure streaming
+    ``map_batches`` with the vectorized Arrow ``count_substring``
+    kernel — no tokenization, no shuffle, trivially 100-TB-shaped
+    (reference analogue: candidate keyword scan,
+    /root/reference/retrieval/retrieval.py:60-83)."""
+    import pyarrow.compute as pc
+
+    def scan(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks()
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        phrases, out_ids, hits = [], [], []
+        for ph in PHRASES:
+            # vectorized Arrow kernel over the whole batch, one pass
+            # per (small, fixed) phrase list entry
+            n = pc.count_substring(text, ph).to_numpy(zero_copy_only=False)
+            keep = np.flatnonzero(n > 0)
+            phrases += [ph] * keep.size
+            out_ids.append(dids[keep])
+            hits.append(n[keep].astype(np.int64))
+        return pa.table(
+            {
+                "phrase": pa.array(phrases, type=pa.string()),
+                "doc_id": pa.array(
+                    np.concatenate(out_ids) if out_ids else np.empty(0, np.int64),
+                    type=pa.int64(),
+                ),
+                "n_hits": pa.array(
+                    np.concatenate(hits) if hits else np.empty(0, np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    from ..collect import collect_table
+
+    empty = pa.schema([("phrase", pa.string()), ("doc_id", pa.int64()), ("n_hits", pa.int64())])
+    return collect_table(
+        _read_documents(sf_dir).map_batches(scan, batch_format="pyarrow", zero_copy_batch=True),
+        empty,
+    )
+
+
 def _in_list_sql(words: tuple[str, ...]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
@@ -211,6 +259,13 @@ ORACLE_SQL = {
         FROM h
     """,
     # doc_fingerprint: intentionally no SQL (order-sensitive rolling hash)
+    "phrase_match": f"""
+        WITH ph(phrase) AS (VALUES {", ".join(f"('{p}')" for p in PHRASES)})
+        SELECT ph.phrase, d.doc_id,
+               ((len(d.text) - len(replace(d.text, ph.phrase, ''))) / len(ph.phrase))::BIGINT AS n_hits
+        FROM documents d, ph
+        WHERE position(ph.phrase IN d.text) > 0
+    """,
 }
 
 QUERIES = {
@@ -218,4 +273,5 @@ QUERIES = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "phrase_match": q_phrase_match,
 }

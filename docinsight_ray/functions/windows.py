@@ -166,7 +166,74 @@ def q_asof_join(sf_dir: str) -> pa.Table:
     )
 
 
+# Fixed OVERLAPPING interval table for the range join (an event can
+# fall in up to two intervals): 5-day windows starting every 3 days.
+RANGE_INTERVALS: list[tuple[int, str, str]] = [
+    (i, f"2024-01-{1 + 3 * i:02d} 00:00:00", f"2024-01-{6 + 3 * i:02d} 00:00:00")
+    for i in range(8)
+]
+
+
+def q_range_join(sf_dir: str) -> pa.Table:
+    """RANGE join (interval containment — a custom operator Ray Data
+    lacks): events joined to every interval with start ≤ ts < end,
+    aggregated per interval. Implemented as a BROADCAST range join —
+    the interval table is the small side (shipped in the task closure;
+    at scale: ``ray.put`` once, read per task), so no all-to-all
+    shuffle of the events at all: each batch computes vectorized
+    per-interval partial aggregates (the combiner) and only the tiny
+    (interval_id, n, sum) partials hit the final groupby."""
+    import pyarrow.compute as pc
+
+    starts = np.array([np.datetime64(s) for _, s, _ in RANGE_INTERVALS])
+    ends = np.array([np.datetime64(e) for _, _, e in RANGE_INTERVALS])
+    iids = np.array([i for i, _, _ in RANGE_INTERVALS], dtype=np.int64)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        val = batch["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        out_i, out_n, out_s = [], [], []
+        for j in range(iids.size):  # small broadcast side: O(intervals) vec ops
+            m = (ts >= starts[j]) & (ts < ends[j])
+            n = int(m.sum())
+            if n:
+                out_i.append(iids[j])
+                out_n.append(n)
+                out_s.append(float(val[m].sum()))
+        return pa.table(
+            {
+                "interval_id": pa.array(out_i, type=pa.int64()),
+                "n_events": pa.array(out_n, type=pa.int64()),
+                "sum_value": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    out = (
+        _read_events(sf_dir)
+        .select_columns(["ts", "value"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("interval_id")
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = np.round(out["sum_value"].astype(np.float64), 6)
+    return pa.Table.from_pandas(out.sort_values("interval_id").reset_index(drop=True),
+                                preserve_index=False)
+
+
+_RANGE_VALUES = ", ".join(
+    f"({i}, TIMESTAMP '{s}', TIMESTAMP '{e}')" for i, s, e in RANGE_INTERVALS
+)
+
 ORACLE_SQL = {
+    "range_join": f"""
+        WITH iv(interval_id, ts_start, ts_end) AS (VALUES {_RANGE_VALUES})
+        SELECT iv.interval_id, count(*)::BIGINT AS n_events,
+               round(sum(e.value), 6) AS sum_value
+        FROM iv JOIN events e ON e.ts >= iv.ts_start AND e.ts < iv.ts_end
+        GROUP BY iv.interval_id
+    """,
     "asof_join": """
         SELECT p.event_id, p.user_id, p.ts, round(p.value, 6) AS value,
                c.event_id::DOUBLE AS click_event_id,
@@ -205,4 +272,5 @@ QUERIES = {
     "windowed_agg": q_windowed_agg,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
 }

@@ -190,7 +190,12 @@ def q_postings_probe(sf_dir: str) -> pa.Table:
     return collect_table(ds.map_batches(explode, batch_format="pyarrow"), empty)
 
 
-def q_bm25_topk(sf_dir: str, mode: str = "taat", max_loaded_parts: int | None = None) -> pa.Table:
+def q_bm25_topk(
+    sf_dir: str,
+    mode: str = "taat",
+    max_loaded_parts: int | None = None,
+    doc_filter: tuple[str, tuple] | None = None,
+) -> pa.Table:
     """Full engine path END-TO-END: build → Dataset of queries →
     actor-pool scorers (the serving path, not a driver loop) → top-10
     per fixed query, ranked by (round(score,6) desc, doc_id asc) for
@@ -207,7 +212,8 @@ def q_bm25_topk(sf_dir: str, mode: str = "taat", max_loaded_parts: int | None = 
     )
     res = (
         query_index(ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG, mode=mode,
-                    concurrency=2, max_loaded_parts=max_loaded_parts)
+                    concurrency=2, max_loaded_parts=max_loaded_parts,
+                    doc_filter=doc_filter)
         .to_pandas()
     )
     qids, ranks, dids, scores = [], [], [], []
@@ -242,6 +248,20 @@ def q_bm25_topk_lazy(sf_dir: str) -> pa.Table:
     as bm25_topk — the gate proves rank/score identity at the hash
     level."""
     return q_bm25_topk(sf_dir, mode="maxscore", max_loaded_parts=2)
+
+
+FILTER_LANGS = ("es", "de")
+
+
+def q_bm25_filtered(sf_dir: str) -> pa.Table:
+    """Metadata-FILTERED retrieval: top-k restricted to docs whose
+    registry lang ∈ FILTER_LANGS, served through the MaxScore pruning
+    path with the filter applied at posting decode (reference
+    analogue: metadata-scoped search; every real engine's filtered
+    query). BM25 stats stay corpus-global — scores of surviving docs
+    equal the unfiltered engine's, the gate proves ranking within the
+    filtered subset is exact."""
+    return q_bm25_topk(sf_dir, mode="maxscore", doc_filter=("lang", FILTER_LANGS))
 
 
 def q_bm25_conjunctive(sf_dir: str) -> pa.Table:
@@ -448,6 +468,19 @@ ORACLE_SQL["bm25_conjunctive"] = _bm25_cte(_BM25_VALUES) + f"""
 SELECT query_id, rank, doc_id, score FROM conj WHERE rank < {TOPK}
 """
 
+ORACLE_SQL["bm25_filtered"] = _bm25_cte(_BM25_VALUES) + f"""
+, flt AS (
+  SELECT s.query_id,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY round(s.raw, 6) DESC, s.doc_id ASC) - 1 AS rank,
+         s.doc_id, round(s.raw, 6) AS score
+  FROM scores s
+  JOIN documents d ON d.doc_id = s.doc_id
+  WHERE d.lang IN {FILTER_LANGS!r}
+)
+SELECT query_id, rank, doc_id, score FROM flt WHERE rank < {TOPK}
+"""
+
 ORACLE_SQL["bm25_doc_query"] = _bm25_cte(_chunk_values()) + f"""
 , best AS (
   SELECT doc_id, max(raw) AS raw, count(*)::BIGINT AS n_chunk_hits
@@ -468,6 +501,7 @@ QUERIES = {
     "bm25_topk_bmw": q_bm25_topk_bmw,
     "bm25_topk_lazy": q_bm25_topk_lazy,
     "bm25_hydrated": q_bm25_hydrated,
+    "bm25_filtered": q_bm25_filtered,
     "bm25_conjunctive": q_bm25_conjunctive,
     "bm25_doc_query": q_bm25_doc_query,
     "exact_dedup": q_exact_dedup,

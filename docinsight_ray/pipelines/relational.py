@@ -120,7 +120,53 @@ def q_top_parts_by_size(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+TOPK_PER_GROUP = 5
+
+
+def q_topk_per_group(sf_dir: str) -> pa.Table:
+    """Top-k PER GROUP (k largest documents per lang by (n_chars desc,
+    doc_id asc)) with the scale-correct combiner: each batch emits only
+    its LOCAL top-k per group (bounded: groups × k rows leave every
+    batch regardless of batch size), and the final per-group top-k runs
+    over those partials — the shuffle moves O(blocks · groups · k)
+    rows, never the table."""
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.sort_values(["lang", "n_chars", "doc_id"], ascending=[True, False, True])
+            .groupby("lang", sort=False)
+            .head(TOPK_PER_GROUP)
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(TOPK_PER_GROUP)
+        out = out.assign(rank=np.arange(len(out), dtype=np.int64))
+        return out
+
+    final_topk.__name__ = "final_topk"
+    out = (
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+        .map_batches(local_topk, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values(["lang", "rank"]).reset_index(drop=True), preserve_index=False
+    )
+
+
 ORACLE_SQL = {
+    "topk_per_group": f"""
+        SELECT doc_id, lang, n_chars, rank FROM (
+          SELECT doc_id, lang, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY n_chars DESC, doc_id ASC) - 1 AS rank
+          FROM documents
+        ) WHERE rank < {TOPK_PER_GROUP}
+    """,
     "lineitem_agg": """
         SELECT l_returnflag, l_linestatus,
                sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty,
@@ -148,4 +194,5 @@ QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "orders_by_nation": q_orders_by_nation,
     "top_parts_by_size": q_top_parts_by_size,
+    "topk_per_group": q_topk_per_group,
 }

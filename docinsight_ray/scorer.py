@@ -192,6 +192,9 @@ class _TermPostings:
         base = self.blast[bi - 1] if bi > 0 else np.uint64(0)
         docs = base + np.cumsum(deltas, dtype=np.uint64)
         tfs = varbyte_decode(tf_buf[toff[bi] : t_end], n)
+        if sc._allowed is not None:
+            keep = sc._filter_mask(docs)
+            docs, tfs = docs[keep], tfs[keep]
         w = tf_sat_weight(tfs, sc._doc_len_of(docs), sc.avgdl, sc.cfg.k1, sc.cfg.b)
         blk = (docs, self._idf_mult * w)
         self._blocks[bi] = blk
@@ -238,6 +241,7 @@ class BM25Scorer:
         mode: str = "taat",
         emit_k: bool = False,
         max_loaded_parts: int | None = None,
+        doc_filter: tuple[str, tuple] | None = None,
     ):
         from .state.fsio import exists as fs_exists, glob_parquet, read_bytes
 
@@ -263,6 +267,25 @@ class BM25Scorer:
         stats = json.loads(stats_raw)
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
+
+        # filtered retrieval (metadata predicate): the allowed-doc set
+        # is resolved ONCE per actor from the index's own docs registry
+        # (narrow two-column read) and applied at the posting DECODE
+        # boundary — every mode's pruning then operates on the filtered
+        # lists, so MaxScore/BMW stay exact (stored block maxima only
+        # ever OVER-estimate a filtered block, which is safe). Scores of
+        # surviving docs are identical to the unfiltered engine's: BM25
+        # stats (idf, avgdl, N) deliberately stay corpus-global, the
+        # standard filtered-search semantics.
+        self._allowed: np.ndarray | None = None
+        if doc_filter is not None:
+            fcol, fvals = doc_filter
+            import pyarrow.compute as _pc
+
+            ft = pq.read_table(os.path.join(index_dir, "docs"), columns=["doc_id", fcol])
+            mask = _pc.is_in(ft[fcol].combine_chunks(), value_set=pa.array(list(fvals)))
+            ids = ft.filter(mask)["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            self._allowed = np.sort(ids)
 
         # doc lengths (narrow columns only)
         docs = pq.read_table(os.path.join(index_dir, "docs"), columns=["doc_id", "doc_len"])
@@ -384,6 +407,15 @@ class BM25Scorer:
         pos = np.searchsorted(self._dl_docid, doc_ids)
         return self._dl[pos]
 
+    def _filter_mask(self, doc_ids: np.ndarray) -> np.ndarray:
+        """Membership of sorted-or-not doc_ids in the allowed set
+        (sorted-array searchsorted probe — no Python set)."""
+        a = self._allowed
+        if a.size == 0:
+            return np.zeros(doc_ids.size, dtype=bool)
+        pos = np.minimum(np.searchsorted(a, doc_ids), a.size - 1)
+        return a[pos] == doc_ids
+
     def _tp_drop(self, tp: "_TermPostings") -> None:
         """Release one _TermPostings' block pool from the budget. The
         entry may still be referenced by an in-flight query (score_bmw
@@ -424,6 +456,9 @@ class BM25Scorer:
         part, i = self._lookup(term)
         df = int(part.df[i])  # local posting length (decode count)
         doc_ids, tfs = decode_posting(part.doc_vb(i), part.tf_vb(i), df)
+        if self._allowed is not None:
+            keep = self._filter_mask(doc_ids)
+            doc_ids, tfs = doc_ids[keep], tfs[keep]
         w = tf_sat_weight(tfs, self._doc_len_of(doc_ids), self.avgdl, self.cfg.k1, self.cfg.b)
         contrib = (idf_fn(int(part.idf_df[i]), self.n_docs) * (self.cfg.k1 + 1.0)) * w
         # block upper bounds for WAND, derived from the live contribution
@@ -485,6 +520,9 @@ class BM25Scorer:
         cand = arrays[by_df[0]][0]
         for t in by_df[1:]:
             docs_t = arrays[t][0]
+            if docs_t.size == 0 or cand.size == 0:  # doc_filter can empty a list
+                cand = cand[:0]
+                break
             pos = np.searchsorted(docs_t, cand)
             pos_c = np.minimum(pos, docs_t.size - 1)
             cand = cand[docs_t[pos_c] == cand]
@@ -529,6 +567,8 @@ class BM25Scorer:
             acc = np.zeros(cands.size, dtype=np.float64)
             for t in terms:  # alphabetical — bitwise-identical to TAAT/oracle
                 docs_t, contrib_t = arrays[t][0], arrays[t][1]
+                if docs_t.size == 0:  # doc_filter can empty a list
+                    continue
                 pos = np.searchsorted(docs_t, cands)
                 pos_c = np.minimum(pos, docs_t.size - 1)
                 hit = docs_t[pos_c] == cands
@@ -622,12 +662,16 @@ class BM25Scorer:
                     for bi in bis_u:
                         sel = np.flatnonzero(bis == bi)
                         docs_b, con_b = tp.block(int(bi))
+                        if docs_b.size == 0:  # doc_filter emptied the block
+                            continue
                         pos = np.searchsorted(docs_b, cands[sel])
                         pos_c = np.minimum(pos, docs_b.size - 1)
                         hit = docs_b[pos_c] == cands[sel]
                         contrib[sel[hit]] = con_b[pos_c[hit]]
                     return contrib
             docs_t, con_t = tp.ensure_full()
+            if docs_t.size == 0:  # doc_filter can empty the whole list
+                return contrib
             pos = np.searchsorted(docs_t, cands)
             pos_c = np.minimum(pos, docs_t.size - 1)
             hit = docs_t[pos_c] == cands
@@ -744,14 +788,18 @@ def query_index(
     mode: str = "taat",
     concurrency: int | None = None,
     max_loaded_parts: int | None = None,
+    doc_filter: tuple[str, tuple] | None = None,
 ):
     """queries Dataset (query_id, text, k) → results Dataset via the
     scorer actor pool. ``max_loaded_parts`` > 0 serves with the
-    partition-lazy scorer (capped actor RSS; see BM25Scorer)."""
+    partition-lazy scorer (capped actor RSS; see BM25Scorer).
+    ``doc_filter=(column, values)`` restricts results to docs whose
+    registry metadata matches — resolved once per actor, applied at
+    posting decode, exact under every pruning mode."""
     cfg = cfg or EngineConfig()
     return queries.map_batches(
         BM25Scorer,
-        fn_constructor_args=(index_dir, cfg, mode, False, max_loaded_parts),
+        fn_constructor_args=(index_dir, cfg, mode, False, max_loaded_parts, doc_filter),
         batch_format="pyarrow",
         batch_size=cfg.query_batch_size,
         concurrency=concurrency or cfg.scorer_concurrency,

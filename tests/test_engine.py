@@ -515,3 +515,46 @@ def test_tp_cache_byte_budget(built):
         (sum(a.nbytes for a in e) for e in sc._cache.values()), default=0
     )
     assert sc._cache_bytes + sc._tp_bytes <= budget + biggest
+
+
+def test_doc_filter_exact(built):
+    """Filtered retrieval (metadata predicate): results equal the
+    brute-force "full ranking restricted to allowed docs" reference,
+    identically across every pruning mode, with corpus-global BM25
+    stats (scores of surviving docs unchanged)."""
+    corpus, idx, res = built
+    langs = ("py", "go", "rs", "c")  # the fixture's non-java minority
+    full = BM25Scorer(idx, CFG, mode="taat")
+    allowed_tbl = pq.read_table(os.path.join(idx, "docs"), columns=["doc_id", "lang"])
+    allowed = {
+        d for d, l in zip(allowed_tbl["doc_id"].to_pylist(), allowed_tbl["lang"].to_pylist())
+        if l in langs
+    }
+    assert 0 < len(allowed) < full.n_docs, "fixture must have a lang minority"
+    scorers = {
+        m: BM25Scorer(idx, CFG, mode=m, doc_filter=("lang", langs))
+        for m in ("taat", "maxscore", "bmw")
+    }
+    checked = 0
+    for qid, text, k in gen_queries(corpus, n_keyword=12, seed=11):
+        d_all, s_all = full.score_taat(text, full.n_docs)
+        keep = np.array([d in allowed for d in d_all], dtype=bool)
+        want_d, want_s = d_all[keep][:k], s_all[keep][:k]
+        for m, sc in scorers.items():
+            d_f, s_f = {
+                "taat": sc.score_taat, "maxscore": sc.score_maxscore, "bmw": sc.score_bmw,
+            }[m](text, k)
+            np.testing.assert_array_equal(d_f, want_d, err_msg=f"{m} docs q{qid}")
+            np.testing.assert_array_equal(s_f, want_s, err_msg=f"{m} scores q{qid}")
+        checked += 1 if want_d.size else 0
+    assert checked >= 3, "filter test needs queries that hit the minority langs"
+    # conjunctive under filter: every result doc is allowed and
+    # contains every query term
+    conj = BM25Scorer(idx, CFG, mode="conjunctive", doc_filter=("lang", langs))
+    d_c, _ = conj.score_conjunctive("public class", 50)
+    assert all(d in allowed for d in d_c)
+    # an impossible predicate yields empty results in every mode
+    none = BM25Scorer(idx, CFG, mode="bmw", doc_filter=("lang", ("cobol",)))
+    for fn in (none.score_taat, none.score_maxscore, none.score_bmw):
+        d0, s0 = fn("public class", 10)
+        assert d0.size == 0 and s0.size == 0

@@ -260,3 +260,76 @@ def test_asof_join_semantics():
             best = prior.sort_values(["ts", "event_id"]).iloc[-1]
             assert int(row.click_event_id) == int(best.event_id)
             assert row.click_ts == best.ts
+
+
+def test_phrase_match_counts(ray_session):
+    """phrase_match equals a brute-force Python str.count over the
+    documents table (non-overlapping substring semantics, matches-only
+    rows)."""
+    import pandas as pd
+
+    from docinsight_ray.functions.textstats import PHRASES, q_phrase_match
+
+    sf = "/root/testdata/sf0.001"
+    res = q_phrase_match(sf).to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    want = {
+        (ph, int(d)): t.count(ph)
+        for ph in PHRASES
+        for d, t in zip(docs["doc_id"], docs["text"])
+        if t.count(ph) > 0
+    }
+    got = {
+        (ph, int(d)): int(n)
+        for ph, d, n in zip(res["phrase"], res["doc_id"], res["n_hits"])
+    }
+    assert got == want and len(got) > 0
+
+
+def test_range_join_brute_force(ray_session):
+    """range_join: per-interval (n, sum) equals pandas brute force;
+    overlapping intervals really double-count boundary events."""
+    import numpy as np
+    import pandas as pd
+
+    from docinsight_ray.functions.windows import RANGE_INTERVALS, q_range_join
+
+    sf = "/root/testdata/sf0.001"
+    res = q_range_join(sf).to_pandas().set_index("interval_id")
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["ts", "value"])
+    total_rows = 0
+    for iid, s, e in RANGE_INTERVALS:
+        m = (ev["ts"] >= pd.Timestamp(s)) & (ev["ts"] < pd.Timestamp(e))
+        n = int(m.sum())
+        total_rows += n
+        if n == 0:
+            assert iid not in res.index
+            continue
+        assert int(res.loc[iid, "n_events"]) == n
+        assert abs(res.loc[iid, "sum_value"] - round(float(ev.loc[m, "value"].sum()), 6)) < 1e-6
+    # overlap proof: joined row count exceeds distinct matched events
+    any_window = np.zeros(len(ev), dtype=bool)
+    for _, s, e in RANGE_INTERVALS:
+        any_window |= ((ev["ts"] >= pd.Timestamp(s)) & (ev["ts"] < pd.Timestamp(e))).to_numpy()
+    assert total_rows > int(any_window.sum())
+
+
+def test_topk_per_group_brute_force(ray_session):
+    """topk_per_group: the per-batch-partial + per-group-final combiner
+    equals the single-pass pandas ranking."""
+    import pandas as pd
+
+    from docinsight_ray.pipelines.relational import TOPK_PER_GROUP, q_topk_per_group
+
+    sf = "/root/testdata/sf0.001"
+    res = q_topk_per_group(sf).to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+    want = (
+        docs.sort_values(["lang", "n_chars", "doc_id"], ascending=[True, False, True])
+        .groupby("lang", sort=True)
+        .head(TOPK_PER_GROUP)
+        .reset_index(drop=True)
+    )
+    want["rank"] = want.groupby("lang").cumcount()
+    got = res[["doc_id", "lang", "n_chars", "rank"]].sort_values(["lang", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want[["doc_id", "lang", "n_chars", "rank"]].sort_values(["lang", "rank"]).reset_index(drop=True))
