@@ -60,6 +60,16 @@ def main() -> int:
             "recall": round(sum(recalls) / len(recalls), 4),
             "per_query": [round(r, 4) for r in recalls],
         }
+        if name == "knn_cosine_ivf":
+            # context for the number: the synthetic embeddings are
+            # isotropic (no cluster structure), the IVF worst case —
+            # recall is then bounded by the scanned bucket fraction.
+            out[name]["scan_fraction"] = 0.5  # nprobe=4 of n_centroids=8
+            out[name]["note"] = (
+                "input embeddings are isotropic (intra-label cosine ~0); "
+                "IVF recall tracks the scanned fraction on such data and "
+                "exceeds it only on clustered corpora"
+            )
 
     truth = q_embedding_near_dup(sf).to_pandas()
     approx = q_embedding_near_dup_lsh(sf).to_pandas()
