@@ -250,6 +250,58 @@ def q_bm25_topk_lazy(sf_dir: str) -> pa.Table:
     return q_bm25_topk(sf_dir, mode="maxscore", max_loaded_parts=2)
 
 
+MLT_DOC_IDS = (3, 17, 42)
+
+
+def q_bm25_more_like_this(sf_dir: str) -> pa.Table:
+    """MORE-LIKE-THIS: each source document's full text becomes the
+    query and its BM25-nearest neighbours (source excluded) are the
+    result — the reference's core document-similarity flow
+    (/root/reference/retrieval/retrieval.py:60-110: query document →
+    ranked similar corpus docs), served end-to-end through the
+    actor-pool scorer. query_id is the source doc_id."""
+    import pyarrow.parquet as pq
+
+    idx = ensure_index(sf_dir)
+    n_docs = BM25Scorer(idx, SQL_PARITY_CONFIG).n_docs
+    src = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
+        filters=[("doc_id", "in", list(MLT_DOC_IDS))],
+    )
+    by_id = dict(zip(src["doc_id"].to_pylist(), src["text"].to_pylist()))
+    qtbl = pa.table(
+        {
+            "query_id": pa.array(list(MLT_DOC_IDS), type=pa.int64()),
+            "text": pa.array([by_id[d] for d in MLT_DOC_IDS], type=pa.string()),
+            "k": pa.array([n_docs] * len(MLT_DOC_IDS), type=pa.uint32()),
+        }
+    )
+    res = (
+        query_index(ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG, mode="maxscore",
+                    concurrency=2)
+        .to_pandas()
+    )
+    qids, ranks, dids, scores = [], [], [], []
+    for qid in MLT_DOC_IDS:
+        g = res[(res.query_id == qid) & (res.doc_id != np.uint64(qid))]
+        d = g["doc_id"].to_numpy().astype(np.uint64)
+        s6 = np.round(g["score"].to_numpy(), 6)
+        order = np.lexsort((d, -s6))[:TOPK]
+        d, s6 = d[order], s6[order]
+        qids += [qid] * d.size
+        ranks += list(range(d.size))
+        dids.append(d.astype(np.int64))
+        scores.append(s6)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(dids), type=pa.int64()),
+            "score": pa.array(np.concatenate(scores), type=pa.float64()),
+        }
+    )
+
+
 FILTER_LANGS = ("es", "de")
 
 
@@ -360,10 +412,10 @@ def _chunk_values() -> str:
     return ", ".join(f"({i}, '{c}')" for i, c in enumerate(chunks))
 
 
-def _bm25_cte(values: str) -> str:
+def _bm25_cte_qt(qt_sql: str, scores_where: str = "") -> str:
     """The shared DuckDB BM25 machinery, parameterized by the
-    (query_id, qtext) VALUES list (per-query for the top-k gates,
-    per-chunk for the keep-max document-query gate)."""
+    query-term CTE body (``qt(query_id, term)``) and an optional
+    scores-level predicate (e.g. self-exclusion for more-like-this)."""
     return f"""
 WITH tok AS (
   SELECT doc_id, t.term
@@ -376,12 +428,7 @@ stats AS (
          (SELECT count(*) FROM tok)::DOUBLE / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
 ),
 df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term),
-q(query_id, qtext) AS (VALUES {values}),
-qt AS (
-  SELECT q.query_id, t.term
-  FROM q, unnest(list_filter(regexp_extract_all(lower(q.qtext), '[a-z0-9]+'), t -> length(t) >= 2)) AS t(term)
-  GROUP BY q.query_id, t.term
-),
+{qt_sql},
 scores AS (
   SELECT qt.query_id, tf.doc_id,
          sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * 2.2
@@ -391,6 +438,7 @@ scores AS (
   JOIN df d ON d.term = qt.term
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
+  {scores_where}
   GROUP BY qt.query_id, tf.doc_id
 ),
 ranked AS (
@@ -400,6 +448,18 @@ ranked AS (
   FROM scores
 )
 """
+
+
+def _bm25_cte(values: str) -> str:
+    """BM25 machinery with query terms tokenized from a
+    (query_id, qtext) VALUES list (per-query for the top-k gates,
+    per-chunk for the keep-max document-query gate)."""
+    return _bm25_cte_qt(f"""q(query_id, qtext) AS (VALUES {values}),
+qt AS (
+  SELECT q.query_id, t.term
+  FROM q, unnest(list_filter(regexp_extract_all(lower(q.qtext), '[a-z0-9]+'), t -> length(t) >= 2)) AS t(term)
+  GROUP BY q.query_id, t.term
+)""")
 
 
 BM25_CTE = _bm25_cte(_BM25_VALUES)
@@ -468,6 +528,16 @@ ORACLE_SQL["bm25_conjunctive"] = _bm25_cte(_BM25_VALUES) + f"""
 SELECT query_id, rank, doc_id, score FROM conj WHERE rank < {TOPK}
 """
 
+ORACLE_SQL["bm25_more_like_this"] = _bm25_cte_qt(
+    f"""qt AS (
+  SELECT d.doc_id AS query_id, t.term
+  FROM documents d, unnest({SIMPLE_TOK_SQL.replace('text', 'd.text')}) AS t(term)
+  WHERE d.doc_id IN {MLT_DOC_IDS!r}
+  GROUP BY d.doc_id, t.term
+)""",
+    scores_where="WHERE tf.doc_id != qt.query_id",
+) + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}"
+
 ORACLE_SQL["bm25_filtered"] = _bm25_cte(_BM25_VALUES) + f"""
 , flt AS (
   SELECT s.query_id,
@@ -502,6 +572,7 @@ QUERIES = {
     "bm25_topk_lazy": q_bm25_topk_lazy,
     "bm25_hydrated": q_bm25_hydrated,
     "bm25_filtered": q_bm25_filtered,
+    "bm25_more_like_this": q_bm25_more_like_this,
     "bm25_conjunctive": q_bm25_conjunctive,
     "bm25_doc_query": q_bm25_doc_query,
     "exact_dedup": q_exact_dedup,

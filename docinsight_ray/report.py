@@ -52,14 +52,15 @@ def hydrate_results(results: pa.Table, index_dir: str) -> dict[int, dict[str, st
 
 
 def hydrate_previews(
-    results: pa.Table, corpus_path: str, preview_chars: int = 160
+    results: pa.Table, corpus_path: str, preview_chars: int | None = 160
 ) -> dict[int, str]:
     """doc_id → content preview for the hit docs, from the SOURCE
     corpus (the reference report's preview_text,
     enhanced_pipeline.py:712-718; content is never stored in the
     index). Streams batches with a narrow projection — the corpus is
     never fully materialized on the driver: only id-key columns plus
-    the content of matching rows are held, one batch at a time."""
+    the content of matching rows are held, one batch at a time.
+    ``preview_chars=None`` keeps full content (snippet extraction)."""
     from .ids import doc_id_from_key
 
     wanted = np.fromiter(
@@ -88,10 +89,58 @@ def hydrate_previews(
             if not mask.any():
                 continue
             for d, c in zip(ids[mask], t.filter(pa.array(mask))[content_col].to_pylist()):
-                out[int(d)] = c[:preview_chars]
+                out[int(d)] = c if preview_chars is None else c[:preview_chars]
             if len(out) == wanted.size:
                 return out
     return out
+
+
+_WORD_TOK = None  # compiled lazily (module import stays light)
+
+
+def best_snippet(
+    text: str,
+    terms: set[str] | frozenset[str],
+    window_words: int = 12,
+    mark: tuple[str, str] = ("[", "]"),
+) -> str:
+    """Best-matching-window snippet with query-term highlighting (the
+    serving-side hit-highlight primitive; reference analogue: matched
+    span preview, /root/reference/enhanced_pipeline.py:712-718).
+
+    Deterministic choice: over all ``window_words``-wide word windows,
+    maximize (distinct matched terms, total matched words, -start) —
+    earliest window wins ties. A word matches when any of its
+    lowercase alnum runs (the simple-tokenizer word form) is in the
+    term set; matched words are wrapped in ``mark``. Pure function —
+    unit-testable without an index."""
+    import re
+
+    global _WORD_TOK
+    if _WORD_TOK is None:
+        _WORD_TOK = re.compile(r"[a-z0-9]+")
+    words = text.split()
+    if not words:
+        return ""
+    per_word = [frozenset(_WORD_TOK.findall(w.lower())) & terms for w in words]
+    w = min(window_words, len(words))
+    best = (-1, -1, 0)  # (distinct, total, -start)
+    best_start = 0
+    for s in range(len(words) - w + 1):
+        win = per_word[s : s + w]
+        total = sum(1 for m in win if m)
+        if total == 0:
+            continue
+        distinct = len(frozenset().union(*win))
+        key = (distinct, total, -s)
+        if key > best:
+            best, best_start = key, s
+    lo, hi = best_start, best_start + w
+    out = [
+        f"{mark[0]}{word}{mark[1]}" if per_word[i] else word
+        for i, word in enumerate(words[lo:hi], start=lo)
+    ]
+    return " ".join(out)
 
 
 def build_query_report(
@@ -111,20 +160,32 @@ def build_query_report(
         raise FileNotFoundError(f"{stats_path}: not a built index")
     stats = json.loads(data)
     meta = hydrate_results(results, index_dir)
+    content: dict[int, str] = {}
     if corpus_path:
-        previews = hydrate_previews(results, corpus_path)
-        for d, p in previews.items():
-            meta.setdefault(d, {})["preview"] = p
+        content = hydrate_previews(results, corpus_path, preview_chars=None)
+        for d, c in content.items():
+            meta.setdefault(d, {})["preview"] = c[:160]
     df = results.to_pandas().sort_values(["query_id", "rank"])
     by_query = []
     qtext = dict(queries)
+    import re
+
     for qid, g in df.groupby("query_id", sort=True):
+        qterms = frozenset(
+            t for t in re.findall(r"[a-z0-9]+", qtext.get(int(qid), "").lower())
+            if len(t) >= 2
+        )
         hits = [
             {
                 "rank": int(rk),
                 "doc_id": int(d),
                 "score": round(float(s), 6),
                 **meta.get(int(d), {}),
+                **(
+                    {"snippet": best_snippet(content[int(d)], qterms)}
+                    if int(d) in content and qterms
+                    else {}
+                ),
             }
             for rk, d, s in zip(g["rank"], g["doc_id"], g["score"])
         ]

@@ -333,3 +333,27 @@ def test_topk_per_group_brute_force(ray_session):
     want["rank"] = want.groupby("lang").cumcount()
     got = res[["doc_id", "lang", "n_chars", "rank"]].sort_values(["lang", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want[["doc_id", "lang", "n_chars", "rank"]].sort_values(["lang", "rank"]).reset_index(drop=True))
+
+
+def test_more_like_this_invariants(ray_session):
+    """more-like-this: source doc excluded, contiguous ranks, scores
+    non-increasing per query, and a duplicated source ranks its exact
+    copy first (the plagiarism-detection contract)."""
+    import pandas as pd
+
+    from docinsight_ray.pipelines.documents import MLT_DOC_IDS, q_bm25_more_like_this
+
+    sf = "/root/testdata/sf0.001"
+    res = q_bm25_more_like_this(sf).to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    text_of = dict(zip(docs["doc_id"], docs["text"]))
+    for qid, g in res.groupby("query_id"):
+        assert qid in MLT_DOC_IDS
+        assert (g["doc_id"] != qid).all(), "source doc must be excluded"
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(len(g)))
+        assert (np.diff(g["score"].to_numpy()) <= 1e-12).all()
+        # if the source has an exact duplicate in the corpus, it must win
+        dup_ids = [d for d, t in text_of.items() if t == text_of[qid] and d != qid]
+        if dup_ids:
+            assert int(g.iloc[0]["doc_id"]) in dup_ids

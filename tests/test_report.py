@@ -88,3 +88,55 @@ def test_query_document_keep_max(built, ray_session):
     np.testing.assert_array_equal(
         got["n_chunk_hits"].to_numpy(), [hits[int(d)] for d in docs[order]]
     )
+
+
+def test_best_snippet_window_choice():
+    """best_snippet: picks the window with the most distinct query
+    terms (earliest on ties), highlights exactly the matching words,
+    and degrades sanely on empty input."""
+    from docinsight_ray.report import best_snippet
+
+    terms = frozenset({"alpha", "beta", "gamma"})
+    # matches are dense at the END — the window must move there
+    text = "x x x x x x x x x x x x x x alpha y beta z gamma alpha"
+    snip = best_snippet(text, terms, window_words=8)
+    assert "[alpha]" in snip and "[beta]" in snip and "[gamma]" in snip
+    assert snip.split().count("x") <= 2, "window should center the match cluster"
+    # punctuation/case-insensitive word-form matching
+    assert "[Alpha,]" in best_snippet("q Alpha, w", terms, window_words=3)
+    # tie on distinct terms → earliest window
+    t2 = "alpha n n n n n n n n n n alpha"
+    s2 = best_snippet(t2, frozenset({"alpha"}), window_words=4)
+    assert s2.split()[0] == "[alpha]"
+    assert best_snippet("", terms) == ""
+    # no match at all → unhighlighted prefix window
+    assert "[" not in best_snippet("u v w", terms, window_words=2)
+
+
+def test_report_snippets_from_corpus(built, tmp_path):
+    """With corpus_path, every hit carries a preview AND a best-window
+    snippet that highlights at least one query term."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus, idx = built
+    corpus_path = str(tmp_path / "corpus.parquet")
+    pq.write_table(corpus, corpus_path)
+    sc = BM25Scorer(idx, CFG, mode="maxscore")
+    queries = [(0, "public static void")]
+    d, s = sc.score_maxscore(queries[0][1], 5)
+    results = pa.table(
+        {
+            "query_id": pa.array([0] * d.size, type=pa.int64()),
+            "rank": pa.array(range(d.size), type=pa.uint32()),
+            "doc_id": pa.array(d, type=pa.uint64()),
+            "score": pa.array(s, type=pa.float64()),
+        }
+    )
+    out = str(tmp_path / "report.json")
+    payload = write_query_report(results, queries, idx, out, corpus_path=corpus_path)
+    hits = payload["queries"][0]["hits"]
+    assert hits
+    for h in hits:
+        assert "preview" in h and len(h["preview"]) <= 160
+        assert "snippet" in h and "[" in h["snippet"], h
