@@ -51,11 +51,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docinsight_ray.functions.multimodal import QUERIES as MM_Q
     from docinsight_ray.functions.chunking import QUERIES as CHUNK_Q
     from docinsight_ray.pipelines.relational import QUERIES as REL_Q
+    from docinsight_ray.functions.corpusops import QUERIES as CORPUS_Q
 
     from docinsight_ray.pipelines.conformance import q_reference_topk
 
     out: dict[str, Callable[[str], Any]] = {}
-    for d in (DOC_Q, TEXT_Q, DEDUP_Q, KNN_Q, WIN_Q, MM_Q, CHUNK_Q, REL_Q):
+    for d in (DOC_Q, TEXT_Q, DEDUP_Q, KNN_Q, WIN_Q, MM_Q, CHUNK_Q, REL_Q, CORPUS_Q):
         out.update(d)
     # the reference query set on the REAL reference corpus (ignores
     # sf_dir; no SQL oracle — rank-identity + plagiarism conformance
@@ -73,8 +74,9 @@ def oracle_sql() -> dict[str, str]:
     from docinsight_ray.functions.multimodal import ORACLE_SQL as MM_S
     from docinsight_ray.functions.chunking import ORACLE_SQL as CHUNK_S
     from docinsight_ray.pipelines.relational import ORACLE_SQL as REL_S
+    from docinsight_ray.functions.corpusops import ORACLE_SQL as CORPUS_S
 
     out: dict[str, str] = {}
-    for d in (DOC_S, TEXT_S, DEDUP_S, KNN_S, WIN_S, MM_S, CHUNK_S, REL_S):
+    for d in (DOC_S, TEXT_S, DEDUP_S, KNN_S, WIN_S, MM_S, CHUNK_S, REL_S, CORPUS_S):
         out.update(d)
     return out

@@ -1,0 +1,383 @@
+"""Training-corpus preparation operators over the ``documents`` table.
+
+The ops an LLM training-data pipeline runs between ingest and the
+tokenizer: deterministic dataset splitting, sequence packing
+(document-concatenation order assignment — a distributed prefix scan),
+exact per-group length quantiles via a histogram combiner, and
+per-document top-TF-IDF terms served from the built inverted index.
+
+None of these exist in the reference (DocInsight prepares a retrieval
+corpus, not a training corpus); they extend SURVEY.md §2's coverage in
+the direction the 100-TB use case needs. Scale notes per op:
+
+- ``dataset_split``: stateless per-row map — embarrassingly parallel.
+- ``sequence_pack``: the classic two-phase distributed scan: bounded
+  per-bucket token sums (tiny groupby) → driver cumsum over the bucket
+  table only → broadcast offsets → per-bucket local prefix sums.
+  Nothing wider than the bucket-sum table ever reaches the driver.
+- ``length_quantiles``: per-batch partial (lang, n_chars) histograms;
+  only the bounded histogram (distinct lengths × langs) is combined,
+  never the rows. Exact quantiles from counts — no sampling sketch
+  needed while value cardinality is bounded; swap in a t-digest if the
+  quantile column were unbounded-cardinality floats.
+- ``tfidf_top_terms``: decode postings → per-batch LOCAL top-k per doc
+  (combiner bounds shuffle rows at k × docs-per-batch) → final per-doc
+  top-k via groupby(doc_id).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..collect import collect_table
+from ..ids import sha256_hex
+
+# ---- deterministic dataset split -----------------------------------------
+
+# Hex-prefix thresholds: fixed-width lowercase hex compares
+# lexicographically == numerically, so the SAME string comparison runs
+# in pandas and in the DuckDB oracle. 0xcccccccc/2^32 = 0.8,
+# 0xe6666666/2^32 = 0.9 → 80/10/10 expected split, deterministic in
+# content (stable under re-runs, re-partitioning, and corpus growth).
+SPLIT_TRAIN_MAX = "cccccccc"
+SPLIT_VAL_MAX = "e6666666"
+
+
+def _read(sf_dir: str, cols: list[str]) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=cols
+    )
+
+
+def q_dataset_split(sf_dir: str) -> pa.Table:
+    """Deterministic content-hash train/val/test split (80/10/10).
+
+    Split membership is a pure function of sha256(text), so it is
+    reproducible across runs and stable when the corpus grows — the
+    property a training pipeline needs so that yesterday's val docs
+    don't leak into today's train set.
+    """
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        pref = np.array([s[:8] for s in sha256_hex(batch["text"].tolist())], dtype=object)
+        split = np.where(
+            pref < SPLIT_TRAIN_MAX, "train", np.where(pref < SPLIT_VAL_MAX, "val", "test")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "split": split,
+                "sha_prefix": pref,
+            }
+        )
+
+    empty = pa.schema(
+        [("doc_id", pa.int64()), ("split", pa.string()), ("sha_prefix", pa.string())]
+    )
+    return collect_table(
+        _read(sf_dir, ["doc_id", "text"]).map_batches(assign, batch_format="pandas"),
+        empty,
+    )
+
+
+# ---- sequence packing (distributed prefix scan) --------------------------
+
+PACK_BUDGET = 256  # tokens per training sequence
+PACK_BUCKET_W = 64  # doc_ids per scan bucket
+
+# Token rule == SIMPLE_TOK_SQL (pipelines/documents.py): lowercase
+# [a-z0-9]+ maximal runs of length >= 2. A maximal run matches
+# `[a-z0-9]{2,}` exactly once iff its length >= 2.
+_TOK2_RE = re.compile(r"[a-z0-9]{2,}")
+
+
+def q_sequence_pack(sf_dir: str) -> pa.Table:
+    """GPT-style sequence packing: concatenate documents in doc_id
+    order and assign each doc its global start-token offset and the
+    id of the PACK_BUDGET-token training sequence it starts in.
+
+    The global prefix sum runs as a two-phase distributed scan:
+      1. map_batches → (doc_id, n_tokens, bucket=doc_id // W); a tiny
+         groupby(bucket).sum gives per-bucket totals,
+      2. the driver cumsums the BUCKET table only (|buckets| rows) and
+         broadcasts the offsets via ray.put,
+      3. each bucket group sorts locally by doc_id and adds its offset.
+    At 10^12 docs the driver holds |docs|/W offsets — choose W so that
+    table stays in memory; no row-level data ever reaches the driver.
+    """
+
+    def count_tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_id = batch["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": doc_id,
+                "n_tokens": batch["text"]
+                .str.lower()
+                .str.findall(_TOK2_RE)
+                .str.len()
+                .astype("int64"),
+                "bucket": (doc_id // PACK_BUCKET_W).astype("int64"),
+            }
+        )
+
+    counted = _read(sf_dir, ["doc_id", "text"]).map_batches(
+        count_tokens, batch_format="pandas"
+    ).materialize()
+
+    # Phase 1+2: bucket totals → driver-side cumsum over buckets only.
+    sums = counted.groupby("bucket").sum("n_tokens").to_pandas()
+    sums = sums.sort_values("bucket").reset_index(drop=True)
+    tot = sums["sum(n_tokens)"].to_numpy(dtype=np.int64)
+    offsets = dict(
+        zip(sums["bucket"].astype(np.int64), np.concatenate([[0], np.cumsum(tot)[:-1]]))
+    )
+    offsets_ref = ray.put(offsets)
+
+    # Phase 3: per-bucket local scan + broadcast offset.
+    def bucket_scan(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(offsets_ref)
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        n = g["n_tokens"].to_numpy(dtype=np.int64)
+        start = int(offs[int(g["bucket"].iloc[0])]) + np.concatenate(
+            [[0], np.cumsum(n)[:-1]]
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "n_tokens": n,
+                "start_token": start,
+                "pack_id": start // PACK_BUDGET,
+            }
+        )
+
+    empty = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("start_token", pa.int64()),
+            ("pack_id", pa.int64()),
+        ]
+    )
+    return collect_table(
+        counted.groupby("bucket").map_groups(bucket_scan, batch_format="pandas"),
+        empty,
+    )
+
+
+# ---- exact per-group quantiles via histogram combine ---------------------
+
+QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+def _disc_quantile(values: np.ndarray, counts: np.ndarray, q: float) -> int:
+    """SQL percentile_disc: the 1-based ceil(q*n)-th smallest element.
+    ``values`` ascending, ``counts`` their multiplicities."""
+    n = int(counts.sum())
+    k = max(1, math.ceil(q * n))  # 1-based rank
+    idx = int(np.searchsorted(np.cumsum(counts), k))
+    return int(values[idx])
+
+
+def q_length_quantiles(sf_dir: str) -> pa.Table:
+    """Exact per-lang n_chars quantiles (p25/p50/p75/p95) from a
+    distributed histogram: each batch emits its partial
+    (lang, n_chars) → count table; only the bounded histogram is
+    combined. Equivalent to percentile_disc and exact — the counting-
+    sort trick that sidesteps both a global sort and an approximate
+    sketch whenever the value column has bounded cardinality."""
+
+    def partial_hist(batch: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            batch.groupby(["lang", "n_chars"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        out["n_chars"] = out["n_chars"].astype("int64")
+        out["cnt"] = out["cnt"].astype("int64")
+        return out[["lang", "n_chars", "cnt"]]
+
+    empty = pa.schema([("lang", pa.string()), ("n_chars", pa.int64()), ("cnt", pa.int64())])
+    hist = (
+        collect_table(
+            _read(sf_dir, ["lang", "n_chars"]).map_batches(
+                partial_hist, batch_format="pandas"
+            ),
+            empty,
+        )
+        .to_pandas()
+        .groupby(["lang", "n_chars"], as_index=False)["cnt"]
+        .sum()
+    )
+
+    rows: list[dict] = []
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_chars")
+        v = g["n_chars"].to_numpy(dtype=np.int64)
+        c = g["cnt"].to_numpy(dtype=np.int64)
+        row = {"lang": lang, "n": int(c.sum())}
+        for q in QUANTILES:
+            row[f"q{int(q * 100)}"] = _disc_quantile(v, c, q)
+        rows.append(row)
+    out = pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], type=pa.string()),
+            "n": pa.array(out["n"].astype(np.int64), type=pa.int64()),
+            **{
+                f"q{int(q * 100)}": pa.array(
+                    out[f"q{int(q * 100)}"].astype(np.int64), type=pa.int64()
+                )
+                for q in QUANTILES
+            },
+        }
+    )
+
+
+# ---- per-document top TF-IDF terms from the index ------------------------
+
+TFIDF_K = 5
+
+
+def q_tfidf_top_terms(sf_dir: str) -> pa.Table:
+    """Top-``TFIDF_K`` TF-IDF terms per document, SERVED FROM THE
+    BUILT INDEX: decode the merged postings (term, df, doc_ids, tfs),
+    score tfidf = tf * ln(n_docs / df), and keep each doc's top terms
+    via a local-top-k combiner + per-doc final top-k. The analytic
+    sibling of BM25 serving — the index as a queryable Dataset.
+
+    Shuffle bound: each postings batch emits at most K rows per doc it
+    mentions, so the groupby moves O(batches × docs × K) rows, never
+    the full decoded postings.
+    """
+    from ..codec import decode_posting
+    from ..pipelines.documents import _postings_ds, ensure_index
+
+    idx = ensure_index(sf_dir)
+    with open(os.path.join(idx, "corpus_stats.json")) as f:
+        n_docs = float(json.load(f)["n_docs"])
+
+    def explode_score(batch: pa.Table) -> pd.DataFrame:
+        terms, dids, scores = [], [], []
+        for t, df, dvb, tvb in zip(
+            batch["term"].to_pylist(),
+            batch["df"].to_pylist(),
+            batch["doc_ids_vb"].to_pylist(),
+            batch["tfs_vb"].to_pylist(),
+        ):
+            d, f = decode_posting(dvb, tvb, df)
+            idf = math.log(n_docs / float(df))
+            terms += [t] * d.size
+            dids.append(d.astype(np.int64))
+            scores.append(np.round(f.astype(np.float64) * idf, 6))
+        if not terms:
+            return pd.DataFrame({"doc_id": [], "term": [], "tfidf": []}).astype(
+                {"doc_id": "int64", "term": "object", "tfidf": "float64"}
+            )
+        out = pd.DataFrame(
+            {
+                "doc_id": np.concatenate(dids),
+                "term": np.array(terms, dtype=object),
+                "tfidf": np.concatenate(scores),
+            }
+        )
+        # local combiner: only each doc's in-batch top-K continue
+        out = out.sort_values(
+            ["doc_id", "tfidf", "term"], ascending=[True, False, True]
+        )
+        return out.groupby("doc_id", sort=False).head(TFIDF_K)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tfidf", "term"], ascending=[False, True]).head(TFIDF_K)
+        return g.assign(rank=np.arange(len(g), dtype=np.int64))
+
+    final_topk.__name__ = "final_topk"
+    empty = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("term", pa.string()),
+            ("tfidf", pa.float64()),
+            ("rank", pa.int64()),
+        ]
+    )
+    return collect_table(
+        _postings_ds(idx)
+        .map_batches(explode_score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(final_topk, batch_format="pandas"),
+        empty,
+    )
+
+
+# ---- registration --------------------------------------------------------
+
+# SIMPLE_TOK_SQL is re-declared here (not imported) to avoid a cycle
+# with pipelines.documents at module-import time.
+_TOK_SQL = "list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> length(t) >= 2)"
+
+ORACLE_SQL = {
+    "dataset_split": f"""
+        SELECT doc_id,
+               CASE WHEN substr(sha256(text), 1, 8) < '{SPLIT_TRAIN_MAX}' THEN 'train'
+                    WHEN substr(sha256(text), 1, 8) < '{SPLIT_VAL_MAX}' THEN 'val'
+                    ELSE 'test' END AS split,
+               substr(sha256(text), 1, 8) AS sha_prefix
+        FROM documents
+    """,
+    "sequence_pack": f"""
+        WITH t AS (
+          SELECT doc_id, len({_TOK_SQL})::BIGINT AS n_tokens FROM documents
+        ), s AS (
+          SELECT doc_id, n_tokens,
+                 coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                   AS start_token
+          FROM t
+        )
+        SELECT doc_id, n_tokens, start_token,
+               (start_token // {PACK_BUDGET})::BIGINT AS pack_id
+        FROM s
+    """,
+    "length_quantiles": f"""
+        SELECT lang, count(*)::BIGINT AS n,
+               {", ".join(
+                   f"percentile_disc({q}) WITHIN GROUP (ORDER BY n_chars)::BIGINT AS q{int(q * 100)}"
+                   for q in QUANTILES
+               )}
+        FROM documents GROUP BY lang
+    """,
+    "tfidf_top_terms": f"""
+        WITH tok AS (
+          SELECT doc_id, t.term FROM documents, unnest({_TOK_SQL}) AS t(term)
+        ),
+        tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term),
+        n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        s AS (
+          SELECT tf.doc_id, tf.term, round(tf.tf * ln(n.n / df.df), 6) AS tfidf
+          FROM tf JOIN df USING (term) CROSS JOIN n
+        ),
+        r AS (
+          SELECT doc_id, term, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term ASC) - 1 AS rank
+          FROM s
+        )
+        SELECT doc_id::BIGINT AS doc_id, term, tfidf, rank::BIGINT AS rank
+        FROM r WHERE rank < {TFIDF_K}
+    """,
+}
+
+QUERIES = {
+    "dataset_split": q_dataset_split,
+    "sequence_pack": q_sequence_pack,
+    "length_quantiles": q_length_quantiles,
+    "tfidf_top_terms": q_tfidf_top_terms,
+}

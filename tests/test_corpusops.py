@@ -1,0 +1,89 @@
+"""Training-corpus preparation ops (functions/corpusops.py) at sf0.001."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def _oracle(name: str) -> pd.DataFrame:
+    from docinsight_ray.functions.corpusops import ORACLE_SQL
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    return con.sql(ORACLE_SQL[name]).df()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = np.round(df[c].astype(np.float64), 9)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize(
+    "name", ["dataset_split", "sequence_pack", "length_quantiles", "tfidf_top_terms"]
+)
+def test_sql_parity(name):
+    from docinsight_ray.functions.corpusops import QUERIES
+
+    got = _canon(QUERIES[name](SF).to_pandas())
+    want = _canon(_oracle(name))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_dataset_split_fractions_and_determinism():
+    from docinsight_ray.functions.corpusops import q_dataset_split
+
+    a = q_dataset_split(SF).to_pandas().set_index("doc_id").sort_index()
+    b = q_dataset_split(SF).to_pandas().set_index("doc_id").sort_index()
+    assert a.equals(b)  # pure function of content
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.7 < frac.get("train", 0) < 0.9
+    assert frac.get("val", 0) < 0.2 and frac.get("test", 0) < 0.2
+
+
+def test_sequence_pack_is_contiguous_scan():
+    from docinsight_ray.functions.corpusops import PACK_BUDGET, q_sequence_pack
+
+    t = q_sequence_pack(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    start = t["start_token"].to_numpy()
+    n = t["n_tokens"].to_numpy()
+    # concatenation order: each doc starts where the previous ended
+    assert start[0] == 0
+    assert (start[1:] == start[:-1] + n[:-1]).all()
+    assert (t["pack_id"].to_numpy() == start // PACK_BUDGET).all()
+
+
+def test_length_quantiles_ordered():
+    from docinsight_ray.functions.corpusops import q_length_quantiles
+
+    t = q_length_quantiles(SF).to_pandas()
+    assert len(t) >= 1 and t["n"].sum() > 0
+    for _, r in t.iterrows():
+        assert r["q25"] <= r["q50"] <= r["q75"] <= r["q95"]
+
+
+def test_tfidf_topk_shape():
+    from docinsight_ray.functions.corpusops import TFIDF_K, q_tfidf_top_terms
+
+    t = q_tfidf_top_terms(SF).to_pandas()
+    per_doc = t.groupby("doc_id")
+    assert (per_doc["rank"].max() < TFIDF_K).all()
+    # within each doc: ranks are 0..m-1 and scores non-increasing
+    for _, g in per_doc:
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(len(g)))
+        assert (np.diff(g["tfidf"].to_numpy()) <= 1e-12).all()
