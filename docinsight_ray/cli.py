@@ -67,7 +67,10 @@ def cmd_query(args) -> int:
               f"(no corpus_stats.json — run `build` first)", file=sys.stderr)
         return 2
     cfg = EngineConfig(tokenizer=args.tokenizer)
-    scorer = BM25Scorer(args.index_dir, cfg, mode=args.mode)
+    scorer = BM25Scorer(
+        args.index_dir, cfg, mode=args.mode,
+        exclude_terms=tuple(args.exclude_term or ()),
+    )
     score = {
         "bmw": scorer.score_bmw,
         "maxscore": scorer.score_maxscore,
@@ -303,6 +306,9 @@ def main(argv=None) -> int:
     q.add_argument("--mode", default="taat",
                    choices=["taat", "bmw", "maxscore", "conjunctive"])
     q.add_argument("--tokenizer", default="code", choices=["code", "simple"])
+    q.add_argument("--exclude-term", action="append", default=None,
+                   help="boolean NOT: drop every doc containing this term "
+                        "(repeatable; unknown terms are no-ops)")
     q.add_argument("--out", default=None, help="directory to write results.parquet")
     q.add_argument("--report", default=None, help="path to write a per-query JSON report")
     q.add_argument("--corpus", default=None,

@@ -195,6 +195,7 @@ def q_bm25_topk(
     mode: str = "taat",
     max_loaded_parts: int | None = None,
     doc_filter: tuple[str, tuple] | None = None,
+    exclude_terms: tuple[str, ...] | None = None,
 ) -> pa.Table:
     """Full engine path END-TO-END: build → Dataset of queries →
     actor-pool scorers (the serving path, not a driver loop) → top-10
@@ -213,7 +214,7 @@ def q_bm25_topk(
     res = (
         query_index(ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG, mode=mode,
                     concurrency=2, max_loaded_parts=max_loaded_parts,
-                    doc_filter=doc_filter)
+                    doc_filter=doc_filter, exclude_terms=exclude_terms)
         .to_pandas()
     )
     qids, ranks, dids, scores = [], [], [], []
@@ -314,6 +315,19 @@ def q_bm25_filtered(sf_dir: str) -> pa.Table:
     equal the unfiltered engine's, the gate proves ranking within the
     filtered subset is exact."""
     return q_bm25_topk(sf_dir, mode="maxscore", doc_filter=("lang", FILTER_LANGS))
+
+
+NEG_TERMS = ("slow", "window")
+
+
+def q_bm25_negated(sf_dir: str) -> pa.Table:
+    """NEGATED (boolean NOT) retrieval: docs containing any term in
+    NEG_TERMS are excluded from the candidate universe before ranking,
+    served through the MaxScore pruning path with the denied set
+    resolved once per actor from the index's own postings and applied
+    at posting decode (see BM25Scorer exclude_terms). Scores of
+    surviving docs equal the unrestricted engine's."""
+    return q_bm25_topk(sf_dir, mode="maxscore", exclude_terms=NEG_TERMS)
 
 
 def q_bm25_conjunctive(sf_dir: str) -> pa.Table:
@@ -551,6 +565,20 @@ ORACLE_SQL["bm25_filtered"] = _bm25_cte(_BM25_VALUES) + f"""
 SELECT query_id, rank, doc_id, score FROM flt WHERE rank < {TOPK}
 """
 
+ORACLE_SQL["bm25_negated"] = _bm25_cte(_BM25_VALUES) + f"""
+, neg AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN {NEG_TERMS!r}
+), kept AS (
+  SELECT s.query_id,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY round(s.raw, 6) DESC, s.doc_id ASC) - 1 AS rank,
+         s.doc_id, round(s.raw, 6) AS score
+  FROM scores s
+  WHERE s.doc_id NOT IN (SELECT doc_id FROM neg)
+)
+SELECT query_id, rank, doc_id, score FROM kept WHERE rank < {TOPK}
+"""
+
 ORACLE_SQL["bm25_doc_query"] = _bm25_cte(_chunk_values()) + f"""
 , best AS (
   SELECT doc_id, max(raw) AS raw, count(*)::BIGINT AS n_chunk_hits
@@ -572,6 +600,7 @@ QUERIES = {
     "bm25_topk_lazy": q_bm25_topk_lazy,
     "bm25_hydrated": q_bm25_hydrated,
     "bm25_filtered": q_bm25_filtered,
+    "bm25_negated": q_bm25_negated,
     "bm25_more_like_this": q_bm25_more_like_this,
     "bm25_conjunctive": q_bm25_conjunctive,
     "bm25_doc_query": q_bm25_doc_query,

@@ -242,6 +242,7 @@ class BM25Scorer:
         emit_k: bool = False,
         max_loaded_parts: int | None = None,
         doc_filter: tuple[str, tuple] | None = None,
+        exclude_terms: tuple[str, ...] | None = None,
     ):
         from .state.fsio import exists as fs_exists, glob_parquet, read_bytes
 
@@ -349,6 +350,29 @@ class BM25Scorer:
         if not self.max_loaded_parts:  # eager: load everything now
             for name in sorted(self._part_files):
                 self._load_part(name)
+
+        # negated-term retrieval (boolean NOT): docs containing ANY
+        # excluded term are removed from the candidate universe. The
+        # denied set is resolved ONCE per actor from the index's own
+        # postings and folded into the same sorted `_allowed` array the
+        # metadata filter uses — so every mode's pruning (taat /
+        # maxscore / bmw / conjunctive) stays exact with zero new mask
+        # sites: removing docs can only LOWER true scores, so stored
+        # upper bounds remain safe over-estimates. Unknown excluded
+        # terms are no-ops (nothing to deny).
+        self.exclude_terms = tuple(exclude_terms or ())
+        if self.exclude_terms:
+            denied = [np.empty(0, dtype=np.uint64)]
+            for t in self.exclude_terms:
+                hit = self._lookup(t)
+                if hit is None:
+                    continue
+                part, i = hit
+                d, _ = decode_posting(part.doc_vb(i), part.tf_vb(i), int(part.df[i]))
+                denied.append(d.astype(np.uint64))
+            denied_ids = np.unique(np.concatenate(denied))
+            base = self._allowed if self._allowed is not None else self._dl_docid
+            self._allowed = np.setdiff1d(base, denied_ids)
 
     # ---- partition loading ----------------------------------------------
 
@@ -789,17 +813,22 @@ def query_index(
     concurrency: int | None = None,
     max_loaded_parts: int | None = None,
     doc_filter: tuple[str, tuple] | None = None,
+    exclude_terms: tuple[str, ...] | None = None,
 ):
     """queries Dataset (query_id, text, k) → results Dataset via the
     scorer actor pool. ``max_loaded_parts`` > 0 serves with the
     partition-lazy scorer (capped actor RSS; see BM25Scorer).
     ``doc_filter=(column, values)`` restricts results to docs whose
     registry metadata matches — resolved once per actor, applied at
-    posting decode, exact under every pruning mode."""
+    posting decode, exact under every pruning mode.
+    ``exclude_terms`` removes every doc containing any of the given
+    terms (boolean NOT) before ranking — same exactness contract."""
     cfg = cfg or EngineConfig()
     return queries.map_batches(
         BM25Scorer,
-        fn_constructor_args=(index_dir, cfg, mode, False, max_loaded_parts, doc_filter),
+        fn_constructor_args=(
+            index_dir, cfg, mode, False, max_loaded_parts, doc_filter, exclude_terms,
+        ),
         batch_format="pyarrow",
         batch_size=cfg.query_batch_size,
         concurrency=concurrency or cfg.scorer_concurrency,

@@ -558,3 +558,53 @@ def test_doc_filter_exact(built):
     for fn in (none.score_taat, none.score_maxscore, none.score_bmw):
         d0, s0 = fn("public class", 10)
         assert d0.size == 0 and s0.size == 0
+
+
+def test_exclude_terms_exact(built):
+    """Negated-term retrieval (boolean NOT): results equal the
+    brute-force "full ranking minus docs containing any excluded term"
+    reference, identically across every pruning mode. The denied-doc
+    ground truth comes from single-term TAAT queries (a doc scores > 0
+    on a one-term query iff it contains the term) — independent of the
+    exclude_terms code path."""
+    corpus, idx, res = built
+    full = BM25Scorer(idx, CFG, mode="taat")
+    neg = ("score", "vabe")  # fixture df ≈ 200/398 and 34/398 — a real split
+    denied: set[int] = set()
+    for t in neg:
+        d_t, _ = full.score_taat(t, full.n_docs)
+        denied |= set(d_t.tolist())
+    assert 0 < len(denied) < full.n_docs, "fixture must split on the excluded terms"
+    scorers = {
+        m: BM25Scorer(idx, CFG, mode=m, exclude_terms=neg)
+        for m in ("taat", "maxscore", "bmw")
+    }
+    checked = 0
+    for qid, text, k in gen_queries(corpus, n_keyword=12, seed=13):
+        d_all, s_all = full.score_taat(text, full.n_docs)
+        keep = np.array([d not in denied for d in d_all], dtype=bool)
+        want_d, want_s = d_all[keep][:k], s_all[keep][:k]
+        for m, sc in scorers.items():
+            d_f, s_f = {
+                "taat": sc.score_taat, "maxscore": sc.score_maxscore, "bmw": sc.score_bmw,
+            }[m](text, k)
+            np.testing.assert_array_equal(d_f, want_d, err_msg=f"{m} docs q{qid}")
+            np.testing.assert_array_equal(s_f, want_s, err_msg=f"{m} scores q{qid}")
+        checked += 1 if want_d.size else 0
+    assert checked >= 3
+    # an unknown excluded term is a no-op (nothing to deny)
+    noop = BM25Scorer(idx, CFG, mode="taat", exclude_terms=("zzzneverindexed",))
+    d_n, s_n = noop.score_taat("public class", 25)
+    d_0, s_0 = full.score_taat("public class", 25)
+    np.testing.assert_array_equal(d_n, d_0)
+    np.testing.assert_array_equal(s_n, s_0)
+    # composes with the metadata filter: allowed ∧ ¬denied
+    langs = ("py", "go", "rs", "c")
+    both = BM25Scorer(idx, CFG, mode="maxscore",
+                      doc_filter=("lang", langs), exclude_terms=neg)
+    flt = BM25Scorer(idx, CFG, mode="taat", doc_filter=("lang", langs))
+    d_all, s_all = flt.score_taat("public class", full.n_docs)
+    keep = np.array([d not in denied for d in d_all], dtype=bool)
+    d_b, s_b = both.score_maxscore("public class", 25)
+    np.testing.assert_array_equal(d_b, d_all[keep][:25])
+    np.testing.assert_array_equal(s_b, s_all[keep][:25])
