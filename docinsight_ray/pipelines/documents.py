@@ -317,6 +317,61 @@ def q_bm25_filtered(sf_dir: str) -> pa.Table:
     return q_bm25_topk(sf_dir, mode="maxscore", doc_filter=("lang", FILTER_LANGS))
 
 
+# chosen against the driver testdata vocabulary: "s" expands to six
+# terms (scan/slow/small/sort/spark/stream), "va" to two, "quer" to one
+PREFIX_QUERIES: list[tuple[int, str]] = [(0, "s"), (1, "va"), (2, "quer")]
+
+
+def q_bm25_prefix(sf_dir: str) -> pa.Table:
+    """PREFIX (wildcard ``pref*``) retrieval: each query prefix is
+    expanded against the index vocabulary (column-only postings scan,
+    scorer.expand_prefix), then the expansion is scored as a
+    bag-of-terms disjunction through the actor-pool serving path —
+    the classic wildcard-query rewrite of a fulltext engine."""
+    from ..scorer import expand_prefix
+
+    idx = ensure_index(sf_dir)
+    n_docs = BM25Scorer(idx, SQL_PARITY_CONFIG).n_docs
+    qids, texts = [], []
+    for qid, pref in PREFIX_QUERIES:
+        terms = expand_prefix(idx, pref)
+        if not terms:
+            continue
+        qids.append(qid)
+        texts.append(" ".join(terms))
+    qtbl = pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "k": pa.array([n_docs] * len(qids), type=pa.uint32()),
+        }
+    )
+    res = (
+        query_index(ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG, mode="maxscore",
+                    concurrency=2)
+        .to_pandas()
+    )
+    out_q, out_r, out_d, out_s = [], [], [], []
+    for qid in qids:
+        g = res[res.query_id == qid]
+        d = g["doc_id"].to_numpy().astype(np.uint64)
+        s6 = np.round(g["score"].to_numpy(), 6)
+        order = np.lexsort((d, -s6))[:TOPK]
+        d, s6 = d[order], s6[order]
+        out_q += [qid] * d.size
+        out_r += list(range(d.size))
+        out_d.append(d.astype(np.int64))
+        out_s.append(s6)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_d) if out_d else [], type=pa.int64()),
+            "score": pa.array(np.concatenate(out_s) if out_s else [], type=pa.float64()),
+        }
+    )
+
+
 NEG_TERMS = ("slow", "window")
 
 
@@ -565,6 +620,16 @@ ORACLE_SQL["bm25_filtered"] = _bm25_cte(_BM25_VALUES) + f"""
 SELECT query_id, rank, doc_id, score FROM flt WHERE rank < {TOPK}
 """
 
+ORACLE_SQL["bm25_prefix"] = _bm25_cte_qt(
+    f"""p(query_id, pref) AS (VALUES {", ".join(f"({q}, '{t}')" for q, t in PREFIX_QUERIES)}),
+qt AS (
+  SELECT p.query_id, v.term
+  FROM p JOIN (SELECT DISTINCT t.term
+               FROM documents, unnest({SIMPLE_TOK_SQL}) AS t(term)) v
+    ON v.term LIKE p.pref || '%'
+)"""
+) + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}"
+
 ORACLE_SQL["bm25_negated"] = _bm25_cte(_BM25_VALUES) + f"""
 , neg AS (
   SELECT DISTINCT doc_id FROM tok WHERE term IN {NEG_TERMS!r}
@@ -601,6 +666,7 @@ QUERIES = {
     "bm25_hydrated": q_bm25_hydrated,
     "bm25_filtered": q_bm25_filtered,
     "bm25_negated": q_bm25_negated,
+    "bm25_prefix": q_bm25_prefix,
     "bm25_more_like_this": q_bm25_more_like_this,
     "bm25_conjunctive": q_bm25_conjunctive,
     "bm25_doc_query": q_bm25_doc_query,

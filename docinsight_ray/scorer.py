@@ -805,6 +805,33 @@ class BM25Scorer:
         return out
 
 
+def expand_prefix(index_dir: str, prefix: str, limit: int | None = None) -> list[str]:
+    """Expand a wildcard query prefix (``pref*``) against the index
+    VOCABULARY: every indexed term starting with ``prefix``, sorted.
+
+    Implementation is a column-only scan of the postings partitions
+    (``term`` column, no payload decode) with the vectorized Arrow
+    ``starts_with`` kernel — O(vocabulary) bytes read, independent of
+    postings size. A deployment with a huge vocabulary would keep a
+    sorted term-dictionary sidecar and binary-search it; the scan is
+    the dependency-free path and the vocabulary is orders of magnitude
+    smaller than the postings it indexes.
+
+    ``limit`` caps the expansion (longest-match-first is NOT applied —
+    terms come back lexicographic; pass None for exhaustive, which the
+    SQL-parity gate requires)."""
+    import pyarrow.compute as _pc
+
+    from .state.fsio import glob_parquet
+
+    out: set[str] = set()
+    for f in glob_parquet(os.path.join(index_dir, "parts")):
+        t = pq.read_table(f, columns=["term"])["term"].combine_chunks()
+        out.update(t.filter(_pc.starts_with(t, pattern=prefix)).to_pylist())
+    terms = sorted(out)
+    return terms if limit is None else terms[:limit]
+
+
 def query_index(
     queries,
     index_dir: str,

@@ -608,3 +608,24 @@ def test_exclude_terms_exact(built):
     d_b, s_b = both.score_maxscore("public class", 25)
     np.testing.assert_array_equal(d_b, d_all[keep][:25])
     np.testing.assert_array_equal(s_b, s_all[keep][:25])
+
+
+def test_expand_prefix(built):
+    """Wildcard expansion against the index vocabulary: equals the
+    brute-force scan of the corpus tokenizer's output; empty for a
+    prefix no term starts with; limit caps the (sorted) expansion."""
+    from docinsight_ray.scorer import expand_prefix
+    from docinsight_ray.tokenizer import tokenize_text
+
+    corpus, idx, res = built
+    vocab = set()
+    for content in corpus["content"].to_pylist():
+        vocab.update(tokenize_text(content, CFG))
+    # the index drops dedup losers, so the index vocab ⊆ corpus vocab;
+    # check against the full expansion of a live prefix
+    got = expand_prefix(idx, "s")
+    want = sorted(v for v in vocab if v.startswith("s"))
+    assert set(got) <= set(want) and len(got) > 1
+    assert got == sorted(got)
+    assert expand_prefix(idx, "zzzzzz") == []
+    assert expand_prefix(idx, "s", limit=1) == got[:1]
