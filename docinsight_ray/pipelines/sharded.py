@@ -334,11 +334,19 @@ def query_sharded(
     cfg: EngineConfig | None = None,
     mode: str = "taat",
     concurrency_per_shard: int = 1,
+    doc_filter: tuple[str, tuple] | None = None,
+    exclude_terms: tuple[str, ...] | None = None,
 ) -> "ray.data.Dataset":
     """Fan every query out to all shard scorers, then exact-merge the
     per-shard top-k candidates per query. Hash-empty shards (possible
     when n_shards approaches the doc count) are skipped — their
-    empty-but-valid sub-indexes have no postings to serve."""
+    empty-but-valid sub-indexes have no postings to serve.
+
+    ``doc_filter`` / ``exclude_terms`` carry the single-index semantics
+    shard-locally: each shard resolves the allowed/denied sets from its
+    OWN docs registry and postings, and the union of shard-local sets
+    is exactly the global set (docs are hash-partitioned disjointly),
+    so the merged ranking equals the filtered single-index ranking."""
     from ..state.fsio import read_bytes
 
     cfg = cfg or EngineConfig()
@@ -357,7 +365,8 @@ def query_sharded(
         shard_results.append(
             queries.map_batches(
                 BM25Scorer,
-                fn_constructor_args=(d, cfg, mode, True),  # emit_k: carry k to the merge
+                # emit_k: carry k to the merge
+                fn_constructor_args=(d, cfg, mode, True, None, doc_filter, exclude_terms),
                 batch_format="pyarrow",
                 batch_size=cfg.query_batch_size,
                 concurrency=concurrency_per_shard,

@@ -203,3 +203,34 @@ def test_sharded_resume_after_shard_crash(ray_session, tmp_path):
     build_sharded_index(ray.data.from_arrow(corpus), idx, 2, cfg, fingerprint="r2")
     out2 = query_sharded(qds, idx, 2, cfg, mode="taat").to_pandas()
     assert len(out2) == len(out)
+
+
+def test_sharded_filter_and_negation_match_single_index(sharded, tmp_path):
+    """doc_filter + exclude_terms through the sharded fan-out equal the
+    single-index filtered/negated ranking (shard-local allowed/denied
+    sets union to the global ones — docs are hash-partitioned
+    disjointly)."""
+    import ray.data
+
+    from docinsight_ray.build import build_index
+    from docinsight_ray.scorer import BM25Scorer
+
+    corpus, idx = sharded
+    single = str(tmp_path / "single")
+    build_index(ray.data.from_arrow(corpus), single, CFG, fingerprint="sh-single")
+    neg = ("score", "vabe")
+    langs = ("py", "go", "rs", "c")
+    ref = BM25Scorer(single, CFG, mode="taat",
+                     doc_filter=("lang", langs), exclude_terms=neg)
+    queries = gen_queries(corpus, n_keyword=8, seed=12)
+    qds = ray.data.from_arrow(queries_table(queries))
+    out = query_sharded(qds, idx, N_SHARDS, CFG, mode="taat",
+                        doc_filter=("lang", langs), exclude_terms=neg).to_pandas()
+    checked = 0
+    for qid, text, k in queries:
+        od, osc = ref.score_taat(text, k)
+        sub = out[out.query_id == qid].sort_values("rank")
+        np.testing.assert_array_equal(sub.doc_id.to_numpy(dtype=np.uint64), od)
+        np.testing.assert_array_equal(sub.score.to_numpy(), osc)
+        checked += 1 if od.size else 0
+    assert checked >= 3
