@@ -441,6 +441,76 @@ def q_exact_dedup(sf_dir: str) -> pa.Table:
     )
 
 
+# ---- positional phrase retrieval -----------------------------------------
+
+# phrases over the driver testdata vocabulary; includes a single-word
+# phrase (tf path) and a 3-gram
+PHRASE_IDX_QUERIES: list[tuple[int, str]] = [
+    (0, "data query"),
+    (1, "the fast key"),
+    (2, "merge"),
+    (3, "slow big hash"),
+]
+PHRASE_TOPK = 10
+_POS_CACHE: dict[str, str] = {}
+
+
+def ensure_positional(sf_dir: str) -> str:
+    """Build (once per process) the positional index for sf_dir's
+    documents table. Single-pass build → cheap enough to rebuild per
+    process; the on-disk dir is wiped first so a stale run never
+    contributes duplicate (term, doc) rows."""
+    from .positional import build_positional_index
+
+    hit = _POS_CACHE.get(sf_dir)
+    if hit:
+        return hit
+    import shutil
+
+    safe = sf_dir.strip("/").replace("/", "_")
+    pos_dir = os.path.join("/tmp", "docinsight_ray_pos", safe)
+    if os.path.exists(pos_dir):
+        shutil.rmtree(pos_dir)
+    build_positional_index(
+        documents_as_corpus(sf_dir), pos_dir, SQL_PARITY_CONFIG,
+        fingerprint=f"documents:{sf_dir}",
+    )
+    _POS_CACHE[sf_dir] = pos_dir
+    return pos_dir
+
+
+def q_phrase_index_topk(sf_dir: str) -> pa.Table:
+    """Index-served PHRASE queries: top-k docs per phrase by exact
+    positional occurrence count (overlaps counted), from the
+    positional index through the PhraseScorer actor pool — no document
+    text touched at query time (contrast gate ``phrase_match``, the
+    substring-scan analogue of the reference's raw-text matching)."""
+    from .positional import query_phrases
+
+    pos_dir = ensure_positional(sf_dir)
+    ptbl = pa.table(
+        {
+            "phrase_id": pa.array([p for p, _ in PHRASE_IDX_QUERIES], type=pa.int64()),
+            "text": pa.array([t for _, t in PHRASE_IDX_QUERIES], type=pa.string()),
+            "k": pa.array([PHRASE_TOPK] * len(PHRASE_IDX_QUERIES), type=pa.int64()),
+        }
+    )
+    from ..collect import collect_table
+
+    out = collect_table(
+        query_phrases(ray.data.from_arrow(ptbl), pos_dir, SQL_PARITY_CONFIG)
+    ).to_pandas()
+    out = out.sort_values(["phrase_id", "rank"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "phrase_id": pa.array(out["phrase_id"].astype(np.int64), type=pa.int64()),
+            "rank": pa.array(out["rank"].astype(np.int64), type=pa.int64()),
+            "doc_id": pa.array(out["doc_id"].astype(np.int64), type=pa.int64()),
+            "n_occ": pa.array(out["n_occ"].astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
 # The fixed query DOCUMENT for the multi-chunk keep-max path (D3):
 # chunked into word windows, each chunk scored, best chunk score kept
 # per doc (reference: retrieval.py:163-172 _deduplicate_results).
@@ -620,6 +690,44 @@ ORACLE_SQL["bm25_filtered"] = _bm25_cte(_BM25_VALUES) + f"""
 SELECT query_id, rank, doc_id, score FROM flt WHERE rank < {TOPK}
 """
 
+def _phrase_occ_sql() -> str:
+    """Per-phrase positional chain-join occurrence counts, UNION ALL."""
+    parts = []
+    for pid, text in PHRASE_IDX_QUERIES:
+        words = text.split()
+        joins = "\n          ".join(
+            f"JOIN ptok t{i} ON t{i}.doc_id = t0.doc_id "
+            f"AND t{i}.pos = t0.pos + {i} AND t{i}.term = '{w}'"
+            for i, w in enumerate(words[1:], start=1)
+        )
+        parts.append(
+            f"""SELECT {pid} AS phrase_id, t0.doc_id, count(*)::BIGINT AS n_occ
+          FROM ptok t0
+          {joins}
+          WHERE t0.term = '{words[0]}'
+          GROUP BY t0.doc_id"""
+        )
+    return "\n        UNION ALL\n        ".join(parts)
+
+
+ORACLE_SQL["phrase_index_topk"] = f"""
+        WITH ptok AS (
+          SELECT doc_id,
+                 unnest({SIMPLE_TOK_SQL}) AS term,
+                 unnest(range(len({SIMPLE_TOK_SQL}))) AS pos
+          FROM documents
+        ), occ AS (
+        {_phrase_occ_sql()}
+        ), r AS (
+          SELECT phrase_id, doc_id, n_occ,
+                 row_number() OVER (PARTITION BY phrase_id
+                                    ORDER BY n_occ DESC, doc_id ASC) - 1 AS rank
+          FROM occ
+        )
+        SELECT phrase_id, rank::BIGINT AS rank, doc_id, n_occ
+        FROM r WHERE rank < {PHRASE_TOPK}
+"""
+
 ORACLE_SQL["bm25_prefix"] = _bm25_cte_qt(
     f"""p(query_id, pref) AS (VALUES {", ".join(f"({q}, '{t}')" for q, t in PREFIX_QUERIES)}),
 qt AS (
@@ -667,6 +775,7 @@ QUERIES = {
     "bm25_filtered": q_bm25_filtered,
     "bm25_negated": q_bm25_negated,
     "bm25_prefix": q_bm25_prefix,
+    "phrase_index_topk": q_phrase_index_topk,
     "bm25_more_like_this": q_bm25_more_like_this,
     "bm25_conjunctive": q_bm25_conjunctive,
     "bm25_doc_query": q_bm25_doc_query,

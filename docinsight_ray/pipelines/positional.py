@@ -1,0 +1,304 @@
+"""Positional index + index-served PHRASE queries.
+
+The reference's phrase handling is substring scanning over raw
+document text (mirrored by ``functions/textstats.py:q_phrase_match``);
+a fulltext engine serves phrases from a POSITIONAL index instead:
+per-(term, doc) occurrence positions, phrase matching by position
+intersection — no document text touched at query time.
+
+Layout: ``<root>/bucket=<b>/*.parquet`` with one row per (term, doc):
+
+    term: string, doc_id: uint64, npos: uint32, pos_vb: binary
+
+``pos_vb`` is the doc's occurrence positions (indices into the
+FILTERED token stream — the same sequence the tokenizer emits, so
+adjacency is indexed-token adjacency, the standard semantics when
+tokenization drops short/stop tokens) delta+varbyte encoded with the
+same codec the BM25 postings use.
+
+Build is ONE narrow ``map_batches`` pass with a hive-partitioned
+write — no merge shuffle needed: every doc lives in exactly one input
+batch, so (term, doc) rows are unique by construction and the bucket
+partitioning just routes rows for bucket-pruned serving I/O. At
+10^12 docs this is the cheapest possible index build shape: the only
+wide operation is the partitioned write itself.
+
+Serving reads ONLY the buckets of the query's terms and filters rows
+by term (the BM25 scorer's term→partition routing, reused). Phrase
+matching is fully vectorized: each term's (doc, pos) pairs become
+composite keys ``local_doc_idx * 2^32 + (pos - phrase_offset)`` and
+the phrase's start positions are the running ``np.intersect1d`` of the
+key arrays, rarest term first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from ..codec import delta_decode, delta_encode, varbyte_decode, varbyte_encode
+from ..config import EngineConfig
+from ..ids import doc_id_from_key, term_bucket
+from ..tokenizer import tokenize_text
+
+POS_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int64()),
+        ("term", pa.string()),
+        ("doc_id", pa.uint64()),
+        ("npos", pa.uint32()),
+        ("pos_vb", pa.binary()),
+    ]
+)
+
+
+def build_positional_index(
+    corpus_ds: "ray.data.Dataset",
+    out_dir: str,
+    cfg: EngineConfig | None = None,
+    fingerprint: str = "",
+) -> dict:
+    """corpus Dataset → hive-partitioned positional index at out_dir.
+
+    Returns the stats dict (also persisted as ``pos_stats.json``).
+    Re-running with the same out_dir overwrites (single-pass build —
+    cheap enough that per-partition resume isn't warranted; the BM25
+    index, which IS expensive, carries the manifest machinery).
+    """
+    cfg = cfg or EngineConfig()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if cfg.doc_id_mode == "column":
+            doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            doc_ids = doc_id_from_key(
+                batch["repo"].to_pylist(), batch["path"].to_pylist(), batch["commit"].to_pylist()
+            )
+        terms_out: list[str] = []
+        docs_out: list[int] = []
+        npos_out: list[int] = []
+        pvb_out: list[bytes] = []
+        for did, text in zip(doc_ids, batch["content"].to_pylist()):
+            toks = tokenize_text(text, cfg)
+            if not toks:
+                continue
+            by_term: dict[str, list[int]] = {}
+            for p, t in enumerate(toks):
+                by_term.setdefault(t, []).append(p)
+            for t, ps in by_term.items():
+                terms_out.append(t)
+                docs_out.append(int(did))
+                npos_out.append(len(ps))
+                pvb_out.append(
+                    varbyte_encode(delta_encode(np.asarray(ps, dtype=np.uint64)))
+                )
+        tarr = np.asarray(terms_out, dtype=object)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    term_bucket(tarr, cfg.num_buckets).astype(np.int64)
+                    if tarr.size
+                    else np.empty(0, dtype=np.int64),
+                    type=pa.int64(),
+                ),
+                "term": pa.array(tarr, type=pa.string()),
+                "doc_id": pa.array(np.asarray(docs_out, dtype=np.uint64), type=pa.uint64()),
+                "npos": pa.array(np.asarray(npos_out, dtype=np.uint32), type=pa.uint32()),
+                "pos_vb": pa.array(pvb_out, type=pa.binary()),
+            }
+        )
+
+    from ..state.fsio import makedirs, write_bytes_atomic
+
+    makedirs(out_dir)
+    corpus_ds.map_batches(explode, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"]
+    )
+    stats = {
+        "num_buckets": int(cfg.num_buckets),
+        "tokenizer": cfg.tokenizer,
+        "fingerprint": fingerprint,
+    }
+    write_bytes_atomic(os.path.join(out_dir, "pos_stats.json"), json.dumps(stats).encode())
+    return stats
+
+
+class PhraseScorer:
+    """Actor-pool phrase server over a positional index.
+
+    ``__init__`` resolves the bucket layout once; term positions load
+    lazily on first touch (bucket-pruned parquet read, term-filtered)
+    into a per-actor cache. ``__call__`` serves a batch of
+    (phrase_id, text, k) rows → (phrase_id, rank, doc_id, n_occ).
+    """
+
+    def __init__(self, pos_dir: str, cfg: EngineConfig | None = None):
+        from .. import state
+
+        self.cfg = cfg or EngineConfig()
+        self.pos_dir = pos_dir
+        from ..state.fsio import glob_parquet, read_bytes
+
+        raw = read_bytes(os.path.join(pos_dir, "pos_stats.json"))
+        if raw is None:
+            raise FileNotFoundError(
+                f"{pos_dir}/pos_stats.json: not a built positional index"
+            )
+        st = json.loads(raw)
+        self.num_buckets = int(st["num_buckets"])
+        self._bucket_files: dict[int, list[str]] = {}
+        for f in glob_parquet(pos_dir):
+            part = f.rsplit("/bucket=", 1)[-1].split("/", 1)[0]
+            try:
+                self._bucket_files.setdefault(int(part), []).append(f)
+            except ValueError:
+                continue
+        # term → (sorted doc_ids, per-doc position arrays flat, offsets)
+        self._cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+    def _term_positions(self, term: str):
+        """(doc_ids sorted asc, flat positions, offsets) for a term —
+        offsets[i]:offsets[i+1] slices doc i's positions."""
+        hit = self._cache.get(term)
+        if hit is not None:
+            return hit
+        b = int(term_bucket(np.asarray([term], dtype=object), self.num_buckets)[0])
+        files = self._bucket_files.get(b, [])
+        tables = []
+        for f in files:
+            t = pq.read_table(
+                f, columns=["term", "doc_id", "npos", "pos_vb"],
+                filters=[("term", "==", term)],
+            )
+            if t.num_rows:
+                tables.append(t)
+        if not tables:
+            out = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64),
+                   np.zeros(1, dtype=np.int64))
+            self._cache[term] = out
+            return out
+        t = pa.concat_tables(tables)
+        docs = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(docs, kind="stable")
+        docs = docs[order]
+        npos = t["npos"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        pvb = t["pos_vb"].to_pylist()
+        flat = (
+            np.concatenate(
+                [delta_decode(varbyte_decode(pvb[i], int(npos_i)))
+                 for i, npos_i in zip(order, npos)]
+            )
+            if docs.size
+            else np.empty(0, dtype=np.uint64)
+        )
+        offsets = np.concatenate([[0], np.cumsum(npos)])
+        out = (docs, flat, offsets)
+        self._cache[term] = out
+        return out
+
+    def phrase_occurrences(self, text: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k (doc_ids, n_occurrences) for the phrase, ranked by
+        (n_occ desc, doc_id asc). Overlapping occurrences count."""
+        words = tokenize_text(text, self.cfg)
+        if not words:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        posts = [self._term_positions(w) for w in words]
+        if any(p[0].size == 0 for p in posts):
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        # candidate docs: intersection, seeded from the rarest term
+        rare = min(range(len(words)), key=lambda i: posts[i][0].size)
+        cand_docs = posts[rare][0]
+        for i, (docs, _f, _o) in enumerate(posts):
+            if i == rare:
+                continue
+            cand_docs = cand_docs[np.isin(cand_docs, docs, assume_unique=True)]
+        if cand_docs.size == 0:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        # composite keys: local doc index * 2^32 + (pos - phrase_offset)
+        SHIFT = np.uint64(1) << np.uint64(32)
+
+        def keys_for(i: int) -> np.ndarray:
+            """All (candidate-doc, start-position) keys term i admits —
+            fully vectorized gather of the candidates' position slices."""
+            docs, flat, offsets = posts[i]
+            sel = np.searchsorted(docs, cand_docs)
+            lens = offsets[sel + 1] - offsets[sel]
+            total = int(lens.sum())
+            if total == 0:
+                return np.empty(0, dtype=np.uint64)
+            # flat indices of every candidate's positions: repeat each
+            # slice start, then add 0..len-1 within each slice
+            starts_rep = np.repeat(offsets[sel], lens)
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+            )
+            ps = flat[starts_rep + within]
+            owner = np.repeat(
+                np.arange(cand_docs.size, dtype=np.uint64), lens
+            )
+            if i:
+                keep = ps >= np.uint64(i)
+                ps, owner = ps[keep], owner[keep]
+            return owner * SHIFT + (ps - np.uint64(i))
+
+        starts = keys_for(0)
+        for i in range(1, len(words)):
+            if starts.size == 0:
+                break
+            starts = np.intersect1d(starts, keys_for(i), assume_unique=True)
+        if starts.size == 0:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        local = (starts // SHIFT).astype(np.int64)
+        uniq, counts = np.unique(local, return_counts=True)
+        docs_out = cand_docs[uniq]
+        order = np.lexsort((docs_out, -counts))[:k]
+        return docs_out[order], counts[order].astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pids, ranks, docs, occs = [], [], [], []
+        for pid, text, k in zip(
+            batch["phrase_id"].to_pylist(), batch["text"].to_pylist(), batch["k"].to_pylist()
+        ):
+            d, c = self.phrase_occurrences(text, int(k))
+            pids += [pid] * d.size
+            ranks += list(range(d.size))
+            docs.append(d)
+            occs.append(c)
+        return pa.table(
+            {
+                "phrase_id": pa.array(pids, type=pa.int64()),
+                "rank": pa.array(np.asarray(ranks, dtype=np.int64), type=pa.int64()),
+                "doc_id": pa.array(
+                    np.concatenate(docs) if docs else np.empty(0, dtype=np.uint64),
+                    type=pa.uint64(),
+                ),
+                "n_occ": pa.array(
+                    np.concatenate(occs) if occs else np.empty(0, dtype=np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+
+def query_phrases(
+    phrases: "ray.data.Dataset",
+    pos_dir: str,
+    cfg: EngineConfig | None = None,
+    concurrency: int = 2,
+) -> "ray.data.Dataset":
+    """phrases Dataset (phrase_id, text, k) → (phrase_id, rank, doc_id,
+    n_occ) via the PhraseScorer actor pool."""
+    cfg = cfg or EngineConfig()
+    return phrases.map_batches(
+        PhraseScorer,
+        fn_constructor_args=(pos_dir, cfg),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,115 @@
+"""Positional index + phrase serving (pipelines/positional.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from docinsight_ray.config import EngineConfig
+from docinsight_ray.pipelines.positional import (
+    PhraseScorer,
+    build_positional_index,
+    query_phrases,
+)
+from docinsight_ray.tokenizer import tokenize_text
+
+CFG = EngineConfig(tokenizer="simple", doc_id_mode="column", dedup=False)
+
+
+def _corpus_tbl(texts: list[str]) -> pa.Table:
+    n = len(texts)
+    return pa.table(
+        {
+            "repo": pa.array(["r"] * n), "path": pa.array([f"p{i}" for i in range(n)]),
+            "commit": pa.array([""] * n), "lang": pa.array(["en"] * n),
+            "content": pa.array(texts), "doc_id": pa.array(range(n), type=pa.int64()),
+        }
+    )
+
+
+def _brute_phrase(texts: list[str], phrase: str) -> dict[int, int]:
+    """Ground truth: token-scan occurrence counts (overlaps counted)."""
+    words = tokenize_text(phrase, CFG)
+    out = {}
+    for i, t in enumerate(texts):
+        toks = tokenize_text(t, CFG)
+        n = sum(
+            1
+            for s in range(len(toks) - len(words) + 1)
+            if toks[s:s + len(words)] == words
+        )
+        if n:
+            out[i] = n
+    return out
+
+
+@pytest.fixture(scope="module")
+def pos_index(ray_session, tmp_path_factory):
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(120)]
+    # craft edge docs: overlapping occurrences + a filtered 1-char token
+    texts += ["aa aa aa aa", "aa x bb x aa bb", "zz zz"]
+    root = str(tmp_path_factory.mktemp("pos") / "posidx")
+    build_positional_index(ray.data.from_arrow(_corpus_tbl(texts)), root, CFG, fingerprint="t")
+    return texts, root
+
+
+def test_phrase_matches_brute_force(pos_index):
+    texts, root = pos_index
+    sc = PhraseScorer(root, CFG)
+    for phrase in ("aa bb", "aa aa", "bb cc dd", "ee", "aa bb aa"):
+        want = _brute_phrase(texts, phrase)
+        d, c = sc.phrase_occurrences(phrase, k=10_000)
+        got = dict(zip(d.tolist(), c.tolist()))
+        assert got == want, f"phrase {phrase!r}"
+        # ranking: (n_occ desc, doc_id asc)
+        order = np.lexsort((d, -c))
+        assert (order == np.arange(d.size)).all()
+
+
+def test_overlaps_and_filtered_tokens(pos_index):
+    texts, root = pos_index
+    sc = PhraseScorer(root, CFG)
+    # "aa aa aa aa" contains 3 overlapping "aa aa" occurrences
+    d, c = sc.phrase_occurrences("aa aa", k=10_000)
+    occ = dict(zip(d.tolist(), c.tolist()))
+    assert occ[len(texts) - 3] == 3
+    # 1-char tokens are dropped by tokenization, so "aa bb" is adjacent
+    # in "aa x bb ..." under indexed-token adjacency
+    assert occ.get(len(texts) - 2, 0) >= 0  # presence checked via ground truth above
+    want = _brute_phrase(texts, "aa bb")
+    assert len(texts) - 2 in want  # the crafted doc matches post-filter
+
+
+def test_unknown_term_and_empty(pos_index):
+    texts, root = pos_index
+    sc = PhraseScorer(root, CFG)
+    d, c = sc.phrase_occurrences("aa missingterm", k=10)
+    assert d.size == 0 and c.size == 0
+    d, c = sc.phrase_occurrences("", k=10)
+    assert d.size == 0
+    # unbuilt index
+    with pytest.raises(FileNotFoundError):
+        PhraseScorer("/tmp/definitely_not_a_pos_index", CFG)
+
+
+def test_actor_pool_path(pos_index, ray_session):
+    import ray.data
+
+    texts, root = pos_index
+    ptbl = pa.table(
+        {
+            "phrase_id": pa.array([0, 1], type=pa.int64()),
+            "text": pa.array(["aa bb", "zz zz"], type=pa.string()),
+            "k": pa.array([5, 5], type=pa.int64()),
+        }
+    )
+    out = query_phrases(ray.data.from_arrow(ptbl), root, CFG).to_pandas()
+    sc = PhraseScorer(root, CFG)
+    for pid, phrase in ((0, "aa bb"), (1, "zz zz")):
+        d, c = sc.phrase_occurrences(phrase, k=5)
+        sub = out[out.phrase_id == pid].sort_values("rank")
+        np.testing.assert_array_equal(sub.doc_id.to_numpy(dtype=np.uint64), d)
+        np.testing.assert_array_equal(sub.n_occ.to_numpy(), c)
