@@ -63,7 +63,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         return _run_suite(sf_dir, num_cpus)
     finally:
         for d in (f"/tmp/docinsight_bench/idx-{num_cpus}-{os.getpid()}",
-                  f"/tmp/docinsight_bench/shidx-{num_cpus}-{os.getpid()}"):
+                  f"/tmp/docinsight_bench/shidx-{num_cpus}-{os.getpid()}",
+                  f"/tmp/docinsight_bench/pos-{num_cpus}-{os.getpid()}"):
             shutil.rmtree(d, ignore_errors=True)
 
 
@@ -196,6 +197,36 @@ def _run_suite(sf_dir: str, num_cpus: int) -> dict:
         q_sessionize(sf_dir)
     with timed("tokenize_docs"):
         q_docs_registry(sf_dir)
+
+    # ---- positional index + phrase serving over the bench corpus
+    from docinsight_ray.pipelines.positional import PhraseScorer, build_positional_index
+
+    pos_dir = f"/tmp/docinsight_bench/pos-{num_cpus}-{os.getpid()}"
+    with timed("positional_build"):
+        build_positional_index(
+            ray.data.read_parquet(corpus_path), pos_dir, cfg,
+            fingerprint=f"bench-pos-{BENCH_DOCS}",
+        )
+    with timed("phrase_serving"):
+        psc = PhraseScorer(pos_dir, cfg)
+        phrases = [
+            "public class", "public static", "return new",
+            "static final string", "import core",
+        ] * 10
+        plats = []
+        for p in phrases:
+            t0 = time.monotonic()
+            psc.phrase_occurrences(p, 10)
+            plats.append(time.monotonic() - t0)
+    extra["phrase_p50_ms"] = round(float(np.percentile(plats, 50)) * 1e3, 3)
+    extra["phrase_qps"] = round(len(phrases) / sum(plats), 1)
+    del psc
+
+    # ---- training-corpus prep: the distributed prefix scan
+    from docinsight_ray.functions.corpusops import q_sequence_pack
+
+    with timed("sequence_pack"):
+        q_sequence_pack(sf_dir)
 
     ray.shutdown()
     total = round(sum(timings.values()), 3)

@@ -511,6 +511,45 @@ def q_phrase_index_topk(sf_dir: str) -> pa.Table:
     )
 
 
+# (phrase_id, phrase, slop): ordered proximity with bounded gaps
+PROX_QUERIES: list[tuple[int, str, int]] = [
+    (0, "data stream", 2),
+    (1, "merge join", 1),
+    (2, "the fast key", 3),
+]
+
+
+def q_proximity_topk(sf_dir: str) -> pa.Table:
+    """Ordered PROXIMITY search from the positional index: terms in
+    order with each gap ≤ 1+slop, ranked by chain count — the windowed
+    generalization of the exact-phrase gate (slop=0 ≡ phrase)."""
+    from .positional import query_phrases
+
+    pos_dir = ensure_positional(sf_dir)
+    ptbl = pa.table(
+        {
+            "phrase_id": pa.array([p for p, _, _ in PROX_QUERIES], type=pa.int64()),
+            "text": pa.array([t for _, t, _ in PROX_QUERIES], type=pa.string()),
+            "k": pa.array([PHRASE_TOPK] * len(PROX_QUERIES), type=pa.int64()),
+            "slop": pa.array([s for _, _, s in PROX_QUERIES], type=pa.int64()),
+        }
+    )
+    from ..collect import collect_table
+
+    out = collect_table(
+        query_phrases(ray.data.from_arrow(ptbl), pos_dir, SQL_PARITY_CONFIG)
+    ).to_pandas()
+    out = out.sort_values(["phrase_id", "rank"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "phrase_id": pa.array(out["phrase_id"].astype(np.int64), type=pa.int64()),
+            "rank": pa.array(out["rank"].astype(np.int64), type=pa.int64()),
+            "doc_id": pa.array(out["doc_id"].astype(np.int64), type=pa.int64()),
+            "n_occ": pa.array(out["n_occ"].astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
 # The fixed query DOCUMENT for the multi-chunk keep-max path (D3):
 # chunked into word windows, each chunk scored, best chunk score kept
 # per doc (reference: retrieval.py:163-172 _deduplicate_results).
@@ -728,6 +767,45 @@ ORACLE_SQL["phrase_index_topk"] = f"""
         FROM r WHERE rank < {PHRASE_TOPK}
 """
 
+def _prox_occ_sql() -> str:
+    """Per-phrase windowed chain-join chain counts, UNION ALL."""
+    parts = []
+    for pid, text, slop in PROX_QUERIES:
+        words = text.split()
+        joins = "\n          ".join(
+            f"JOIN ptok t{i} ON t{i}.doc_id = t0.doc_id "
+            f"AND t{i}.pos > t{i - 1}.pos AND t{i}.pos <= t{i - 1}.pos + {1 + slop} "
+            f"AND t{i}.term = '{w}'"
+            for i, w in enumerate(words[1:], start=1)
+        )
+        parts.append(
+            f"""SELECT {pid} AS phrase_id, t0.doc_id, count(*)::BIGINT AS n_occ
+          FROM ptok t0
+          {joins}
+          WHERE t0.term = '{words[0]}'
+          GROUP BY t0.doc_id"""
+        )
+    return "\n        UNION ALL\n        ".join(parts)
+
+
+ORACLE_SQL["proximity_topk"] = f"""
+        WITH ptok AS (
+          SELECT doc_id,
+                 unnest({SIMPLE_TOK_SQL}) AS term,
+                 unnest(range(len({SIMPLE_TOK_SQL}))) AS pos
+          FROM documents
+        ), occ AS (
+        {_prox_occ_sql()}
+        ), r AS (
+          SELECT phrase_id, doc_id, n_occ,
+                 row_number() OVER (PARTITION BY phrase_id
+                                    ORDER BY n_occ DESC, doc_id ASC) - 1 AS rank
+          FROM occ
+        )
+        SELECT phrase_id, rank::BIGINT AS rank, doc_id, n_occ
+        FROM r WHERE rank < {PHRASE_TOPK}
+"""
+
 ORACLE_SQL["bm25_prefix"] = _bm25_cte_qt(
     f"""p(query_id, pref) AS (VALUES {", ".join(f"({q}, '{t}')" for q, t in PREFIX_QUERIES)}),
 qt AS (
@@ -776,6 +854,7 @@ QUERIES = {
     "bm25_negated": q_bm25_negated,
     "bm25_prefix": q_bm25_prefix,
     "phrase_index_topk": q_phrase_index_topk,
+    "proximity_topk": q_proximity_topk,
     "bm25_more_like_this": q_bm25_more_like_this,
     "bm25_conjunctive": q_bm25_conjunctive,
     "bm25_doc_query": q_bm25_doc_query,

@@ -260,12 +260,88 @@ class PhraseScorer:
         order = np.lexsort((docs_out, -counts))[:k]
         return docs_out[order], counts[order].astype(np.int64)
 
+    def proximity_occurrences(
+        self, text: str, k: int, slop: int = 0
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k (doc_ids, n_chains) for an ORDERED proximity match:
+        positions p0 < p1 < … < pm-1 with each gap 1 ≤ pᵢ-pᵢ₋₁ ≤ 1+slop.
+        ``slop=0`` is the exact phrase. Counts CHAINS (every admissible
+        combination), the same quantity a positional chain join counts.
+
+        Vectorized DP over composite (doc, position) keys: term i's
+        weight at position p is the windowed sum of term i-1's weights
+        over [p-1-slop, p-1], computed for ALL candidate docs at once
+        with one prefix-sum + two searchsorteds per term — doc
+        boundaries can't leak because a window of width 1+slop ≪ 2^32
+        never crosses adjacent doc keys."""
+        words = tokenize_text(text, self.cfg)
+        if not words:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        posts = [self._term_positions(w) for w in words]
+        if any(p[0].size == 0 for p in posts):
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        rare = min(range(len(words)), key=lambda i: posts[i][0].size)
+        cand_docs = posts[rare][0]
+        for i, (docs, _f, _o) in enumerate(posts):
+            if i == rare:
+                continue
+            cand_docs = cand_docs[np.isin(cand_docs, docs, assume_unique=True)]
+        if cand_docs.size == 0:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        # int64 keys: the window subtraction k-(1+slop) must not wrap
+        # at position 0 of candidate-doc 0 (uint64 would underflow)
+        SHIFT = np.int64(1) << np.int64(32)
+
+        def doc_pos_keys(i: int) -> tuple[np.ndarray, np.ndarray]:
+            """(sorted composite keys, owner local idx) of term i's
+            positions within the candidate docs."""
+            docs, flat, offsets = posts[i]
+            sel = np.searchsorted(docs, cand_docs)
+            lens = offsets[sel + 1] - offsets[sel]
+            total = int(lens.sum())
+            starts_rep = np.repeat(offsets[sel], lens)
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+            )
+            ps = flat[starts_rep + within].astype(np.int64)
+            owner = np.repeat(np.arange(cand_docs.size, dtype=np.int64), lens)
+            return owner * SHIFT + ps, owner
+
+        keys_prev, owner_prev = doc_pos_keys(0)
+        w_prev = np.ones(keys_prev.size, dtype=np.int64)
+        for i in range(1, len(words)):
+            keys_i, owner_i = doc_pos_keys(i)
+            cum = np.concatenate([[0], np.cumsum(w_prev)])
+            lo = np.searchsorted(keys_prev, keys_i - np.int64(1 + slop))
+            hi = np.searchsorted(keys_prev, keys_i)
+            w_i = cum[hi] - cum[lo]
+            keep = w_i > 0
+            keys_prev, owner_prev, w_prev = keys_i[keep], owner_i[keep], w_i[keep]
+            if keys_prev.size == 0:
+                return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        counts = np.bincount(
+            owner_prev.astype(np.int64), weights=w_prev, minlength=cand_docs.size
+        ).astype(np.int64)
+        nz = np.flatnonzero(counts)
+        docs_out, c = cand_docs[nz], counts[nz]
+        order = np.lexsort((docs_out, -c))[:k]
+        return docs_out[order], c[order]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         pids, ranks, docs, occs = [], [], [], []
-        for pid, text, k in zip(
-            batch["phrase_id"].to_pylist(), batch["text"].to_pylist(), batch["k"].to_pylist()
+        slops = (
+            batch["slop"].to_pylist()
+            if "slop" in batch.column_names
+            else [0] * batch.num_rows
+        )
+        for pid, text, k, slop in zip(
+            batch["phrase_id"].to_pylist(), batch["text"].to_pylist(),
+            batch["k"].to_pylist(), slops,
         ):
-            d, c = self.phrase_occurrences(text, int(k))
+            if slop:
+                d, c = self.proximity_occurrences(text, int(k), slop=int(slop))
+            else:
+                d, c = self.phrase_occurrences(text, int(k))
             pids += [pid] * d.size
             ranks += list(range(d.size))
             docs.append(d)

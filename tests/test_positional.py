@@ -113,3 +113,42 @@ def test_actor_pool_path(pos_index, ray_session):
         sub = out[out.phrase_id == pid].sort_values("rank")
         np.testing.assert_array_equal(sub.doc_id.to_numpy(dtype=np.uint64), d)
         np.testing.assert_array_equal(sub.n_occ.to_numpy(), c)
+
+
+def _brute_chains(texts, phrase, slop):
+    """Ground truth chain counts: DP over token positions."""
+    words = tokenize_text(phrase, CFG)
+    out = {}
+    for i, t in enumerate(texts):
+        toks = tokenize_text(t, CFG)
+        pos = {w: [p for p, x in enumerate(toks) if x == w] for w in set(words)}
+        prev = {p: 1 for p in pos.get(words[0], [])}
+        for w in words[1:]:
+            nxt = {}
+            for p in pos.get(w, []):
+                nxt[p] = sum(v for q, v in prev.items() if 1 <= p - q <= 1 + slop)
+            prev = {p: v for p, v in nxt.items() if v}
+        n = sum(prev.values())
+        if n:
+            out[i] = n
+    return out
+
+
+def test_proximity_matches_brute_force(pos_index):
+    texts, root = pos_index
+    sc = PhraseScorer(root, CFG)
+    for phrase, slop in (("aa bb", 2), ("aa aa", 1), ("bb cc dd", 3), ("aa bb aa", 2)):
+        want = _brute_chains(texts, phrase, slop)
+        d, c = sc.proximity_occurrences(phrase, k=10_000, slop=slop)
+        got = dict(zip(d.tolist(), c.tolist()))
+        assert got == want, f"phrase {phrase!r} slop={slop}"
+
+
+def test_proximity_slop0_equals_phrase(pos_index):
+    texts, root = pos_index
+    sc = PhraseScorer(root, CFG)
+    for phrase in ("aa bb", "aa aa", "bb cc dd"):
+        d0, c0 = sc.phrase_occurrences(phrase, k=10_000)
+        d1, c1 = sc.proximity_occurrences(phrase, k=10_000, slop=0)
+        np.testing.assert_array_equal(d0, d1)
+        np.testing.assert_array_equal(c0, c1)
