@@ -29,6 +29,7 @@ from ..build import build_index
 from ..codec import decode_posting
 from ..config import EngineConfig, SQL_PARITY_CONFIG
 from ..scorer import BM25Scorer, query_index
+from ..tokenizer import tokenize_text
 
 # The fixed reference query set for the documents table (vocabulary of
 # the driver's synthetic text).
@@ -339,6 +340,63 @@ def q_bm25_prefix(sf_dir: str) -> pa.Table:
             continue
         qids.append(qid)
         texts.append(" ".join(terms))
+    qtbl = pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "k": pa.array([n_docs] * len(qids), type=pa.uint32()),
+        }
+    )
+    res = (
+        query_index(ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG, mode="maxscore",
+                    concurrency=2)
+        .to_pandas()
+    )
+    out_q, out_r, out_d, out_s = [], [], [], []
+    for qid in qids:
+        g = res[res.query_id == qid]
+        d = g["doc_id"].to_numpy().astype(np.uint64)
+        s6 = np.round(g["score"].to_numpy(), 6)
+        order = np.lexsort((d, -s6))[:TOPK]
+        d, s6 = d[order], s6[order]
+        out_q += [qid] * d.size
+        out_r += list(range(d.size))
+        out_d.append(d.astype(np.int64))
+        out_s.append(s6)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_d) if out_d else [], type=pa.int64()),
+            "score": pa.array(np.concatenate(out_s) if out_s else [], type=pa.float64()),
+        }
+    )
+
+
+# typo'd query tokens; each expands to its edit-distance-1 vocabulary
+# neighborhood (plain Levenshtein — "tble"→"table", "strem"→"stream")
+FUZZY_QUERIES: list[tuple[int, str]] = [(0, "merg"), (1, "quary strem"), (2, "tble fst")]
+FUZZY_DIST = 1
+
+
+def q_bm25_fuzzy(sf_dir: str) -> pa.Table:
+    """FUZZY (typo-tolerant) retrieval: each query token expands to its
+    edit-distance-≤1 neighborhood in the index vocabulary
+    (scorer.expand_fuzzy — column-only scan + banded DP), and the union
+    of expansions is scored as a bag-of-terms disjunction."""
+    from ..scorer import expand_fuzzy
+
+    idx = ensure_index(sf_dir)
+    n_docs = BM25Scorer(idx, SQL_PARITY_CONFIG).n_docs
+    qids, texts = [], []
+    for qid, text in FUZZY_QUERIES:
+        terms: set[str] = set()
+        for tok in tokenize_text(text, SQL_PARITY_CONFIG):
+            terms.update(expand_fuzzy(idx, tok, FUZZY_DIST))
+        if not terms:
+            continue
+        qids.append(qid)
+        texts.append(" ".join(sorted(terms)))
     qtbl = pa.table(
         {
             "query_id": pa.array(qids, type=pa.int64()),
@@ -816,6 +874,19 @@ qt AS (
 )"""
 ) + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}"
 
+ORACLE_SQL["bm25_fuzzy"] = _bm25_cte_qt(
+    f"""q(query_id, qterm) AS (VALUES {", ".join(
+        f"({qid}, '{tok}')" for qid, text in FUZZY_QUERIES for tok in text.split()
+    )}),
+qt AS (
+  SELECT q.query_id, v.term
+  FROM q JOIN (SELECT DISTINCT t.term
+               FROM documents, unnest({SIMPLE_TOK_SQL}) AS t(term)) v
+    ON levenshtein(q.qterm, v.term) <= {FUZZY_DIST}
+  GROUP BY q.query_id, v.term
+)"""
+) + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}"
+
 ORACLE_SQL["bm25_negated"] = _bm25_cte(_BM25_VALUES) + f"""
 , neg AS (
   SELECT DISTINCT doc_id FROM tok WHERE term IN {NEG_TERMS!r}
@@ -853,6 +924,7 @@ QUERIES = {
     "bm25_filtered": q_bm25_filtered,
     "bm25_negated": q_bm25_negated,
     "bm25_prefix": q_bm25_prefix,
+    "bm25_fuzzy": q_bm25_fuzzy,
     "phrase_index_topk": q_phrase_index_topk,
     "proximity_topk": q_proximity_topk,
     "bm25_more_like_this": q_bm25_more_like_this,

@@ -832,6 +832,54 @@ def expand_prefix(index_dir: str, prefix: str, limit: int | None = None) -> list
     return terms if limit is None else terms[:limit]
 
 
+def _edit_leq(a: str, b: str, d: int) -> bool:
+    """Levenshtein(a, b) <= d via the two-row DP with early abandon
+    (plain edit distance — insert/delete/substitute, no transposition,
+    matching SQL ``levenshtein``)."""
+    if abs(len(a) - len(b)) > d:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        cur = [i] + [0] * len(b)
+        best = i
+        for j, cb in enumerate(b, start=1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            best = min(best, cur[j])
+        if best > d:
+            return False
+        prev = cur
+    return prev[-1] <= d
+
+
+def expand_fuzzy(
+    index_dir: str, term: str, max_dist: int = 1, limit: int | None = None
+) -> list[str]:
+    """Typo-tolerant expansion: every indexed term within edit distance
+    ``max_dist`` of ``term`` (the exact term included at distance 0),
+    sorted. Same column-only vocabulary scan as ``expand_prefix``, with
+    a length-difference prefilter before the DP; a huge-vocabulary
+    deployment would precompute a deletion-neighborhood index
+    (FastSS-style) instead of scanning."""
+    import pyarrow.compute as _pc
+
+    from .state.fsio import glob_parquet
+
+    out: set[str] = set()
+    for f in glob_parquet(os.path.join(index_dir, "parts")):
+        col = pq.read_table(f, columns=["term"])["term"].combine_chunks()
+        # cheap vectorized prefilter: |len(t) - len(term)| <= max_dist
+        lens = _pc.utf8_length(col)
+        mask = _pc.and_(
+            _pc.greater_equal(lens, len(term) - max_dist),
+            _pc.less_equal(lens, len(term) + max_dist),
+        )
+        for t in col.filter(mask).to_pylist():
+            if t not in out and _edit_leq(term, t, max_dist):
+                out.add(t)
+    terms = sorted(out)
+    return terms if limit is None else terms[:limit]
+
+
 def query_index(
     queries,
     index_dir: str,

@@ -629,3 +629,43 @@ def test_expand_prefix(built):
     assert got == sorted(got)
     assert expand_prefix(idx, "zzzzzz") == []
     assert expand_prefix(idx, "s", limit=1) == got[:1]
+
+
+def test_expand_fuzzy(built):
+    """Edit-distance expansion equals a brute-force scan of the corpus
+    vocabulary with plain Levenshtein; exact term included at d=0."""
+    from docinsight_ray.scorer import _edit_leq, expand_fuzzy
+    from docinsight_ray.tokenizer import tokenize_text
+
+    corpus, idx, res = built
+    vocab = set()
+    for content in corpus["content"].to_pylist():
+        vocab.update(tokenize_text(content, CFG))
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for probe in ("public", "merg", "scor", "xyzzy"):
+        got = set(expand_fuzzy(idx, probe, 1))
+        want = {v for v in vocab if lev(probe, v) <= 1}
+        assert got <= want  # index vocab ⊆ corpus vocab (dedup losers)
+        # every corpus-vocab neighbor that IS indexed must be found
+        from docinsight_ray.scorer import BM25Scorer
+
+        sc = BM25Scorer(idx, CFG)
+        assert got == {v for v in want if sc.has_term(v)}
+    # _edit_leq agrees with the reference DP on tricky pairs
+    for a, b, d, ok in (
+        ("tabel", "table", 1, False),  # transposition costs 2 in plain Levenshtein
+        ("tabel", "table", 2, True),
+        ("", "ab", 1, False),
+        ("", "a", 1, True),
+        ("same", "same", 0, True),
+    ):
+        assert _edit_leq(a, b, d) is ok, (a, b, d)
