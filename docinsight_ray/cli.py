@@ -57,6 +57,49 @@ def cmd_build(args) -> int:
     return 0
 
 
+def cmd_posbuild(args) -> int:
+    _init_ray(args.num_cpus)
+    import ray.data
+
+    from .config import EngineConfig
+    from .pipelines.positional import build_positional_index
+
+    cfg = EngineConfig(
+        tokenizer=args.tokenizer,
+        num_buckets=args.num_buckets,
+        doc_id_mode=args.doc_id_mode,
+    )
+    stats = build_positional_index(
+        ray.data.read_parquet(args.corpus), args.pos_dir, cfg,
+        fingerprint=args.fingerprint or args.corpus,
+    )
+    print(json.dumps(stats, indent=1))
+    return 0
+
+
+def cmd_phrase(args) -> int:
+    _init_ray(args.num_cpus)
+    from .config import EngineConfig
+    from .pipelines.positional import PhraseScorer
+
+    cfg = EngineConfig(tokenizer=args.tokenizer)
+    try:
+        sc = PhraseScorer(args.pos_dir, cfg)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    for text in args.text:
+        if args.slop:
+            d, c = sc.proximity_occurrences(text, args.k, slop=args.slop)
+        else:
+            d, c = sc.phrase_occurrences(text, args.k)
+        print(json.dumps({
+            "phrase": text, "slop": args.slop,
+            "hits": [{"doc_id": int(x), "n_occ": int(y)} for x, y in zip(d, c)],
+        }))
+    return 0
+
+
 def cmd_query(args) -> int:
     _init_ray(args.num_cpus)
     from .config import EngineConfig
@@ -341,6 +384,26 @@ def main(argv=None) -> int:
     g.add_argument("--dry-run", action="store_true",
                    help="report what would be removed without removing")
     g.set_defaults(fn=cmd_purge)
+
+    pb = sub.add_parser("posbuild", parents=[common],
+                        help="build a positional index from a corpus parquet path")
+    pb.add_argument("corpus")
+    pb.add_argument("pos_dir")
+    pb.add_argument("--tokenizer", default="code", choices=["code", "simple"])
+    pb.add_argument("--num-buckets", type=int, default=32)
+    pb.add_argument("--doc-id-mode", default="hash", choices=["hash", "column"])
+    pb.add_argument("--fingerprint", default="")
+    pb.set_defaults(fn=cmd_posbuild)
+
+    ph = sub.add_parser("phrase", parents=[common],
+                        help="phrase / proximity search against a positional index")
+    ph.add_argument("pos_dir")
+    ph.add_argument("text", nargs="+")
+    ph.add_argument("-k", type=int, default=10)
+    ph.add_argument("--slop", type=int, default=0,
+                    help="max extra tokens allowed in each gap (0 = exact phrase)")
+    ph.add_argument("--tokenizer", default="code", choices=["code", "simple"])
+    ph.set_defaults(fn=cmd_phrase)
 
     be = sub.add_parser("bench", parents=[common], help="run the bench suite")
     be.add_argument("--scaling", action="store_true")

@@ -189,3 +189,31 @@ def test_cli_validate_sharded_root(ray_session, tmp_path, capsys):
     rc = main(["validate", idx])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 1 and not out["ok"] and out["problems"]
+
+
+def test_cli_posbuild_and_phrase(built_cli, capsys):
+    """posbuild → phrase (exact + slop) round-trip, checked against the
+    PhraseScorer API on the same index."""
+    corpus_path, idx, root = built_cli
+    pos_dir = str(root / "posidx")
+    rc = main(["posbuild", corpus_path, pos_dir, "--fingerprint", "cli-pos"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["phrase", pos_dir, "public static", "-k", "5"])
+    assert rc == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(out) == 1 and out[0]["phrase"] == "public static"
+    from docinsight_ray.config import EngineConfig
+    from docinsight_ray.pipelines.positional import PhraseScorer
+
+    sc = PhraseScorer(pos_dir, EngineConfig())
+    d, c = sc.phrase_occurrences("public static", 5)
+    assert [h["doc_id"] for h in out[0]["hits"]] == [int(x) for x in d]
+    assert [h["n_occ"] for h in out[0]["hits"]] == [int(x) for x in c]
+    # slop path returns at least the exact matches
+    rc = main(["phrase", pos_dir, "public static", "-k", "5", "--slop", "2"])
+    assert rc == 0
+    slop_out = json.loads(capsys.readouterr().out.strip())
+    assert len(slop_out["hits"]) >= min(5, len(out[0]["hits"]))
+    # unbuilt dir errors cleanly
+    assert main(["phrase", str(root / "nope"), "xx yy"]) == 2
