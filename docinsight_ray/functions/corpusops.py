@@ -23,6 +23,11 @@ the direction the 100-TB use case needs. Scale notes per op:
 - ``tfidf_top_terms``: decode postings → per-batch LOCAL top-k per doc
   (combiner bounds shuffle rows at k × docs-per-batch) → final per-doc
   top-k via groupby(doc_id).
+- ``decontaminate``: eval-set n-gram overlap flagging — distributed
+  reduce of the (small) eval side, one ``ray.put`` broadcast of its
+  n-gram set, shuffle-free corpus scan.
+- ``repetition_stats``: stateless per-row token-multiplicity stats
+  (the Gopher repetition-filter inputs) — embarrassingly parallel.
 """
 
 from __future__ import annotations
@@ -316,6 +321,117 @@ def q_tfidf_top_terms(sf_dir: str) -> pa.Table:
     )
 
 
+# ---- benchmark decontamination (n-gram overlap) --------------------------
+
+# Benchmark set: a deterministic pseudo-eval-set drawn from the corpus
+# itself — the first DECON_PREFIX tokens of every doc_id ≡ 0
+# (mod DECON_MOD) document. Self-drawn so the op demonstrably fires
+# (benchmark docs and their near-duplicates are contaminated by
+# construction) while staying a pure function of the input tables.
+DECON_MOD = 97
+DECON_PREFIX = 12
+DECON_N = 3  # n-gram width
+
+
+def _grams(tokens: list[str], n: int) -> set[str]:
+    return {" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
+
+
+def q_decontaminate(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination: flag documents sharing any token
+    ``DECON_N``-gram with the eval set (the GPT-3/Llama training-data
+    hygiene pass — eval n-gram overlap → drop from the training set).
+
+    Scale shape: the eval side is SMALL by definition, so it is
+    reduced distributed (filter + prefix-slice run inside
+    ``map_batches``; only eval rows reach the driver), built into one
+    frozen n-gram set, and broadcast once via ``ray.put`` — the
+    corpus-side scan is then an embarrassingly parallel membership
+    count with no shuffle at all. At 10^12 docs the only driver state
+    is the eval-gram set.
+    """
+
+    def bench_prefixes(batch: pd.DataFrame) -> pa.Table:
+        sel = batch[batch["doc_id"] % DECON_MOD == 0]
+        toks = (
+            sel["text"].str.lower().str.findall(_TOK2_RE).str.slice(0, DECON_PREFIX)
+        )
+        return pa.table({"toks": pa.array(toks.str.join(" ").tolist(), type=pa.string())})
+
+    bench_empty = pa.schema([("toks", pa.string())])
+    bench = collect_table(
+        _read(sf_dir, ["doc_id", "text"]).map_batches(
+            bench_prefixes, batch_format="pandas"
+        ),
+        bench_empty,
+    )
+    gram_set: set[str] = set()
+    for row in bench["toks"].to_pylist():
+        gram_set |= _grams(row.split(), DECON_N)
+    grams_ref = ray.put(frozenset(gram_set))
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        grams = ray.get(grams_ref)
+        toks = batch["text"].str.lower().str.findall(_TOK2_RE)
+        n_hits = toks.map(lambda ts: len(_grams(list(ts), DECON_N) & grams))
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "n_hits": n_hits.astype("int64"),
+                "contaminated": (n_hits > 0).astype("int64"),
+            }
+        )
+
+    empty = pa.schema(
+        [("doc_id", pa.int64()), ("n_hits", pa.int64()), ("contaminated", pa.int64())]
+    )
+    return collect_table(
+        _read(sf_dir, ["doc_id", "text"]).map_batches(scan, batch_format="pandas"),
+        empty,
+    )
+
+
+# ---- intra-document repetition stats --------------------------------------
+
+
+def q_repetition_stats(sf_dir: str) -> pa.Table:
+    """Per-doc repetition signals (the Gopher/C4-style quality-filter
+    inputs): total tokens, distinct tokens, and the top token's
+    multiplicity. Emitted as integers so the gate hash is exact; the
+    filter-side ratios (``n_distinct/n_tokens``, ``top_tf/n_tokens``)
+    derive trivially. Stateless per-row map — embarrassingly parallel.
+    """
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        toks = batch["text"].str.lower().str.findall(_TOK2_RE)
+        counters = toks.map(Counter)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "n_tokens": toks.str.len().astype("int64"),
+                "n_distinct": counters.map(len).astype("int64"),
+                "top_tf": counters.map(
+                    lambda c: max(c.values()) if c else 0
+                ).astype("int64"),
+            }
+        )
+
+    empty = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("n_distinct", pa.int64()),
+            ("top_tf", pa.int64()),
+        ]
+    )
+    return collect_table(
+        _read(sf_dir, ["doc_id", "text"]).map_batches(stats, batch_format="pandas"),
+        empty,
+    )
+
+
 # ---- registration --------------------------------------------------------
 
 # SIMPLE_TOK_SQL is re-declared here (not imported) to avoid a cycle
@@ -373,6 +489,52 @@ ORACLE_SQL = {
         SELECT doc_id::BIGINT AS doc_id, term, tfidf, rank::BIGINT AS rank
         FROM r WHERE rank < {TFIDF_K}
     """,
+    "decontaminate": f"""
+        WITH qdoc AS (
+          SELECT list_slice({_TOK_SQL}, 1, {DECON_PREFIX}) AS toks
+          FROM documents WHERE doc_id % {DECON_MOD} = 0
+        ),
+        qgram AS (
+          SELECT DISTINCT g FROM (
+            SELECT unnest(list_transform(
+                     generate_series(1, greatest(len(toks) - {DECON_N - 1}, 0)),
+                     i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+            FROM qdoc
+          )
+        ),
+        ddoc AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+        dgram AS (
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     generate_series(1, greatest(len(toks) - {DECON_N - 1}, 0)),
+                     i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+            FROM ddoc
+          )
+        ),
+        h AS (
+          SELECT doc_id, count(*)::BIGINT AS n_hits
+          FROM dgram JOIN qgram USING (g) GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+               (coalesce(h.n_hits, 0) > 0)::BIGINT AS contaminated
+        FROM documents d LEFT JOIN h USING (doc_id)
+    """,
+    "repetition_stats": f"""
+        WITH t AS (
+          SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+        ),
+        c AS (SELECT doc_id, term, count(*)::BIGINT AS cnt FROM t GROUP BY doc_id, term),
+        a AS (
+          SELECT doc_id, sum(cnt)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
+                 max(cnt)::BIGINT AS top_tf
+          FROM c GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+               coalesce(a.n_distinct, 0)::BIGINT AS n_distinct,
+               coalesce(a.top_tf, 0)::BIGINT AS top_tf
+        FROM documents d LEFT JOIN a USING (doc_id)
+    """,
 }
 
 QUERIES = {
@@ -380,4 +542,6 @@ QUERIES = {
     "sequence_pack": q_sequence_pack,
     "length_quantiles": q_length_quantiles,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "decontaminate": q_decontaminate,
+    "repetition_stats": q_repetition_stats,
 }

@@ -34,7 +34,15 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 @pytest.mark.parametrize(
-    "name", ["dataset_split", "sequence_pack", "length_quantiles", "tfidf_top_terms"]
+    "name",
+    [
+        "dataset_split",
+        "sequence_pack",
+        "length_quantiles",
+        "tfidf_top_terms",
+        "decontaminate",
+        "repetition_stats",
+    ],
 )
 def test_sql_parity(name):
     from docinsight_ray.functions.corpusops import QUERIES
@@ -74,6 +82,30 @@ def test_length_quantiles_ordered():
     assert len(t) >= 1 and t["n"].sum() > 0
     for _, r in t.iterrows():
         assert r["q25"] <= r["q50"] <= r["q75"] <= r["q95"]
+
+
+def test_decontaminate_flags_bench_docs():
+    from docinsight_ray.functions.corpusops import DECON_MOD, q_decontaminate
+
+    t = q_decontaminate(SF).to_pandas().set_index("doc_id")
+    # every eval-set doc overlaps its own prefix -> contaminated
+    bench_ids = [d for d in t.index if d % DECON_MOD == 0]
+    assert bench_ids and (t.loc[bench_ids, "contaminated"] == 1).all()
+    # and decontamination actually fires beyond the eval set itself
+    # (exact duplicates of bench docs exist in the fixture corpus)
+    assert t["contaminated"].sum() > len(bench_ids)
+    assert ((t["n_hits"] > 0) == (t["contaminated"] == 1)).all()
+
+
+def test_repetition_stats_bounds():
+    from docinsight_ray.functions.corpusops import q_repetition_stats
+
+    t = q_repetition_stats(SF).to_pandas()
+    assert (t["n_distinct"] <= t["n_tokens"]).all()
+    assert (t["top_tf"] <= t["n_tokens"]).all()
+    assert ((t["n_tokens"] == 0) | (t["top_tf"] >= 1)).all()
+    # word-salad fixture docs repeat tokens: signal must be non-trivial
+    assert (t["n_distinct"] < t["n_tokens"]).any()
 
 
 def test_tfidf_topk_shape():
