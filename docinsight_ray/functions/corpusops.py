@@ -432,6 +432,176 @@ def q_repetition_stats(sf_dir: str) -> pa.Table:
     )
 
 
+# ---- stratified sampling --------------------------------------------------
+
+STRAT_K = 40  # sample size per stratum
+
+
+def q_stratified_sample(sf_dir: str) -> pa.Table:
+    """Deterministic stratified sample: ``STRAT_K`` docs per lang,
+    chosen by content-hash order (sha256(text) asc, doc_id asc) — the
+    balanced-rebalancing pass a training pipeline runs over skewed
+    language/source distributions, reproducible across runs and
+    engines because the 'random' order is a pure function of content.
+
+    Scale shape: the local-top-k combiner — each batch forwards at
+    most groups × K rows, the final per-group head runs over those
+    partials, so the shuffle moves O(blocks × langs × K) rows
+    regardless of corpus size.
+    """
+
+    def local_head(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "lang": batch["lang"],
+                "sha": sha256_hex(batch["text"].tolist()),
+            }
+        )
+        return (
+            out.sort_values(["lang", "sha", "doc_id"])
+            .groupby("lang", sort=False)
+            .head(STRAT_K)
+        )
+
+    def final_head(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sha", "doc_id"]).head(STRAT_K)
+        return g.assign(rank=np.arange(len(g), dtype=np.int64))
+
+    final_head.__name__ = "final_head"
+    empty = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("lang", pa.string()),
+            ("sha", pa.string()),
+            ("rank", pa.int64()),
+        ]
+    )
+    return collect_table(
+        _read(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(local_head, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final_head, batch_format="pandas"),
+        empty,
+    )
+
+
+# ---- term co-occurrence over a bounded vocabulary -------------------------
+
+COOC_VOCAB = 32  # top-df terms admitted to the pair matrix
+COOC_TOPK = 50  # reported pairs
+
+
+def q_term_cooccurrence(sf_dir: str) -> pa.Table:
+    """Document-level term co-occurrence counts over the top-``COOC_VOCAB``
+    df terms (the word2vec/PMI feature-extraction pass). Counts are
+    emitted as integers (n_ab, n_a, n_b; PMI = ln(N·n_ab/(n_a·n_b))
+    derives driver-side) so the gate hash is float-free.
+
+    Scale shape: two bounded passes — (1) distributed df partials →
+    tiny groupby → driver top-M vocab (M fixed), (2) vocab broadcast
+    via ``ray.put``; each batch folds its docs into one M×M upper-
+    triangle count matrix and emits ONLY the matrix (≤ M(M-1)/2 rows
+    per batch), so the final pair groupby moves O(blocks · M²) rows —
+    never a per-doc or per-token pair explosion.
+    """
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(_TOK2_RE).map(set)
+        cnt: dict[str, int] = {}
+        for ts in toks:
+            for t in ts:
+                cnt[t] = cnt.get(t, 0) + 1
+        return pd.DataFrame(
+            {"term": list(cnt), "df": np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt))}
+        )
+
+    df_empty = pa.schema([("term", pa.string()), ("df", pa.int64())])
+    df_tbl = (
+        collect_table(
+            _read(sf_dir, ["text"]).map_batches(df_partial, batch_format="pandas"),
+            df_empty,
+        )
+        .to_pandas()
+        .groupby("term", as_index=False)["df"]
+        .sum()
+        .sort_values(["df", "term"], ascending=[False, True])
+        .head(COOC_VOCAB)
+        .reset_index(drop=True)
+    )
+    vocab = {t: i for i, t in enumerate(df_tbl["term"])}
+    n_a = df_tbl["df"].to_numpy(dtype=np.int64)
+    vocab_ref = ray.put(vocab)
+
+    def pair_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = ray.get(vocab_ref)
+        m = len(v)
+        mat = np.zeros((m, m), dtype=np.int64)
+        toks = batch["text"].str.lower().str.findall(_TOK2_RE)
+        for ts in toks:
+            idx = np.array(sorted({v[t] for t in ts if t in v}), dtype=np.int64)
+            if idx.size >= 2:
+                mat[np.repeat(idx, idx.size), np.tile(idx, idx.size)] += 1
+        ia, ib = np.triu_indices(m, k=1)
+        keep = mat[ia, ib] > 0
+        return pd.DataFrame(
+            {
+                "ia": ia[keep].astype(np.int64),
+                "ib": ib[keep].astype(np.int64),
+                "n_ab": mat[ia[keep], ib[keep]],
+            }
+        )
+
+    pair_empty = pa.schema([("ia", pa.int64()), ("ib", pa.int64()), ("n_ab", pa.int64())])
+    pairs = (
+        collect_table(
+            _read(sf_dir, ["text"]).map_batches(pair_partial, batch_format="pandas"),
+            pair_empty,
+        )
+        .to_pandas()
+        .groupby(["ia", "ib"], as_index=False)["n_ab"]
+        .sum()
+    )
+    terms = list(vocab)
+    pairs["term_a"] = [terms[i] for i in pairs["ia"]]
+    pairs["term_b"] = [terms[i] for i in pairs["ib"]]
+    # vocab index order is (df desc, term asc) — NOT lexicographic; the
+    # oracle's pair key is (term_a < term_b), so reorder each pair
+    swap = pairs["term_a"] > pairs["term_b"]
+    pairs.loc[swap, ["term_a", "term_b", "ia", "ib"]] = pairs.loc[
+        swap, ["term_b", "term_a", "ib", "ia"]
+    ].to_numpy()
+    pairs["n_a"] = n_a[pairs["ia"].to_numpy(dtype=np.int64)]
+    pairs["n_b"] = n_a[pairs["ib"].to_numpy(dtype=np.int64)]
+    pairs = (
+        pairs.sort_values(["n_ab", "term_a", "term_b"], ascending=[False, True, True])
+        .head(COOC_TOPK)
+        .reset_index(drop=True)
+    )
+    pairs["rank"] = np.arange(len(pairs), dtype=np.int64)
+    return pa.table(
+        {
+            "term_a": pa.array(pairs["term_a"], type=pa.string()),
+            "term_b": pa.array(pairs["term_b"], type=pa.string()),
+            "n_ab": pa.array(pairs["n_ab"].astype(np.int64), type=pa.int64()),
+            "n_a": pa.array(pairs["n_a"].astype(np.int64), type=pa.int64()),
+            "n_b": pa.array(pairs["n_b"].astype(np.int64), type=pa.int64()),
+            "rank": pa.array(pairs["rank"], type=pa.int64()),
+        }
+    )
+
+
+def cooccurrence_pmi(sf_dir: str, n_docs: int | None = None) -> pd.DataFrame:
+    """Library API: PMI scores derived from q_term_cooccurrence counts."""
+    t = q_term_cooccurrence(sf_dir).to_pandas()
+    if n_docs is None:
+        import pyarrow.parquet as pq
+
+        n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    t["pmi"] = np.log(n_docs * t["n_ab"] / (t["n_a"] * t["n_b"]))
+    return t
+
+
 # ---- registration --------------------------------------------------------
 
 # SIMPLE_TOK_SQL is re-declared here (not imported) to avoid a cycle
@@ -535,6 +705,39 @@ ORACLE_SQL = {
                coalesce(a.top_tf, 0)::BIGINT AS top_tf
         FROM documents d LEFT JOIN a USING (doc_id)
     """,
+    "stratified_sample": f"""
+        SELECT doc_id, lang, sha, rank FROM (
+          SELECT doc_id, lang, sha256(text) AS sha,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY sha256(text) ASC, doc_id ASC) - 1 AS rank
+          FROM documents
+        ) WHERE rank < {STRAT_K}
+    """,
+    "term_cooccurrence": f"""
+        WITH tok AS (
+          SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+          )
+        ),
+        df AS (SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY term),
+        vocab AS (SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT {COOC_VOCAB}),
+        vt AS (SELECT t.doc_id, t.term FROM tok t JOIN vocab USING (term)),
+        pairs AS (
+          SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS n_ab
+          FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.term < b.term
+          GROUP BY a.term, b.term
+        ),
+        ranked AS (
+          SELECT term_a, term_b, n_ab,
+                 row_number() OVER (ORDER BY n_ab DESC, term_a ASC, term_b ASC) - 1 AS rank
+          FROM pairs
+        )
+        SELECT r.term_a, r.term_b, r.n_ab, va.df AS n_a, vb.df AS n_b, r.rank
+        FROM ranked r
+        JOIN vocab va ON va.term = r.term_a
+        JOIN vocab vb ON vb.term = r.term_b
+        WHERE r.rank < {COOC_TOPK}
+    """,
 }
 
 QUERIES = {
@@ -544,4 +747,6 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
+    "stratified_sample": q_stratified_sample,
+    "term_cooccurrence": q_term_cooccurrence,
 }

@@ -42,6 +42,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "tfidf_top_terms",
         "decontaminate",
         "repetition_stats",
+        "stratified_sample",
+        "term_cooccurrence",
     ],
 )
 def test_sql_parity(name):
@@ -106,6 +108,34 @@ def test_repetition_stats_bounds():
     assert ((t["n_tokens"] == 0) | (t["top_tf"] >= 1)).all()
     # word-salad fixture docs repeat tokens: signal must be non-trivial
     assert (t["n_distinct"] < t["n_tokens"]).any()
+
+
+def test_stratified_sample_balanced_and_deterministic():
+    from docinsight_ray.functions.corpusops import STRAT_K, q_stratified_sample
+
+    a = q_stratified_sample(SF).to_pandas()
+    b = q_stratified_sample(SF).to_pandas()
+    key = ["lang", "rank"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+    sizes = a.groupby("lang").size()
+    assert (sizes <= STRAT_K).all() and len(sizes) >= 2
+    # hash order, not doc_id order: the sample isn't just a head()
+    first = a.sort_values(["lang", "rank"]).groupby("lang").head(5)
+    assert not first["doc_id"].is_monotonic_increasing
+
+
+def test_term_cooccurrence_symmetric_counts():
+    from docinsight_ray.functions.corpusops import cooccurrence_pmi, q_term_cooccurrence
+
+    t = q_term_cooccurrence(SF).to_pandas()
+    assert (t["term_a"] < t["term_b"]).all()
+    assert (t["n_ab"] <= t[["n_a", "n_b"]].min(axis=1)).all()
+    assert (t["n_ab"].to_numpy()[:-1] >= t["n_ab"].to_numpy()[1:]).all()
+    pmi = cooccurrence_pmi(SF)
+    assert np.isfinite(pmi["pmi"]).all()
 
 
 def test_tfidf_topk_shape():
