@@ -118,6 +118,7 @@ def cmd_query(args) -> int:
         "bmw": scorer.score_bmw,
         "maxscore": scorer.score_maxscore,
         "conjunctive": scorer.score_conjunctive,
+        "lmdir": scorer.score_lmdir,
     }.get(args.mode, scorer.score_taat)
     rows = []
     for qid, text in enumerate(args.text):
@@ -347,7 +348,7 @@ def main(argv=None) -> int:
     q.add_argument("text", nargs="+")
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--mode", default="taat",
-                   choices=["taat", "bmw", "maxscore", "conjunctive"])
+                   choices=["taat", "bmw", "maxscore", "conjunctive", "lmdir"])
     q.add_argument("--tokenizer", default="code", choices=["code", "simple"])
     q.add_argument("--exclude-term", action="append", default=None,
                    help="boolean NOT: drop every doc containing this term "

@@ -23,6 +23,8 @@ class EngineConfig:
     # BM25 parameters (north rule: k1=1.2, b=0.75)
     k1: float = 1.2
     b: float = 0.75
+    # LM Dirichlet smoothing (mode="lmdir" query-likelihood scoring)
+    mu: float = 2000.0
 
     # Tokenizer: "code" = identifier-splitting code tokenizer;
     # "simple" = lowercase [a-z0-9]+ runs (SQL-parity mode used by the

@@ -78,6 +78,32 @@ class OracleIndex:
         sel = topk_order(docs, scores, k)
         return docs[sel], scores[sel]
 
+    def score_lmdir(self, text: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        """Brute-force LM Dirichlet query likelihood (the sparse
+        rewrite scorer.score_lmdir implements); candidates are docs
+        matching >=1 indexed query term, accumulation runs in
+        sorted-term order — the same determinism contract as BM25."""
+        cfg = self.cfg
+        mu = float(cfg.mu)
+        total_len = float(sum(self.doc_len.values()))
+        terms = sorted({t for t in tokenize_text(text, cfg) if t in self.postings})
+        acc: dict[int, float] = {}
+        for term in terms:
+            plist = self.postings[term]
+            ctf = float(sum(tf for _, tf in plist))
+            for did, tf in plist:
+                acc[did] = acc.get(did, 0.0) + float(
+                    np.log(1.0 + np.float64(tf) / (mu * (ctf / total_len)))
+                )
+        if not acc:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
+        docs = np.fromiter(acc.keys(), dtype=np.uint64)
+        scores = np.fromiter(acc.values(), dtype=np.float64)
+        dl = np.array([self.doc_len[int(d)] for d in docs], dtype=np.float64)
+        scores = scores + len(terms) * np.log(mu / (dl + mu))
+        sel = topk_order(docs, scores, k)
+        return docs[sel], scores[sel]
+
     def results_table(self, queries: list[tuple[int, str, int]]) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []
         for qid, text, k in queries:

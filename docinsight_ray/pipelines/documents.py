@@ -243,6 +243,14 @@ def q_bm25_topk_bmw(sf_dir: str) -> pa.Table:
     return q_bm25_topk(sf_dir, mode="bmw")
 
 
+def q_lmdir_topk(sf_dir: str) -> pa.Table:
+    """LM Dirichlet query-likelihood ranking (scorer.score_lmdir)
+    served from the SAME index build as the BM25 gates — pluggable
+    scoring over one set of postings. Same over-fetch + round-6
+    re-rank protocol as q_bm25_topk."""
+    return q_bm25_topk(sf_dir, mode="lmdir")
+
+
 def q_bm25_topk_lazy(sf_dir: str) -> pa.Table:
     """Partition-LAZY serving (ROADMAP §5): scorer actors cap resident
     postings partitions at 2 (load on first term touch, LRU-evicted)
@@ -732,6 +740,44 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk": BM25_CTE + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}",
     "bm25_topk_bmw": BM25_CTE + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}",
     "bm25_topk_lazy": BM25_CTE + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}",
+    # LM Dirichlet query likelihood (sparse rewrite; candidates = docs
+    # matching >=1 indexed query term, the convention scorer.score_lmdir
+    # documents). MU mirrors EngineConfig.mu.
+    "lmdir_topk": f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest({SIMPLE_TOK_SQL}) AS t(term)
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+ctf AS (SELECT term, count(*)::DOUBLE AS ctf FROM tok GROUP BY term),
+coll AS (SELECT count(*)::DOUBLE AS c FROM tok),
+q(query_id, qtext) AS (VALUES {{values}}),
+qt AS (
+  SELECT q.query_id, t.term
+  FROM q, unnest(list_filter(regexp_extract_all(lower(q.qtext), '[a-z0-9]+'), t -> length(t) >= 2)) AS t(term)
+  GROUP BY q.query_id, t.term
+),
+qi AS (SELECT qt.query_id, qt.term, ctf.ctf FROM qt JOIN ctf USING (term)),
+qn AS (SELECT query_id, count(*)::DOUBLE AS m FROM qi GROUP BY query_id),
+scores AS (
+  SELECT qi.query_id, tf.doc_id,
+         sum(ln(1 + tf.tf / ({{mu}} * qi.ctf / (SELECT c FROM coll))))
+           + any_value(qn.m) * ln({{mu}} / (any_value(dl.dl) + {{mu}})) AS raw
+  FROM qi
+  JOIN tf ON tf.term = qi.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN qn ON qn.query_id = qi.query_id
+  GROUP BY qi.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(raw, 6) DESC, doc_id ASC) - 1 AS rank,
+         doc_id, round(raw, 6) AS score
+  FROM scores
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}
+""".replace("{values}", _BM25_VALUES).replace("{mu}", repr(SQL_PARITY_CONFIG.mu)),
     "bm25_hydrated": BM25_CTE + f"""
         SELECT r.query_id, r.rank, r.doc_id, r.score, d.lang, d.source
         FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
@@ -920,6 +966,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_topk_bmw": q_bm25_topk_bmw,
     "bm25_topk_lazy": q_bm25_topk_lazy,
+    "lmdir_topk": q_lmdir_topk,
     "bm25_hydrated": q_bm25_hydrated,
     "bm25_filtered": q_bm25_filtered,
     "bm25_negated": q_bm25_negated,

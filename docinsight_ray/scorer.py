@@ -268,6 +268,8 @@ class BM25Scorer:
         stats = json.loads(stats_raw)
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
+        # collection length (LM Dirichlet); older stats lack it
+        self.total_len = float(stats.get("total_len", self.avgdl * self.n_docs))
 
         # filtered retrieval (metadata predicate): the allowed-doc set
         # is resolved ONCE per actor from the index's own docs registry
@@ -505,6 +507,38 @@ class BM25Scorer:
             self._cache_bytes -= sum(a.nbytes for a in old)
         return entry
 
+    def _term_raw(self, term: str):
+        """Decode one term's postings → (doc_ids, tfs float64, ctf) for
+        scoring models that need raw term frequencies (LM Dirichlet).
+        ctf (collection term frequency) is summed BEFORE any doc
+        filter: it is a collection statistic, like idf/avgdl staying
+        corpus-global under filtered retrieval. Shares the byte-
+        budgeted LRU with the BM25 entries (keyed out of token space —
+        tokens never contain NUL)."""
+        key = "\x00raw\x00" + term
+        cached = self._cache.get(key)
+        if cached is not None:
+            self._cache.move_to_end(key)
+            return cached
+        part, i = self._lookup(term)
+        df = int(part.df[i])
+        doc_ids, tfs = decode_posting(part.doc_vb(i), part.tf_vb(i), df)
+        tfs = tfs.astype(np.float64)
+        ctf = np.float64(tfs.sum())
+        if self._allowed is not None:
+            keep = self._filter_mask(doc_ids)
+            doc_ids, tfs = doc_ids[keep], tfs[keep]
+        entry = (doc_ids, tfs, ctf)
+        self._cache[key] = entry
+        self._cache_bytes += doc_ids.nbytes + tfs.nbytes + ctf.nbytes
+        while (
+            self._cache_bytes + self._tp_bytes > self.cache_budget_bytes
+            and len(self._cache) > 1
+        ):
+            _, old = self._cache.popitem(last=False)
+            self._cache_bytes -= sum(a.nbytes for a in old)
+        return entry
+
     def query_terms(self, text: str) -> list[str]:
         return sorted({t for t in tokenize_text(text, self.cfg) if self.has_term(t)})
 
@@ -519,6 +553,42 @@ class BM25Scorer:
         acc = np.zeros(cand.size, dtype=np.float64)
         for d, c in per_term:  # sorted-term order → deterministic float sums
             acc[np.searchsorted(cand, d)] += c
+        sel = topk_order(cand, acc, k)
+        return cand[sel], acc[sel]
+
+    # ---- LM Dirichlet query likelihood ----------------------------------
+
+    def score_lmdir(self, text: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Query-likelihood ranking with Dirichlet smoothing (Zhai &
+        Lafferty 2001), served from the SAME postings as BM25 — the
+        pluggable-scoring proof that the index is model-agnostic:
+
+            score(q, d) = Σ_t∈q∩d ln(1 + tf / (μ · ctf_t / C))
+                          + |q| · ln(μ / (dl + μ))
+
+        (the standard sparse rewrite of Σ ln((tf + μ·p_t)/(dl + μ));
+        docs matching no query term are excluded — the universal
+        candidate-generation convention, shared with BM25 modes.)
+        Exhaustive TAAT evaluation: per-doc offsets are negative and
+        doc-dependent, so the additive-upper-bound machinery behind
+        MaxScore/BMW does not apply to this model; query terms absent
+        from the collection (ctf=0 ⇒ p_t=0) are dropped, per the
+        standard convention."""
+        terms = self.query_terms(text)
+        if not terms:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
+        mu = float(self.cfg.mu)
+        per_term = [self._term_raw(t) for t in terms]
+        cand = np.unique(np.concatenate([d for d, _, _ in per_term]))
+        acc = np.zeros(cand.size, dtype=np.float64)
+        for d, tfs, ctf in per_term:  # sorted-term order → deterministic sums
+            if d.size:
+                # ln(1+x), not log1p: mirrors the SQL oracle's ln() op
+                acc[np.searchsorted(cand, d)] += np.log(
+                    1.0 + tfs / (mu * (float(ctf) / self.total_len))
+                )
+        dl = self._doc_len_of(cand).astype(np.float64)
+        acc += len(terms) * np.log(mu / (dl + mu))
         sel = topk_order(cand, acc, k)
         return cand[sel], acc[sel]
 
@@ -777,6 +847,7 @@ class BM25Scorer:
             "bmw": self.score_bmw,
             "maxscore": self.score_maxscore,
             "conjunctive": self.score_conjunctive,
+            "lmdir": self.score_lmdir,
         }.get(self.mode, self.score_taat)
         qids, ranks, docs, scores, out_ks = [], [], [], [], []
         ks = batch["k"].to_pylist() if "k" in batch.column_names else [10] * batch.num_rows

@@ -112,6 +112,28 @@ def test_rank_identity_vs_oracle_taat_and_bmw(built):
         np.testing.assert_array_equal(bsc, osc, err_msg=f"BMW score mismatch q{qid}")
 
 
+def test_lmdir_rank_identity(built):
+    """LM Dirichlet mode vs the brute-force oracle: same docs, bitwise
+    scores — the pluggable-scoring contract over one index build."""
+    corpus, idx, res = built
+    oracle = OracleIndex(corpus, CFG)
+    scorer = BM25Scorer(idx, CFG, mode="lmdir")
+    for qid, text, k in gen_queries(corpus, n_keyword=15, seed=7):
+        od, osc = oracle.score_lmdir(text, k)
+        sd, ssc = scorer.score_lmdir(text, k)
+        np.testing.assert_array_equal(sd, od, err_msg=f"lmdir doc mismatch q{qid}")
+        np.testing.assert_array_equal(ssc, osc, err_msg=f"lmdir score mismatch q{qid}")
+    # sanity: lmdir is a different model, not a rescaled BM25 — the
+    # ordering must differ from TAAT on at least one query
+    diffs = 0
+    for qid, text, k in gen_queries(corpus, n_keyword=15, seed=7):
+        bd, _ = scorer.score_taat(text, k)
+        ld, _ = scorer.score_lmdir(text, k)
+        if bd.size and ld.size and not np.array_equal(bd, ld):
+            diffs += 1
+    assert diffs > 0
+
+
 def test_plagiarism_conformance(built):
     """Case originals must rank their own plagiarized variants above
     non-plagiarized files (contract mirroring the intent of
