@@ -260,6 +260,83 @@ def q_bm25_topk_lazy(sf_dir: str) -> pa.Table:
     return q_bm25_topk(sf_dir, mode="maxscore", max_loaded_parts=2)
 
 
+RRF_C = 60  # the standard reciprocal-rank-fusion constant (Cormack et al.)
+
+
+def _rank_full(g, doc_col: str = "doc_id", score_col: str = "score"):
+    """Full-candidate-list 0-based rank by (round(score,6) DESC,
+    doc_id ASC) — the gate's deterministic ranking protocol."""
+    d = g[doc_col].to_numpy().astype(np.uint64)
+    s6 = np.round(g[score_col].to_numpy(), 6)
+    order = np.lexsort((d, -s6))
+    ranks = np.empty(d.size, dtype=np.int64)
+    ranks[order] = np.arange(d.size, dtype=np.int64)
+    return d, ranks
+
+
+def q_rrf_topk(sf_dir: str) -> pa.Table:
+    """HYBRID rank fusion: BM25 (MaxScore path) and LM Dirichlet
+    rankings over the same index build, fused per query by reciprocal
+    rank — rrf = 1/(RRF_C+1+rank_bm25) + 1/(RRF_C+1+rank_lmdir) — the
+    standard multi-ranker combination a production engine runs when it
+    serves more than one relevance model (here: the engine's two
+    scoring modes over one set of postings; the same math fuses a
+    dense-retrieval list when embeddings are attached).
+
+    Both rankers share the candidate convention (docs matching ≥1
+    indexed query term), so the two full lists cover the same docs;
+    ranks follow the gate's (round(score,6) DESC, doc_id ASC) protocol
+    on both sides. Scale shape: two actor-pool serving passes + a
+    per-query vectorized merge of (doc, rank) arrays — no new shuffle.
+    """
+    idx = ensure_index(sf_dir)
+    n_docs = BM25Scorer(idx, SQL_PARITY_CONFIG).n_docs
+
+    def run(mode: str):
+        qtbl = pa.table(
+            {
+                "query_id": pa.array([q for q, _ in DOC_QUERIES], type=pa.int64()),
+                "text": pa.array([t for _, t in DOC_QUERIES], type=pa.string()),
+                "k": pa.array([n_docs] * len(DOC_QUERIES), type=pa.uint32()),
+            }
+        )
+        return query_index(
+            ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG, mode=mode, concurrency=2
+        ).to_pandas()
+
+    res_bm = run("maxscore")
+    res_lm = run("lmdir")
+
+    qids, ranks, dids, scores, rbms, rlms = [], [], [], [], [], []
+    for qid, _text in DOC_QUERIES:
+        d_bm, r_bm = _rank_full(res_bm[res_bm.query_id == qid])
+        d_lm, r_lm = _rank_full(res_lm[res_lm.query_id == qid])
+        # identical candidate conventions -> identical doc sets
+        assert set(d_bm.tolist()) == set(d_lm.tolist())
+        lm_rank = dict(zip(d_lm.tolist(), r_lm.tolist()))
+        r_lm_aligned = np.array([lm_rank[x] for x in d_bm.tolist()], dtype=np.int64)
+        rrf = np.round(
+            1.0 / (RRF_C + 1 + r_bm) + 1.0 / (RRF_C + 1 + r_lm_aligned), 6
+        )
+        order = np.lexsort((d_bm, -rrf))[:TOPK]
+        qids += [qid] * order.size
+        ranks += list(range(order.size))
+        dids.append(d_bm[order].astype(np.int64))
+        scores.append(rrf[order])
+        rbms.append(r_bm[order])
+        rlms.append(r_lm_aligned[order])
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(dids), type=pa.int64()),
+            "rrf": pa.array(np.concatenate(scores), type=pa.float64()),
+            "bm25_rank": pa.array(np.concatenate(rbms), type=pa.int64()),
+            "lmdir_rank": pa.array(np.concatenate(rlms), type=pa.int64()),
+        }
+    )
+
+
 MLT_DOC_IDS = (3, 17, 42)
 
 
@@ -790,6 +867,80 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}
     """,
 }
 
+# RRF fusion: both rankers' full candidate lists from shared CTEs,
+# per-query 0-based ranks by the (round(score,6) DESC, doc_id ASC)
+# protocol, fused by reciprocal rank and re-ranked.
+ORACLE_SQL["rrf_topk"] = f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest({SIMPLE_TOK_SQL}) AS t(term)
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM tok)::DOUBLE / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term),
+q(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qt AS (
+  SELECT q.query_id, t.term
+  FROM q, unnest(list_filter(regexp_extract_all(lower(q.qtext), '[a-z0-9]+'), t -> length(t) >= 2)) AS t(term)
+  GROUP BY q.query_id, t.term
+),
+scores_bm AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * 2.2
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+  FROM qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df d ON d.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+ranked_bm AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(raw, 6) DESC, doc_id ASC) - 1 AS rnk
+  FROM scores_bm
+),
+ctf AS (SELECT term, count(*)::DOUBLE AS ctf FROM tok GROUP BY term),
+coll AS (SELECT count(*)::DOUBLE AS c FROM tok),
+qi AS (SELECT qt.query_id, qt.term, ctf.ctf FROM qt JOIN ctf USING (term)),
+qn AS (SELECT query_id, count(*)::DOUBLE AS m FROM qi GROUP BY query_id),
+scores_lm AS (
+  SELECT qi.query_id, tf.doc_id,
+         sum(ln(1 + tf.tf / ({{mu}} * qi.ctf / (SELECT c FROM coll))))
+           + any_value(qn.m) * ln({{mu}} / (any_value(dl.dl) + {{mu}})) AS raw
+  FROM qi
+  JOIN tf ON tf.term = qi.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN qn ON qn.query_id = qi.query_id
+  GROUP BY qi.query_id, tf.doc_id
+),
+ranked_lm AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(raw, 6) DESC, doc_id ASC) - 1 AS rnk
+  FROM scores_lm
+),
+fused AS (
+  SELECT b.query_id, b.doc_id,
+         round(1.0 / ({RRF_C + 1} + b.rnk) + 1.0 / ({RRF_C + 1} + l.rnk), 6) AS rrf,
+         b.rnk AS bm25_rank, l.rnk AS lmdir_rank
+  FROM ranked_bm b
+  JOIN ranked_lm l ON l.query_id = b.query_id AND l.doc_id = b.doc_id
+),
+final AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) - 1 AS rank,
+         doc_id, rrf, bm25_rank, lmdir_rank
+  FROM fused
+)
+SELECT query_id, rank, doc_id, rrf,
+       bm25_rank::BIGINT AS bm25_rank, lmdir_rank::BIGINT AS lmdir_rank
+FROM final WHERE rank < {TOPK}
+""".replace("{mu}", repr(SQL_PARITY_CONFIG.mu))
+
 ORACLE_SQL["bm25_conjunctive"] = _bm25_cte(_BM25_VALUES) + f"""
 , qn AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY query_id)
 , matched AS (
@@ -967,6 +1118,7 @@ QUERIES = {
     "bm25_topk_bmw": q_bm25_topk_bmw,
     "bm25_topk_lazy": q_bm25_topk_lazy,
     "lmdir_topk": q_lmdir_topk,
+    "rrf_topk": q_rrf_topk,
     "bm25_hydrated": q_bm25_hydrated,
     "bm25_filtered": q_bm25_filtered,
     "bm25_negated": q_bm25_negated,

@@ -357,3 +357,33 @@ def test_more_like_this_invariants(ray_session):
         dup_ids = [d for d, t in text_of.items() if t == text_of[qid] and d != qid]
         if dup_ids:
             assert int(g.iloc[0]["doc_id"]) in dup_ids
+
+
+def test_rrf_fusion_parity_and_formula():
+    """rrf_topk: DuckDB oracle parity at sf0.001 + the fusion formula
+    holds row-by-row (rrf == 1/(C+1+bm25_rank) + 1/(C+1+lmdir_rank))."""
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.pipelines.documents import ORACLE_SQL, RRF_C, q_rrf_topk
+
+    got = q_rrf_topk(SF).to_pandas()
+    expect = np.round(
+        1.0 / (RRF_C + 1 + got["bm25_rank"]) + 1.0 / (RRF_C + 1 + got["lmdir_rank"]), 6
+    )
+    assert np.allclose(got["rrf"], expect)
+    # fused list is ordered by (rrf desc, doc_id asc) within each query
+    for _, g in got.groupby("query_id"):
+        g = g.sort_values("rank")
+        key = list(zip(-g["rrf"], g["doc_id"]))
+        assert key == sorted(key)
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = con.sql(ORACLE_SQL["rrf_topk"]).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
