@@ -602,6 +602,145 @@ def cooccurrence_pmi(sf_dir: str, n_docs: int | None = None) -> pd.DataFrame:
     return t
 
 
+# ---- hot (repeated) n-gram passages ---------------------------------------
+
+# Passage width, the cross-doc threshold that makes a gram "hot", and
+# the size of the reported head. Hot passages are the boilerplate /
+# template signal an LLM data pipeline removes (the n-gram analogue of
+# CCNet's duplicated-line filter for corpora without line structure).
+HOT_N = 4
+HOT_MIN_DOCS = 2
+HOT_TOPK = 50
+
+
+def _gram_counts(tokens: list[str], n: int) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for i in range(len(tokens) - n + 1):
+        g = " ".join(tokens[i : i + n])
+        out[g] = out.get(g, 0) + 1
+    return out
+
+
+def _hot_partials(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch partial (gram, n_docs, n_occ). Each doc lives in
+    exactly one batch, so per-batch doc counts sum to exact global
+    distinct-doc counts — the SPIMI-style combiner that bounds the
+    gram shuffle at O(batches × distinct grams per batch)."""
+    nd: dict[str, int] = {}
+    no: dict[str, int] = {}
+    for ts in batch["text"].str.lower().str.findall(_TOK2_RE):
+        for g, c in _gram_counts(list(ts), HOT_N).items():
+            nd[g] = nd.get(g, 0) + 1
+            no[g] = no.get(g, 0) + c
+    return pd.DataFrame(
+        {
+            "gram": list(nd),
+            "n_docs": np.fromiter(nd.values(), dtype=np.int64, count=len(nd)),
+            "n_occ": np.fromiter(no.values(), dtype=np.int64, count=len(no)),
+        }
+    )
+
+
+HOT_BUCKETS = 16  # gram-hash shuffle key: bounded group count
+
+
+def _hot_table(sf_dir: str) -> pd.DataFrame:
+    """Global hot-gram table: distributed partials → shuffle by gram
+    HASH BUCKET (a per-gram groupby would pay Ray's ~1 ms-per-group
+    overhead on an unbounded vocabulary — see ROADMAP #7) → vectorized
+    pandas aggregation inside each bucket, which holds every partial of
+    its grams, so the in-bucket (filter ≥ HOT_MIN_DOCS, local top-K) is
+    globally exact per bucket. The driver merges ≤ HOT_BUCKETS × TOPK
+    rows regardless of corpus size."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = (
+            pd.util.hash_array(df["gram"].to_numpy(dtype=object)) % HOT_BUCKETS
+        ).astype("int64")
+        return df
+
+    def bucket_agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("gram", as_index=False)[["n_docs", "n_occ"]].sum()
+        out = out[out["n_docs"] >= HOT_MIN_DOCS]
+        return out.sort_values(
+            ["n_docs", "n_occ", "gram"], ascending=[False, False, True]
+        ).head(HOT_TOPK)
+
+    bucket_agg.__name__ = "bucket_agg"
+    empty = pa.schema(
+        [("gram", pa.string()), ("n_docs", pa.int64()), ("n_occ", pa.int64())]
+    )
+    out = collect_table(
+        _read(sf_dir, ["text"])
+        .map_batches(_hot_partials, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_agg, batch_format="pandas"),
+        empty,
+    ).to_pandas()
+    out = (
+        out.sort_values(["n_docs", "n_occ", "gram"], ascending=[False, False, True])
+        .head(HOT_TOPK)
+        .reset_index(drop=True)
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_occ"] = out["n_occ"].astype("int64")
+    out["rank"] = np.arange(len(out), dtype=np.int64)
+    return out
+
+
+def q_hot_ngrams(sf_dir: str) -> pa.Table:
+    """Top repeated token ``HOT_N``-gram passages across the corpus:
+    (gram, n_docs, n_occ, rank) for grams in ≥ ``HOT_MIN_DOCS`` docs —
+    duplicated-passage detection over documents with no line structure.
+    """
+    out = _hot_table(sf_dir)
+    return pa.table(
+        {
+            "gram": pa.array(out["gram"], type=pa.string()),
+            "n_docs": pa.array(out["n_docs"].astype(np.int64), type=pa.int64()),
+            "n_occ": pa.array(out["n_occ"].astype(np.int64), type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+        }
+    )
+
+
+def q_hot_ngram_coverage(sf_dir: str) -> pa.Table:
+    """Per-document hot-passage coverage: how many of a doc's
+    ``HOT_N``-gram occurrences are corpus-hot (members of the
+    ``q_hot_ngrams`` head) — the per-doc filter signal derived from the
+    corpus-level table. The hot set is bounded (≤ HOT_TOPK) by
+    construction, so it broadcasts via ``ray.put`` and the scan is
+    shuffle-free."""
+    hot = frozenset(_hot_table(sf_dir)["gram"])
+    hot_ref = ray.put(hot)
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        hs = ray.get(hot_ref)
+        toks = batch["text"].str.lower().str.findall(_TOK2_RE)
+        n_grams, n_hot = [], []
+        for ts in toks:
+            gc = _gram_counts(list(ts), HOT_N)
+            n_grams.append(sum(gc.values()))
+            n_hot.append(sum(c for g, c in gc.items() if g in hs))
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "n_grams": np.array(n_grams, dtype=np.int64),
+                "n_hot": np.array(n_hot, dtype=np.int64),
+            }
+        )
+
+    empty = pa.schema(
+        [("doc_id", pa.int64()), ("n_grams", pa.int64()), ("n_hot", pa.int64())]
+    )
+    return collect_table(
+        _read(sf_dir, ["doc_id", "text"]).map_batches(scan, batch_format="pandas"),
+        empty,
+    )
+
+
 # ---- registration --------------------------------------------------------
 
 # SIMPLE_TOK_SQL is re-declared here (not imported) to avoid a cycle
@@ -740,6 +879,46 @@ ORACLE_SQL = {
     """,
 }
 
+# shared n-gram CTE body for the hot-passage oracles (HOT_N-wide
+# concatenation built programmatically so the constant stays in one place)
+_HOT_CONCAT = " || ' ' || ".join(f"toks[i + {j}]" for j in range(HOT_N))
+_HOT_GRAMS_CTE = f"""
+d AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(toks) - {HOT_N - 1}, 0)),
+           i -> {_HOT_CONCAT})) AS gram
+  FROM d
+),
+agg AS (
+  SELECT gram, count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS n_occ
+  FROM g GROUP BY gram
+),
+ranked AS (
+  SELECT gram, n_docs, n_occ,
+         row_number() OVER (ORDER BY n_docs DESC, n_occ DESC, gram ASC) - 1 AS rank
+  FROM agg WHERE n_docs >= {HOT_MIN_DOCS}
+)
+"""
+
+ORACLE_SQL["hot_ngrams"] = f"""
+WITH {_HOT_GRAMS_CTE}
+SELECT gram, n_docs, n_occ, rank FROM ranked WHERE rank < {HOT_TOPK}
+"""
+
+ORACLE_SQL["hot_ngram_coverage"] = f"""
+WITH {_HOT_GRAMS_CTE},
+hot AS (SELECT gram FROM ranked WHERE rank < {HOT_TOPK}),
+cov AS (SELECT g.doc_id, count(*)::BIGINT AS n_hot FROM g JOIN hot USING (gram) GROUP BY g.doc_id),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM g GROUP BY doc_id)
+SELECT d0.doc_id, coalesce(tot.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(cov.n_hot, 0)::BIGINT AS n_hot
+FROM documents d0
+LEFT JOIN tot USING (doc_id)
+LEFT JOIN cov USING (doc_id)
+"""
+
 QUERIES = {
     "dataset_split": q_dataset_split,
     "sequence_pack": q_sequence_pack,
@@ -749,4 +928,6 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "stratified_sample": q_stratified_sample,
     "term_cooccurrence": q_term_cooccurrence,
+    "hot_ngrams": q_hot_ngrams,
+    "hot_ngram_coverage": q_hot_ngram_coverage,
 }

@@ -44,6 +44,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "repetition_stats",
         "stratified_sample",
         "term_cooccurrence",
+        "hot_ngrams",
+        "hot_ngram_coverage",
     ],
 )
 def test_sql_parity(name):
@@ -149,3 +151,26 @@ def test_tfidf_topk_shape():
         g = g.sort_values("rank")
         assert list(g["rank"]) == list(range(len(g)))
         assert (np.diff(g["tfidf"].to_numpy()) <= 1e-12).all()
+
+
+def test_hot_ngrams_invariants():
+    from docinsight_ray.functions.corpusops import (
+        HOT_MIN_DOCS,
+        HOT_TOPK,
+        q_hot_ngram_coverage,
+        q_hot_ngrams,
+    )
+
+    hot = q_hot_ngrams(SF).to_pandas()
+    assert 0 < len(hot) <= HOT_TOPK
+    assert (hot["n_docs"] >= HOT_MIN_DOCS).all()
+    assert (hot["n_occ"] >= hot["n_docs"]).all()
+    # ordering: (n_docs desc, n_occ desc, gram asc), rank dense 0..m-1
+    key = list(zip(-hot["n_docs"], -hot["n_occ"], hot["gram"]))
+    assert key == sorted(key)
+    assert list(hot["rank"]) == list(range(len(hot)))
+
+    cov = q_hot_ngram_coverage(SF).to_pandas()
+    assert (cov["n_hot"] <= cov["n_grams"]).all()
+    # hot passages exist in the fixture (dup docs) -> coverage fires
+    assert cov["n_hot"].sum() > 0
