@@ -741,6 +741,77 @@ def q_hot_ngram_coverage(sf_dir: str) -> pa.Table:
     )
 
 
+# ---- temperature-scaled domain mixture sampling ---------------------------
+
+# Keep rate per domain (lang): sqrt(c_min / c_lang) — temperature
+# alpha = 0.5 rebalancing toward uniform (the multilingual-training
+# mixture law: small domains keep everything, large domains are
+# down-sampled toward the smallest). sqrt and the int ratio division
+# are exactly rounded under IEEE-754, so numpy and DuckDB compute
+# bit-identical thresholds — which keeps the hash-threshold keep
+# decision deterministic across engines (a pow() exponent would NOT
+# guarantee that: libm pow differs by ulps across implementations).
+MIX_SCALE = 4294967296.0  # 2^32: hash prefix domain
+
+
+def q_mixture_sample(sf_dir: str) -> pa.Table:
+    """Deterministic domain-mixture rebalancing: per-lang keep
+    threshold from the temperature-scaled rate, membership decided by
+    the first 8 hex digits of sha256(text) — reproducible across runs,
+    engines, and corpus repartitioning.
+
+    Scale shape: pass 1 is a per-batch bounded (lang → count) partial
+    reduced on the driver (|langs| rows); thresholds broadcast via
+    ``ray.put``; pass 2 is a shuffle-free embarrassingly parallel scan.
+    """
+
+    def lang_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby("lang", sort=False, as_index=False).size()
+        return out.rename(columns={"size": "cnt"})
+
+    cnt_empty = pa.schema([("lang", pa.string()), ("cnt", pa.int64())])
+    counts = (
+        collect_table(
+            _read(sf_dir, ["lang"]).map_batches(lang_counts, batch_format="pandas"),
+            cnt_empty,
+        )
+        .to_pandas()
+        .groupby("lang", as_index=False)["cnt"]
+        .sum()
+    )
+    cmin = float(counts["cnt"].min())
+    thr = {
+        r["lang"]: int(np.floor(np.sqrt(cmin / float(r["cnt"])) * MIX_SCALE))
+        for _, r in counts.iterrows()
+    }
+    thr_ref = ray.put(thr)
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)
+        hv = np.array(
+            [int(s[:8], 16) for s in sha256_hex(batch["text"].tolist())],
+            dtype=np.int64,
+        )
+        thr_col = batch["lang"].map(t).to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "lang": batch["lang"],
+                "kept": (hv < thr_col).astype("int64"),
+            }
+        )
+
+    empty = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()), ("kept", pa.int64())]
+    )
+    return collect_table(
+        _read(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+            scan, batch_format="pandas"
+        ),
+        empty,
+    )
+
+
 # ---- registration --------------------------------------------------------
 
 # SIMPLE_TOK_SQL is re-declared here (not imported) to avoid a cycle
@@ -919,6 +990,19 @@ LEFT JOIN tot USING (doc_id)
 LEFT JOIN cov USING (doc_id)
 """
 
+ORACLE_SQL["mixture_sample"] = f"""
+WITH c AS (SELECT lang, count(*)::DOUBLE AS c FROM documents GROUP BY lang),
+m AS (SELECT min(c) AS cmin FROM c),
+t AS (SELECT c.lang, floor(sqrt(m.cmin / c.c) * {MIX_SCALE!r})::BIGINT AS thr FROM c, m),
+h AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(sha256(text), 1, 8))::UBIGINT::BIGINT AS hv
+  FROM documents
+)
+SELECT h.doc_id, h.lang, (h.hv < t.thr)::BIGINT AS kept
+FROM h JOIN t USING (lang)
+"""
+
 QUERIES = {
     "dataset_split": q_dataset_split,
     "sequence_pack": q_sequence_pack,
@@ -930,4 +1014,5 @@ QUERIES = {
     "term_cooccurrence": q_term_cooccurrence,
     "hot_ngrams": q_hot_ngrams,
     "hot_ngram_coverage": q_hot_ngram_coverage,
+    "mixture_sample": q_mixture_sample,
 }

@@ -46,6 +46,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "term_cooccurrence",
         "hot_ngrams",
         "hot_ngram_coverage",
+        "mixture_sample",
     ],
 )
 def test_sql_parity(name):
@@ -174,3 +175,23 @@ def test_hot_ngrams_invariants():
     assert (cov["n_hot"] <= cov["n_grams"]).all()
     # hot passages exist in the fixture (dup docs) -> coverage fires
     assert cov["n_hot"].sum() > 0
+
+
+def test_mixture_sample_rebalances_toward_uniform():
+    from docinsight_ray.functions.corpusops import q_mixture_sample
+
+    t = q_mixture_sample(SF).to_pandas()
+    assert set(t["kept"].unique()) <= {0, 1}
+    sizes = t.groupby("lang").size()
+    kept = t.groupby("lang")["kept"].sum()
+    # the smallest domain keeps everything (rate 1.0)
+    lang_min = sizes.idxmin()
+    assert kept[lang_min] == sizes[lang_min]
+    # the largest domain is down-sampled
+    lang_max = sizes.idxmax()
+    assert kept[lang_max] < sizes[lang_max]
+    # post-sample mixture is closer to uniform: max/min keep-count
+    # ratio shrinks vs the input ratio
+    assert kept.max() / max(kept.min(), 1) < sizes.max() / sizes.min()
+    # deterministic
+    assert t.equals(q_mixture_sample(SF).to_pandas())
