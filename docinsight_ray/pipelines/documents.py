@@ -337,6 +337,125 @@ def q_rrf_topk(sf_dir: str) -> pa.Table:
     )
 
 
+FB_DOCS = 5  # pseudo-relevance feedback depth
+FB_TERMS = 3  # expansion terms admitted per query
+
+
+def q_bm25_rm3(sf_dir: str) -> pa.Table:
+    """Pseudo-relevance-feedback query EXPANSION (RM3-style): pass 1
+    ranks each query by BM25; the top-``FB_DOCS`` docs become the
+    feedback set; candidate terms are weighted by summed tf·idf over
+    the feedback docs (original query terms excluded); the
+    top-``FB_TERMS`` expansion terms join the query and pass 2 re-ranks
+    with the expanded bag of terms — classic two-pass PRF served
+    entirely through the actor-pool scorer.
+
+    Scale shape: pass 1 and pass 2 are the standard serving path; the
+    between-pass work touches only FB_DOCS docs per query (bounded
+    hydration by doc_id) and a column-only postings scan restricted to
+    the candidate term set — no new shuffle.
+    """
+    import math
+
+    import pyarrow.parquet as pq
+
+    from ..collect import collect_table
+
+    idx = ensure_index(sf_dir)
+    n_docs = BM25Scorer(idx, SQL_PARITY_CONFIG).n_docs
+
+    def run(texts: list[tuple[int, str]]):
+        qtbl = pa.table(
+            {
+                "query_id": pa.array([q for q, _ in texts], type=pa.int64()),
+                "text": pa.array([t for _, t in texts], type=pa.string()),
+                "k": pa.array([n_docs] * len(texts), type=pa.uint32()),
+            }
+        )
+        return query_index(
+            ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG, mode="maxscore",
+            concurrency=2,
+        ).to_pandas()
+
+    res1 = run(DOC_QUERIES)
+
+    # feedback doc set per query (rank protocol: round-6 desc, doc asc)
+    fb_ids: dict[int, list[int]] = {}
+    for qid, _text in DOC_QUERIES:
+        d, r = _rank_full(res1[res1.query_id == qid])
+        order = np.argsort(r)
+        fb_ids[qid] = [int(x) for x in d[order][:FB_DOCS]]
+    all_fb = sorted({d for ids in fb_ids.values() for d in ids})
+
+    # bounded hydration: texts of the feedback docs only
+    fb_tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
+        filters=[("doc_id", "in", all_fb)],
+    )
+    fb_text = dict(zip(fb_tbl["doc_id"].to_pylist(), fb_tbl["text"].to_pylist()))
+    from collections import Counter
+
+    fb_tf = {d: Counter(tokenize_text(t, SQL_PARITY_CONFIG)) for d, t in fb_text.items()}
+
+    # df of candidate terms: column-only postings scan, candidate-filtered
+    cand_terms = sorted({t for c in fb_tf.values() for t in c})
+    cand_ref = ray.put(frozenset(cand_terms))
+
+    def df_filter(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref)
+        mask = pc.is_in(batch["term"], value_set=pa.array(sorted(cs), type=pa.string()))
+        sel = batch.filter(mask)
+        return pa.table(
+            {"term": sel["term"], "df": pc.cast(sel["df"], pa.int64())}
+        )
+
+    df_empty = pa.schema([("term", pa.string()), ("df", pa.int64())])
+    df_tbl = collect_table(
+        _postings_ds(idx).select_columns(["term", "df"]).map_batches(
+            df_filter, batch_format="pyarrow"
+        ),
+        df_empty,
+    )
+    dfs = dict(zip(df_tbl["term"].to_pylist(), df_tbl["df"].to_pylist()))
+
+    # expansion terms per query: round-6 tf·idf weight, desc, term asc
+    expanded: list[tuple[int, str]] = []
+    for qid, qtext in DOC_QUERIES:
+        orig = set(tokenize_text(qtext, SQL_PARITY_CONFIG))
+        w: dict[str, float] = {}
+        for d in fb_ids[qid]:
+            for t, tf in fb_tf[d].items():
+                if t in orig:
+                    continue
+                w[t] = w.get(t, 0.0) + tf * math.log(float(n_docs) / float(dfs[t]))
+        ranked = sorted(
+            ((round(v, 6), t) for t, v in w.items()), key=lambda x: (-x[0], x[1])
+        )
+        exp = [t for _, t in ranked[:FB_TERMS]]
+        expanded.append((qid, " ".join(sorted(orig | set(exp)))))
+
+    res2 = run(expanded)
+    qids, ranks, dids, scores = [], [], [], []
+    for qid, _text in expanded:
+        g = res2[res2.query_id == qid]
+        d = g["doc_id"].to_numpy().astype(np.uint64)
+        s6 = np.round(g["score"].to_numpy(), 6)
+        order = np.lexsort((d, -s6))[:TOPK]
+        d, s6 = d[order], s6[order]
+        qids += [qid] * d.size
+        ranks += list(range(d.size))
+        dids.append(d.astype(np.int64))
+        scores.append(s6)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(dids), type=pa.int64()),
+            "score": pa.array(np.concatenate(scores), type=pa.float64()),
+        }
+    )
+
+
 MLT_DOC_IDS = (3, 17, 42)
 
 
@@ -867,6 +986,54 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}
     """,
 }
 
+# RM3 pseudo-relevance feedback: pass-1 ranking (shared BM25 CTEs) →
+# feedback docs → tf·idf-weighted expansion candidates (original terms
+# excluded) → expanded term set → pass-2 scoring with the same formula.
+ORACLE_SQL["bm25_rm3"] = _bm25_cte(_BM25_VALUES) + f"""
+, fb AS (SELECT query_id, doc_id FROM ranked WHERE rank < {FB_DOCS})
+, cand AS (
+  SELECT fb.query_id, tf.term,
+         round(sum(tf.tf * ln((SELECT n FROM stats) / d.df)), 6) AS w
+  FROM fb
+  JOIN tf ON tf.doc_id = fb.doc_id
+  JOIN df d ON d.term = tf.term
+  WHERE NOT EXISTS (
+    SELECT 1 FROM qt WHERE qt.query_id = fb.query_id AND qt.term = tf.term
+  )
+  GROUP BY fb.query_id, tf.term
+)
+, expn AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id ORDER BY w DESC, term ASC) AS rn
+    FROM cand
+  ) WHERE rn <= {FB_TERMS}
+)
+, qt2 AS (
+  SELECT query_id, term FROM qt
+  UNION
+  SELECT query_id, term FROM expn
+)
+, scores2 AS (
+  SELECT qt2.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * 2.2
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+  FROM qt2
+  JOIN tf ON tf.term = qt2.term
+  JOIN df d ON d.term = qt2.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt2.query_id, tf.doc_id
+)
+, ranked2 AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(raw, 6) DESC, doc_id ASC) - 1 AS rank,
+         doc_id, round(raw, 6) AS score
+  FROM scores2
+)
+SELECT query_id, rank, doc_id, score FROM ranked2 WHERE rank < {TOPK}
+"""
+
 # RRF fusion: both rankers' full candidate lists from shared CTEs,
 # per-query 0-based ranks by the (round(score,6) DESC, doc_id ASC)
 # protocol, fused by reciprocal rank and re-ranked.
@@ -1119,6 +1286,7 @@ QUERIES = {
     "bm25_topk_lazy": q_bm25_topk_lazy,
     "lmdir_topk": q_lmdir_topk,
     "rrf_topk": q_rrf_topk,
+    "bm25_rm3": q_bm25_rm3,
     "bm25_hydrated": q_bm25_hydrated,
     "bm25_filtered": q_bm25_filtered,
     "bm25_negated": q_bm25_negated,

@@ -387,3 +387,28 @@ def test_rrf_fusion_parity_and_formula():
     a = got[cols].sort_values(cols).reset_index(drop=True)
     b = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_rm3_expansion_parity_and_effect():
+    """bm25_rm3: DuckDB two-pass oracle parity at sf0.001, and the
+    expansion measurably changes at least one query's ranking vs the
+    unexpanded BM25 gate."""
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.pipelines.documents import ORACLE_SQL, q_bm25_rm3, q_bm25_topk
+
+    got = q_bm25_rm3(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = con.sql(ORACLE_SQL["bm25_rm3"]).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    base = q_bm25_topk(SF).to_pandas()
+    merged = got.merge(base, on=["query_id", "rank"], suffixes=("_rm3", "_base"))
+    assert (merged["doc_id_rm3"] != merged["doc_id_base"]).any()
