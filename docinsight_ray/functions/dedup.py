@@ -494,15 +494,113 @@ JOIN sizes sb ON sb.doc_id = p.b_id
 WHERE p.inter >= {JACCARD_T} * (sa.n + sb.n - p.inter)
 """
 
+def q_dup_clusters(sf_dir: str) -> pa.Table:
+    """Near-dup CLUSTER resolution: connected components over the exact
+    Jaccard pair graph + canonical election (cluster id = min doc_id of
+    the component; is_canonical marks the doc a keep-one dedup retains).
+
+    Scale shape: the pair graph is the OUTPUT of the bounded near-dup
+    op (pairs ≪ docs by construction — a corpus that violates that has
+    already tripped the MAX_GROUP stop-shingle warnings upstream), so
+    union-find over the collected pair list is driver-bounded; the
+    label map broadcasts via ``ray.put`` and the per-doc assignment is
+    a shuffle-free scan. At larger pair counts swap the driver
+    union-find for iterated min-label propagation (groupby(node).min)
+    without changing this op's contract."""
+    pairs = q_ngram_jaccard_pairs(sf_dir).to_pandas()
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["a_id"].astype(int), pairs["b_id"].astype(int)):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    members: dict[int, list[int]] = {}
+    nodes = set(pairs["a_id"].astype(int)) | set(pairs["b_id"].astype(int))
+    for n in nodes:
+        members.setdefault(find(n), []).append(n)
+    label = {n: min(ms) for ms in members.values() for n in ms}
+    size = {n: len(ms) for ms in members.values() for n in ms}
+    maps_ref = ray.put((label, size))
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        lab, sz = ray.get(maps_ref)
+        ids = batch["doc_id"].astype("int64")
+        cluster = ids.map(lambda d: lab.get(d, d)).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "cluster_id": cluster,
+                "n_members": ids.map(lambda d: sz.get(d, 1)).astype("int64"),
+                "is_canonical": (cluster == ids).astype("int64"),
+            }
+        )
+
+    from ..collect import collect_table
+
+    empty = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("cluster_id", pa.int64()),
+            ("n_members", pa.int64()),
+            ("is_canonical", pa.int64()),
+        ]
+    )
+    return collect_table(
+        _read_documents(sf_dir)
+        .select_columns(["doc_id"])
+        .map_batches(assign, batch_format="pandas"),
+        empty,
+    )
+
+
+# connected components in SQL: symmetric edge closure → recursive
+# reachability → min label per node; docs outside the pair graph are
+# singleton clusters of themselves.
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE pr AS ({_PAIRS_SQL}),
+edges AS (
+  SELECT a_id AS a, b_id AS b FROM pr
+  UNION ALL
+  SELECT b_id AS a, a_id AS b FROM pr
+),
+nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+reach(doc_id, other) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.doc_id, e.b FROM reach r JOIN edges e ON e.a = r.other
+),
+lab AS (SELECT doc_id, min(other)::BIGINT AS cluster_id FROM reach GROUP BY doc_id),
+csize AS (SELECT cluster_id, count(*)::BIGINT AS n_members FROM lab GROUP BY cluster_id)
+SELECT d.doc_id,
+       coalesce(l.cluster_id, d.doc_id)::BIGINT AS cluster_id,
+       coalesce(cs.n_members, 1)::BIGINT AS n_members,
+       (coalesce(l.cluster_id, d.doc_id) = d.doc_id)::BIGINT AS is_canonical
+FROM documents d
+LEFT JOIN lab l USING (doc_id)
+LEFT JOIN csize cs ON cs.cluster_id = l.cluster_id
+"""
+
 ORACLE_SQL = {
     "ngram_jaccard_pairs": _PAIRS_SQL,
     "minhash_lsh_pairs": _PAIRS_SQL,
+    "dup_clusters": _CLUSTERS_SQL,
     # simhash64: no SQL (hash-function-specific) → rows-only check
 }
 
 QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dup_clusters": q_dup_clusters,
     "simhash64": q_simhash64,
     # exact-by-pigeonhole banding; hash values aren't SQL-derivable →
     # rows-only gate, brute-force identity asserted in pytest

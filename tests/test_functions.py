@@ -412,3 +412,25 @@ def test_rm3_expansion_parity_and_effect():
     base = q_bm25_topk(SF).to_pandas()
     merged = got.merge(base, on=["query_id", "rank"], suffixes=("_rm3", "_base"))
     assert (merged["doc_id_rm3"] != merged["doc_id_base"]).any()
+
+
+def test_dup_clusters_connected_components():
+    """dup_clusters: every near-dup pair lands in one cluster, each
+    cluster elects exactly one canonical doc (= min doc_id), and
+    n_members is consistent."""
+    import pandas as pd
+
+    from docinsight_ray.functions.dedup import q_dup_clusters, q_ngram_jaccard_pairs
+
+    t = q_dup_clusters(SF).to_pandas().set_index("doc_id")
+    pairs = q_ngram_jaccard_pairs(SF).to_pandas()
+    assert len(pairs) > 0
+    for a, b in zip(pairs["a_id"], pairs["b_id"]):
+        assert t.loc[a, "cluster_id"] == t.loc[b, "cluster_id"]
+    assert (t["cluster_id"] <= t.index).all()
+    by_cluster = t.groupby("cluster_id")
+    assert (by_cluster["is_canonical"].sum() == 1).all()
+    sizes = by_cluster.size()
+    assert (t["n_members"] == t["cluster_id"].map(sizes)).all()
+    # multi-member clusters exist in the fixture
+    assert (t["n_members"] > 1).any()
