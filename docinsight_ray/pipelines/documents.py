@@ -337,6 +337,94 @@ def q_rrf_topk(sf_dir: str) -> pa.Table:
     )
 
 
+FACET_PARTITIONS = 8
+
+
+def q_bm25_facets(sf_dir: str) -> pa.Table:
+    """FACETED search: per-query facet counts (lang) over the FULL
+    candidate set (docs matching ≥1 query term) — the aggregation a
+    search engine renders next to its result list. Served as scored
+    candidates → distributed hash JOIN against the index docs registry
+    (Dataset.join; the registry never broadcasts) → bounded
+    (query × lang) partial counts.
+
+    Scale shape: the join shuffles by doc_id — both sides partition;
+    the count table is bounded by |queries| × |langs| so the final
+    reduction is trivially small. Right side is repartitioned first
+    (Ray 2.49 empty-block join hazard — see joins.py)."""
+    from ..collect import collect_table
+
+    idx = ensure_index(sf_dir)
+    n_docs = BM25Scorer(idx, SQL_PARITY_CONFIG).n_docs
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q for q, _ in DOC_QUERIES], type=pa.int64()),
+            "text": pa.array([t for _, t in DOC_QUERIES], type=pa.string()),
+            "k": pa.array([n_docs] * len(DOC_QUERIES), type=pa.uint32()),
+        }
+    )
+    res = query_index(
+        ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG, mode="maxscore", concurrency=2
+    )
+
+    def lhs_project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": pc.cast(t["query_id"], pa.int64()),
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            }
+        )
+
+    def rhs_project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()), "lang": t["lang"]}
+        )
+
+    lhs = res.map_batches(lhs_project, batch_format="pyarrow")
+    rhs = (
+        ray.data.read_parquet(os.path.join(idx, "docs"), columns=["doc_id", "lang"])
+        .map_batches(rhs_project, batch_format="pyarrow")
+        .repartition(FACET_PARTITIONS)
+    )
+    joined = lhs.join(
+        rhs, join_type="inner", num_partitions=FACET_PARTITIONS, on=("doc_id",)
+    )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.select(["query_id", "lang"]).to_pandas()
+        out = df.groupby(["query_id", "lang"], as_index=False).size()
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"].astype("int64"), type=pa.int64()),
+                "lang": pa.array(out["lang"], type=pa.string()),
+                "cnt": pa.array(out["size"].astype("int64"), type=pa.int64()),
+            }
+        )
+
+    empty = pa.schema(
+        [("query_id", pa.int64()), ("lang", pa.string()), ("cnt", pa.int64())]
+    )
+    parts = collect_table(
+        joined.map_batches(partial_counts, batch_format="pyarrow"), empty
+    ).to_pandas()
+    out = (
+        parts.groupby(["query_id", "lang"], as_index=False)["cnt"]
+        .sum()
+        .rename(columns={"cnt": "n_matched"})
+        .sort_values(["query_id", "lang"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"].astype(np.int64), type=pa.int64()),
+            "lang": pa.array(out["lang"], type=pa.string()),
+            "n_matched": pa.array(out["n_matched"].astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
 FB_DOCS = 5  # pseudo-relevance feedback depth
 FB_TERMS = 3  # expansion terms admitted per query
 
@@ -986,6 +1074,14 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}
     """,
 }
 
+# Facet counts over the full candidate set (scores CTE = docs
+# matching >=1 query term, the engine's candidate convention).
+ORACLE_SQL["bm25_facets"] = _bm25_cte(_BM25_VALUES) + """
+SELECT s.query_id, d.lang, count(*)::BIGINT AS n_matched
+FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+GROUP BY s.query_id, d.lang
+"""
+
 # RM3 pseudo-relevance feedback: pass-1 ranking (shared BM25 CTEs) →
 # feedback docs → tf·idf-weighted expansion candidates (original terms
 # excluded) → expanded term set → pass-2 scoring with the same formula.
@@ -1287,6 +1383,7 @@ QUERIES = {
     "lmdir_topk": q_lmdir_topk,
     "rrf_topk": q_rrf_topk,
     "bm25_rm3": q_bm25_rm3,
+    "bm25_facets": q_bm25_facets,
     "bm25_hydrated": q_bm25_hydrated,
     "bm25_filtered": q_bm25_filtered,
     "bm25_negated": q_bm25_negated,

@@ -434,3 +434,30 @@ def test_dup_clusters_connected_components():
     assert (t["n_members"] == t["cluster_id"].map(sizes)).all()
     # multi-member clusters exist in the fixture
     assert (t["n_members"] > 1).any()
+
+
+def test_bm25_facets_parity_and_totals():
+    """bm25_facets: DuckDB oracle parity at sf0.001; facet totals per
+    query equal the candidate-set size (docs matching >=1 query term)."""
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.pipelines.documents import ORACLE_SQL, q_bm25_facets
+
+    got = q_bm25_facets(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = con.sql(ORACLE_SQL["bm25_facets"]).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    totals = got.groupby("query_id")["n_matched"].sum()
+    cand = con.sql(
+        ORACLE_SQL["bm25_facets"].rsplit("SELECT", 1)[0]
+        + "SELECT query_id, count(*)::BIGINT AS n FROM scores GROUP BY query_id"
+    ).df().set_index("query_id")["n"]
+    assert (totals == cand.reindex(totals.index)).all()
