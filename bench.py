@@ -13,6 +13,8 @@ plus the engine's own synthetic bench corpus (deterministic, cached in
 - ``knn_cosine``       brute-force cosine top-k over embeddings
 - ``windowed_agg`` / ``sessionize``  event-stream shapes
 - ``tokenize_docs``    docs-registry pass over the documents table
+- ``hot_ngrams``       repeated-passage detection (bucketed combiner)
+- ``rrf_fusion``       BM25 + LM Dirichlet reciprocal-rank fusion
 
 ``--scaling``: runs the headline suite twice in fresh processes at 8
 and 32 CPUs on identical input and reports throughput + efficiency
@@ -222,11 +224,21 @@ def _run_suite(sf_dir: str, num_cpus: int) -> dict:
     extra["phrase_qps"] = round(len(phrases) / sum(plats), 1)
     del psc
 
-    # ---- training-corpus prep: the distributed prefix scan
-    from docinsight_ray.functions.corpusops import q_sequence_pack
+    # ---- training-corpus prep: the distributed prefix scan + the
+    # bucket-combined hot-passage detection
+    from docinsight_ray.functions.corpusops import q_hot_ngrams, q_sequence_pack
 
     with timed("sequence_pack"):
         q_sequence_pack(sf_dir)
+    with timed("hot_ngrams"):
+        q_hot_ngrams(sf_dir)
+
+    # ---- hybrid retrieval: two-ranker reciprocal-rank fusion over the
+    # (already built) documents index
+    from docinsight_ray.pipelines.documents import q_rrf_topk
+
+    with timed("rrf_fusion"):
+        q_rrf_topk(sf_dir)
 
     ray.shutdown()
     total = round(sum(timings.values()), 3)
