@@ -226,7 +226,92 @@ _RANGE_VALUES = ", ".join(
     f"({i}, TIMESTAMP '{s}', TIMESTAMP '{e}')" for i, s, e in RANGE_INTERVALS
 )
 
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def q_event_funnel(sf_dir: str) -> pa.Table:
+    """Ordered event-sequence FUNNEL per user: how deep each user gets
+    through signup → click → purchase, where each step must occur
+    STRICTLY AFTER the earliest completion of the previous step (the
+    product-analytics conversion funnel; the per-group ordered-scan
+    shape sessionize already relies on — one user's history fits a
+    worker). n_steps ∈ 0..3; the string key keeps the output off the
+    all-fixed-width block layout (ROADMAP.md §6b)."""
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy()
+        et = g["event_type"].to_numpy()
+        n_steps = 0
+        t_prev = None
+        for step in FUNNEL_STEPS:
+            mask = et == step if t_prev is None else (et == step) & (ts > t_prev)
+            idx = np.flatnonzero(mask)
+            if idx.size == 0:
+                break
+            t_prev = ts[idx[0]]
+            n_steps += 1
+        uid = int(g["user_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "user_id": np.array([uid], dtype=np.int64),
+                "n_steps": np.array([n_steps], dtype=np.int64),
+                "funnel_key": [f"{uid}:{n_steps}"],
+            }
+        )
+
+    funnel.__name__ = "funnel"
+    out = (
+        _read_events(sf_dir)
+        .select_columns(["user_id", "ts", "event_id", "event_type"])
+        .groupby("user_id")
+        .map_groups(funnel, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.sort_values("user_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "user_id": pa.array(out["user_id"].astype(np.int64), type=pa.int64()),
+            "n_steps": pa.array(out["n_steps"].astype(np.int64), type=pa.int64()),
+            "funnel_key": pa.array(out["funnel_key"], type=pa.string()),
+        }
+    )
+
+
 ORACLE_SQL = {
+    "event_funnel": """
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN s1 ON s1.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > s1.t1
+          GROUP BY e.user_id
+        ),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN s2 ON s2.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          GROUP BY e.user_id
+        ),
+        u AS (SELECT DISTINCT user_id FROM events),
+        d AS (
+          SELECT u.user_id,
+                 CASE WHEN s3.user_id IS NOT NULL THEN 3
+                      WHEN s2.user_id IS NOT NULL THEN 2
+                      WHEN s1.user_id IS NOT NULL THEN 1
+                      ELSE 0 END AS n_steps
+          FROM u
+          LEFT JOIN s1 ON s1.user_id = u.user_id
+          LEFT JOIN s2 ON s2.user_id = u.user_id
+          LEFT JOIN s3 ON s3.user_id = u.user_id
+        )
+        SELECT user_id, n_steps::BIGINT AS n_steps,
+               user_id::VARCHAR || ':' || n_steps::VARCHAR AS funnel_key
+        FROM d
+    """,
     "range_join": f"""
         WITH iv(interval_id, ts_start, ts_end) AS (VALUES {_RANGE_VALUES})
         SELECT iv.interval_id, count(*)::BIGINT AS n_events,
@@ -269,6 +354,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "event_funnel": q_event_funnel,
     "windowed_agg": q_windowed_agg,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,

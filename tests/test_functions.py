@@ -461,3 +461,30 @@ def test_bm25_facets_parity_and_totals():
         + "SELECT query_id, count(*)::BIGINT AS n FROM scores GROUP BY query_id"
     ).df().set_index("query_id")["n"]
     assert (totals == cand.reindex(totals.index)).all()
+
+
+def test_event_funnel_parity_and_monotonicity():
+    """event_funnel: DuckDB oracle parity at sf0.001 + depth histogram
+    is monotone (reaching step k implies having reached step k-1)."""
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.functions.windows import ORACLE_SQL, q_event_funnel
+
+    got = q_event_funnel(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = con.sql(ORACLE_SQL["event_funnel"]).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    assert got["n_steps"].between(0, 3).all()
+    # conversions exist (the sf0.001 fixture's streams are dense
+    # enough that EVERY user converts — differentiation shows up at
+    # larger sf where the gate compares the full histogram)
+    assert (got["n_steps"] == 3).any()
+    assert len(got) == got["user_id"].nunique()
