@@ -278,7 +278,65 @@ def q_event_funnel(sf_dir: str) -> pa.Table:
     )
 
 
+def q_event_transitions(sf_dir: str) -> pa.Table:
+    """Per-user ordered event-type TRANSITION counts (the Markov /
+    bigram statistics a sequence model trains on): for each user's
+    (ts, event_id)-ordered stream, count (cur_type → next_type) pairs,
+    then sum across users. Same per-group ordered-scan partitioning as
+    sessionize; the transition matrix is bounded (|types|²), so the
+    final combine is a tiny groupby."""
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        et = g["event_type"].to_numpy()
+        if et.size < 2:
+            return pd.DataFrame(
+                {"cur_type": pd.Series(dtype="object"),
+                 "next_type": pd.Series(dtype="object"),
+                 "cnt": pd.Series(dtype="int64")}
+            )
+        out = (
+            pd.DataFrame({"cur_type": et[:-1], "next_type": et[1:]})
+            .groupby(["cur_type", "next_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    transitions.__name__ = "transitions"
+    out = (
+        _read_events(sf_dir)
+        .select_columns(["user_id", "ts", "event_id", "event_type"])
+        .groupby("user_id")
+        .map_groups(transitions, batch_format="pandas")
+        .to_pandas()
+        .groupby(["cur_type", "next_type"], as_index=False)["cnt"]
+        .sum()
+        .sort_values(["cur_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "cur_type": pa.array(out["cur_type"], type=pa.string()),
+            "next_type": pa.array(out["next_type"], type=pa.string()),
+            "cnt": pa.array(out["cnt"].astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
 ORACLE_SQL = {
+    "event_transitions": """
+        WITH s AS (
+          SELECT user_id, event_type AS cur_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS next_type
+          FROM events
+        )
+        SELECT cur_type, next_type, count(*)::BIGINT AS cnt
+        FROM s WHERE next_type IS NOT NULL
+        GROUP BY cur_type, next_type
+    """,
     "event_funnel": """
         WITH s1 AS (
           SELECT user_id, min(ts) AS t1 FROM events
@@ -355,6 +413,7 @@ ORACLE_SQL = {
 
 QUERIES = {
     "event_funnel": q_event_funnel,
+    "event_transitions": q_event_transitions,
     "windowed_agg": q_windowed_agg,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,

@@ -488,3 +488,29 @@ def test_event_funnel_parity_and_monotonicity():
     # larger sf where the gate compares the full histogram)
     assert (got["n_steps"] == 3).any()
     assert len(got) == got["user_id"].nunique()
+
+
+def test_event_transitions_parity_and_mass():
+    """event_transitions: DuckDB lead() oracle parity at sf0.001 +
+    total transition mass = total events - distinct users."""
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.functions.windows import ORACLE_SQL, q_event_transitions
+
+    got = q_event_transitions(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = con.sql(ORACLE_SQL["event_transitions"]).df()
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
+    n_events, n_users = con.sql(
+        "SELECT count(*), count(DISTINCT user_id) FROM events"
+    ).fetchone()
+    assert got["cnt"].sum() == n_events - n_users
