@@ -311,6 +311,44 @@ def cmd_purge(args) -> int:
     return 0
 
 
+def cmd_run(args) -> int:
+    """Run ANY registered pipeline op from the contract registry over a
+    table directory — the operational front door to the full operator
+    surface (dedup, sampling, sketches, retrieval gates, ...)."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo_root)
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    if args.list or args.op is None:
+        for name in sorted(qs):
+            print(name)
+        return 0
+    if args.op not in qs:
+        print(f"unknown op {args.op!r}; `run --list` prints the registry", file=sys.stderr)
+        return 2
+    _init_ray(args.num_cpus)
+    res = qs[args.op](args.sf_dir)
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, pa.Table):
+        tbl = res
+    elif isinstance(res, pd.DataFrame):
+        tbl = pa.Table.from_pandas(res, preserve_index=False)
+    else:  # a ray.data.Dataset
+        tbl = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    if args.out:
+        import pyarrow.parquet as pq
+
+        pq.write_table(tbl, args.out)
+        print(json.dumps({"op": args.op, "rows": tbl.num_rows, "out": args.out}))
+    else:
+        print(tbl.to_pandas().head(args.head).to_string(index=False))
+        print(json.dumps({"op": args.op, "rows": tbl.num_rows}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     os.environ.setdefault("RAY_GRAFT_CPUS", str(args.num_cpus or 32))
     sys.argv = ["bench.py"] + (["--scaling"] if args.scaling else [])
@@ -405,6 +443,16 @@ def main(argv=None) -> int:
                     help="max extra tokens allowed in each gap (0 = exact phrase)")
     ph.add_argument("--tokenizer", default="code", choices=["code", "simple"])
     ph.set_defaults(fn=cmd_phrase)
+
+    r = sub.add_parser("run", parents=[common],
+                       help="run any registered pipeline op over a table dir")
+    r.add_argument("op", nargs="?", help="op name from the registry (see --list)")
+    r.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001",
+                   help="directory holding the parquet tables")
+    r.add_argument("--out", help="write result parquet here instead of printing")
+    r.add_argument("--head", type=int, default=20, help="rows to print without --out")
+    r.add_argument("--list", action="store_true", help="print the op registry and exit")
+    r.set_defaults(fn=cmd_run)
 
     be = sub.add_parser("bench", parents=[common], help="run the bench suite")
     be.add_argument("--scaling", action="store_true")

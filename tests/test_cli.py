@@ -217,3 +217,23 @@ def test_cli_posbuild_and_phrase(built_cli, capsys):
     assert len(slop_out["hits"]) >= min(5, len(out[0]["hits"]))
     # unbuilt dir errors cleanly
     assert main(["phrase", str(root / "nope"), "xx yy"]) == 2
+
+
+def test_cli_run_registry(ray_session, tmp_path, capsys):
+    """`run --list` prints the full queries() registry; `run <op>` with
+    --out writes the op's result parquet."""
+    rc = main(["run", "--list"])
+    assert rc == 0
+    names = capsys.readouterr().out.split()
+    assert {"exact_dedup", "mixture_sample", "heavy_hitters_cms"} <= set(names)
+
+    out = str(tmp_path / "mix.parquet")
+    rc = main(["run", "mixture_sample", "/root/testdata/sf0.001", "--out", out])
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    t = pq.read_table(out)
+    assert t.num_rows == line["rows"] == 500
+    assert set(t.column_names) == {"doc_id", "lang", "kept"}
+
+    rc = main(["run", "definitely_not_an_op", "/root/testdata/sf0.001"])
+    assert rc == 2
