@@ -158,7 +158,105 @@ def q_topk_per_group(sf_dir: str) -> pa.Table:
     )
 
 
+REV_PARTITIONS = 8
+
+
+def q_revenue_by_nation(sf_dir: str) -> pa.Table:
+    """TPC-H-Q5-shaped multi-join: revenue per customer nation,
+    lineitem ⨝ orders as a DISTRIBUTED hash join (both are fact
+    tables — neither side ever broadcasts), then customer→nation via
+    broadcast dimension maps (the dims are bounded relative to the
+    facts — the standard star-schema partitioning assumption), then
+    bounded per-batch partial sums.
+
+    Revenue is integer-exact: round(price·100) · (100 − round(disc·100))
+    in 10⁻⁴-dollar units, so aggregation order cannot perturb the gate
+    hash (the module's cents discipline)."""
+    from ..collect import collect_table
+
+    def li_project(t: pa.Table) -> pa.Table:
+        price_c = np.floor(t["l_extendedprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        disc_c = np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "rev_e4": pa.array(price_c * (100 - disc_c), type=pa.int64()),
+            }
+        )
+
+    def ord_project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        li_project, batch_format="pyarrow", zero_copy_batch=True
+    )
+    orders = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        .map_batches(ord_project, batch_format="pyarrow")
+        .repartition(REV_PARTITIONS)  # Ray 2.49 empty-block join hazard (joins.py)
+    )
+    joined = li.join(
+        orders, join_type="inner", num_partitions=REV_PARTITIONS, on=("l_orderkey",)
+    )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust_nat = dict(zip(cust["c_custkey"].astype(int), cust["c_nationkey"].astype(int)))
+    nat_name = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    maps_ref = ray.put((cust_nat, nat_name))
+
+    def partial(t: pa.Table) -> pa.Table:
+        cn, nn = ray.get(maps_ref)
+        df = t.select(["o_custkey", "rev_e4"]).to_pandas()
+        df["nation"] = df["o_custkey"].map(lambda c: nn[cn[int(c)]])
+        out = df.groupby("nation", as_index=False).agg(
+            revenue_e4=("rev_e4", "sum"), n_items=("rev_e4", "size")
+        )
+        return pa.table(
+            {
+                "nation": pa.array(out["nation"], type=pa.string()),
+                "revenue_e4": pa.array(out["revenue_e4"].astype(np.int64), type=pa.int64()),
+                "n_items": pa.array(out["n_items"].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    empty = pa.schema(
+        [("nation", pa.string()), ("revenue_e4", pa.int64()), ("n_items", pa.int64())]
+    )
+    parts = collect_table(joined.map_batches(partial, batch_format="pyarrow"), empty)
+    out = (
+        parts.to_pandas()
+        .groupby("nation", as_index=False)[["revenue_e4", "n_items"]]
+        .sum()
+        .sort_values("nation")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "nation": pa.array(out["nation"], type=pa.string()),
+            "revenue_e4": pa.array(out["revenue_e4"].astype(np.int64), type=pa.int64()),
+            "n_items": pa.array(out["n_items"].astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
 ORACLE_SQL = {
+    "revenue_by_nation": """
+        SELECT n.n_name AS nation,
+               sum(floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+                   * (100 - floor(l.l_discount * 100 + 0.5)::BIGINT))::BIGINT AS revenue_e4,
+               count(*)::BIGINT AS n_items
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+    """,
     "topk_per_group": f"""
         SELECT doc_id, lang, n_chars, rank FROM (
           SELECT doc_id, lang, n_chars,
@@ -192,6 +290,7 @@ ORACLE_SQL = {
 
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
+    "revenue_by_nation": q_revenue_by_nation,
     "orders_by_nation": q_orders_by_nation,
     "top_parts_by_size": q_top_parts_by_size,
     "topk_per_group": q_topk_per_group,

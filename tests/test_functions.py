@@ -514,3 +514,32 @@ def test_event_transitions_parity_and_mass():
         "SELECT count(*), count(DISTINCT user_id) FROM events"
     ).fetchone()
     assert got["cnt"].sum() == n_events - n_users
+
+
+def test_revenue_by_nation_parity_and_conservation():
+    """revenue_by_nation: DuckDB 4-table-join oracle parity at sf0.001
+    + conservation (Σ n_items across nations = lineitems with a valid
+    order/customer chain)."""
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.pipelines.relational import ORACLE_SQL, q_revenue_by_nation
+
+    got = q_revenue_by_nation(SF).to_pandas()
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    want = con.sql(ORACLE_SQL["revenue_by_nation"]).df()
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
+    n_chain = con.sql(
+        """SELECT count(*) FROM lineitem l
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey"""
+    ).fetchone()[0]
+    assert got["n_items"].sum() == n_chain
+    assert (got["revenue_e4"] > 0).all()
