@@ -15,6 +15,7 @@ plus the engine's own synthetic bench corpus (deterministic, cached in
 - ``tokenize_docs``    docs-registry pass over the documents table
 - ``hot_ngrams``       repeated-passage detection (bucketed combiner)
 - ``rrf_fusion``       BM25 + LM Dirichlet reciprocal-rank fusion
+- ``prepare_corpus``   composed filter→dedup→decontaminate→sample→pack
 
 ``--scaling``: runs the headline suite twice in fresh processes at 8
 and 32 CPUs on identical input and reports throughput + efficiency
@@ -239,6 +240,12 @@ def _run_suite(sf_dir: str, num_cpus: int) -> dict:
 
     with timed("rrf_fusion"):
         q_rrf_topk(sf_dir)
+
+    # ---- the composed end-to-end corpus-preparation pipeline
+    from docinsight_ray.pipelines.prepare import q_prepare_corpus
+
+    with timed("prepare_corpus"):
+        q_prepare_corpus(sf_dir)
 
     ray.shutdown()
     total = round(sum(timings.values()), 3)

@@ -643,6 +643,8 @@ def _hot_partials(batch: pd.DataFrame) -> pd.DataFrame:
 
 HOT_BUCKETS = 16  # gram-hash shuffle key: bounded group count
 
+_HOT_CACHE: dict[str, pd.DataFrame] = {}
+
 
 def _hot_table(sf_dir: str) -> pd.DataFrame:
     """Global hot-gram table: distributed partials → shuffle by gram
@@ -651,7 +653,10 @@ def _hot_table(sf_dir: str) -> pd.DataFrame:
     pandas aggregation inside each bucket, which holds every partial of
     its grams, so the in-bucket (filter ≥ HOT_MIN_DOCS, local top-K) is
     globally exact per bucket. The driver merges ≤ HOT_BUCKETS × TOPK
-    rows regardless of corpus size."""
+    rows regardless of corpus size. Memoized per sf_dir: the two hot
+    gates (table + coverage) share one computation."""
+    if sf_dir in _HOT_CACHE:
+        return _HOT_CACHE[sf_dir]
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -687,6 +692,7 @@ def _hot_table(sf_dir: str) -> pd.DataFrame:
     out["n_docs"] = out["n_docs"].astype("int64")
     out["n_occ"] = out["n_occ"].astype("int64")
     out["rank"] = np.arange(len(out), dtype=np.int64)
+    _HOT_CACHE[sf_dir] = out
     return out
 
 
