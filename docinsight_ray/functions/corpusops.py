@@ -760,6 +760,115 @@ def q_hot_ngram_coverage(sf_dir: str) -> pa.Table:
 MIX_SCALE = 4294967296.0  # 2^32: hash prefix domain
 
 
+# ---- unigram-LM surprisal (CCNet-style quality scoring) -------------------
+
+LM_VOCAB = 16  # top-tf terms admitted to the unigram LM; the rest → OOV
+
+
+def q_unigram_surprisal(sf_dir: str) -> pa.Table:
+    """CCNet-style unigram-LM quality scoring: train a unigram language
+    model on the corpus itself (top-``LM_VOCAB`` terms by total tf,
+    deterministic (tf desc, term asc) truncation; all remaining mass
+    folds into one OOV symbol), then score every document by its total
+    token surprisal. Documents full of rare/OOV tokens score high —
+    the classic perplexity-bucket quality filter of a web-scale
+    training-data pipeline (CCNet; Gopher's quality pipeline).
+
+    Gate exactness: the per-token cost is the INTEGER
+    ``round(ln(total/tf)·1e6)`` so the per-doc sum is an int64 —
+    order-independent and float-rounding-free across engines (the only
+    float op is one ln per DISTINCT vocab term, identical expression
+    in the SQL oracle).
+
+    Scale shape: pass 1 emits vocab-bounded per-batch partial tf
+    counts and merges the bounded (term, tf) table driver-side —
+    while vocab is bounded this is exact and cheap; at true web scale
+    the merge swaps to the same distributed ``groupby(term).sum`` the
+    index build's global-df pass already uses (build.py), truncation
+    semantics unchanged. Pass 2 broadcasts the ≤(LM_VOCAB+1)-entry
+    cost map once via ``ray.put`` and streams the corpus with a
+    flattened vectorized lookup + segment-sum — no shuffle.
+    """
+    import itertools
+
+    def tf_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(_TOK2_RE)
+        cnt: dict[str, int] = {}
+        for ts in toks:
+            for t in ts:
+                cnt[t] = cnt.get(t, 0) + 1
+        return pd.DataFrame(
+            {"term": list(cnt), "tf": np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt))}
+        )
+
+    tf_empty = pa.schema([("term", pa.string()), ("tf", pa.int64())])
+    tf_tbl = (
+        collect_table(
+            _read(sf_dir, ["text"]).map_batches(tf_partial, batch_format="pandas"),
+            tf_empty,
+        )
+        .to_pandas()
+        .groupby("term", as_index=False)["tf"]
+        .sum()
+    )
+    total = int(tf_tbl["tf"].sum())
+    top = (
+        tf_tbl.sort_values(["tf", "term"], ascending=[False, True])
+        .head(LM_VOCAB)
+        .reset_index(drop=True)
+    )
+    oov_tf = max(total - int(top["tf"].sum()), 1)
+    denom = float(total) if total else 1.0
+    cmap = {
+        t: int(np.round(np.log(denom / float(tf)) * 1e6))
+        for t, tf in zip(top["term"], top["tf"])
+    }
+    oov_cost = int(np.round(np.log(denom / float(oov_tf)) * 1e6))
+    cmap_ref = ray.put(cmap)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        cm: dict[str, int] = ray.get(cmap_ref)
+        toks = batch["text"].str.lower().str.findall(_TOK2_RE)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        flat = list(itertools.chain.from_iterable(toks))
+        costs = np.fromiter(
+            (cm.get(t, oov_cost) for t in flat), dtype=np.int64, count=len(flat)
+        )
+        oovs = np.fromiter((t not in cm for t in flat), dtype=np.int64, count=len(flat))
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        # np.add.reduceat misbehaves on zero-length segments: guard by
+        # masking them to 0 afterwards
+        cost_sum = np.where(
+            lens > 0, np.add.reduceat(np.concatenate((costs, [0])), starts), 0
+        ).astype(np.int64)
+        oov_sum = np.where(
+            lens > 0, np.add.reduceat(np.concatenate((oovs, [0])), starts), 0
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "lang": batch["lang"],
+                "n_tokens": lens,
+                "n_oov": oov_sum,
+                "cost_micro": cost_sum,
+            }
+        )
+
+    empty = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("lang", pa.string()),
+            ("n_tokens", pa.int64()),
+            ("n_oov", pa.int64()),
+            ("cost_micro", pa.int64()),
+        ]
+    )
+    return collect_table(
+        _read(sf_dir, ["doc_id", "lang", "text"]).map_batches(score, batch_format="pandas"),
+        empty,
+    )
+
+
 def q_mixture_sample(sf_dir: str) -> pa.Table:
     """Deterministic domain-mixture rebalancing: per-lang keep
     threshold from the temperature-scaled rate, membership decided by
@@ -996,6 +1105,44 @@ LEFT JOIN tot USING (doc_id)
 LEFT JOIN cov USING (doc_id)
 """
 
+ORACLE_SQL["unigram_surprisal"] = f"""
+    WITH tok AS (
+      SELECT doc_id, t.term FROM documents, unnest({_TOK_SQL}) AS t(term)
+    ),
+    tf AS (SELECT term, count(*)::BIGINT AS tf FROM tok GROUP BY term),
+    tot AS (SELECT sum(tf)::DOUBLE AS total FROM tf),
+    ranked AS (
+      SELECT term, tf, row_number() OVER (ORDER BY tf DESC, term ASC) AS r FROM tf
+    ),
+    vocab AS (SELECT term, tf FROM ranked WHERE r <= {LM_VOCAB}),
+    oov AS (
+      SELECT greatest((SELECT sum(tf) FROM tf) - (SELECT sum(tf) FROM vocab), 1)::DOUBLE AS otf
+    ),
+    cost AS (
+      SELECT term, round(ln(total / tf::DOUBLE) * 1000000)::BIGINT AS c
+      FROM vocab CROSS JOIN tot
+    ),
+    oov_cost AS (
+      SELECT round(ln(total / otf) * 1000000)::BIGINT AS oc FROM oov CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             coalesce(c.c, (SELECT oc FROM oov_cost)) AS c,
+             CASE WHEN c.c IS NULL THEN 1 ELSE 0 END AS is_oov
+      FROM tok t LEFT JOIN cost c USING (term)
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(is_oov)::BIGINT AS n_oov,
+             sum(c)::BIGINT AS cost_micro
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.lang,
+           coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(p.n_oov, 0)::BIGINT AS n_oov,
+           coalesce(p.cost_micro, 0)::BIGINT AS cost_micro
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
 ORACLE_SQL["mixture_sample"] = f"""
 WITH c AS (SELECT lang, count(*)::DOUBLE AS c FROM documents GROUP BY lang),
 m AS (SELECT min(c) AS cmin FROM c),
@@ -1021,4 +1168,5 @@ QUERIES = {
     "hot_ngrams": q_hot_ngrams,
     "hot_ngram_coverage": q_hot_ngram_coverage,
     "mixture_sample": q_mixture_sample,
+    "unigram_surprisal": q_unigram_surprisal,
 }

@@ -219,6 +219,88 @@ def q_phrase_match(sf_dir: str) -> pa.Table:
     )
 
 
+# ---- PII redaction --------------------------------------------------------
+
+# RE2-compatible patterns (no lookaround) so the Arrow kernels and the
+# DuckDB oracle compile the IDENTICAL regex; no single quotes so they
+# embed directly in SQL literals.
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d\- ]{7,}\d"
+
+
+def q_pii_redact(sf_dir: str) -> pa.Table:
+    """PII redaction — the compliance pass every training-data pipeline
+    runs before anything else: emails, IPv4 addresses, then phone-like
+    digit runs are counted and replaced with typed placeholders, in
+    that fixed order (each count/replace operates on the output of the
+    previous category, mirrored exactly by the SQL oracle's CTE
+    chain). Pure streaming ``map_batches`` over zero-copy Arrow
+    batches using the RE2-backed ``count_substring_regex`` /
+    ``replace_substring_regex`` kernels — no Python row loop, no
+    shuffle, trivially 100-TB-shaped.
+
+    The TPC-H-ish documents table is word soup (no real PII), so —
+    like ``decontaminate``'s self-drawn benchmark — the gate first
+    SEEDS deterministic doc_id-derived PII into 2/3 of the rows
+    (identically in the SQL oracle), making the cross-engine check
+    cover real redaction, not just the identity path."""
+    import pyarrow.compute as pc
+
+    def augment(batch: pd.DataFrame) -> pd.DataFrame:
+        did = batch["doc_id"].astype("int64")
+        email = " contact user" + did.astype(str) + "@example.com"
+        phone = (
+            " from 10.0." + (did % 256).astype(str) + "." + (did % 100).astype(str)
+            + " call 415-555-" + (did % 10000).astype(str).str.zfill(4)
+        )
+        suffix = np.where(did % 3 == 0, email, np.where(did % 3 == 1, phone, ""))
+        return pd.DataFrame({"doc_id": did, "text": batch["text"] + suffix})
+
+    def redact(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        cols: dict[str, pa.Array | pa.ChunkedArray] = {"doc_id": batch["doc_id"]}
+        for name, pat, token in (
+            ("n_email", PII_EMAIL, "<EMAIL>"),
+            ("n_ip", PII_IPV4, "<IP>"),
+            ("n_phone", PII_PHONE, "<PHONE>"),
+        ):
+            cols[name] = pc.cast(pc.count_substring_regex(text, pat), pa.int64())
+            text = pc.replace_substring_regex(text, pat, token)
+        cols["clean_text"] = text
+        return pa.table(cols)
+
+    from ..collect import collect_table
+
+    empty = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_email", pa.int64()),
+            ("n_ip", pa.int64()),
+            ("n_phone", pa.int64()),
+            ("clean_text", pa.string()),
+        ]
+    )
+    return collect_table(
+        _read_documents(sf_dir)
+        .map_batches(augment, batch_format="pandas")
+        .map_batches(redact, batch_format="pyarrow", zero_copy_batch=True),
+        empty,
+    )
+
+
+def redact_pii_table(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Library API: redact PII in ``text_col`` of an arbitrary Arrow
+    table in place (same sequential category semantics as
+    q_pii_redact); used by tests on the synthetic PII fixture."""
+    import pyarrow.compute as pc
+
+    text = t[text_col]
+    for pat, token in ((PII_EMAIL, "<EMAIL>"), (PII_IPV4, "<IP>"), (PII_PHONE, "<PHONE>")):
+        text = pc.replace_substring_regex(text, pat, token)
+    return t.set_column(t.schema.get_field_index(text_col), text_col, text)
+
+
 def _in_list_sql(words: tuple[str, ...]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
@@ -258,6 +340,33 @@ ORACLE_SQL = {
                     ELSE 'fr' END AS pred_lang
         FROM h
     """,
+    "pii_redact": """
+        WITH t0 AS (
+          SELECT doc_id,
+                 text || CASE
+                   WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com'
+                   WHEN doc_id % 3 = 1 THEN ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+                        || ' call 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                   ELSE '' END AS text
+          FROM documents
+        ), t1 AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '{E}'))::BIGINT AS n_email,
+                 regexp_replace(text, '{E}', '<EMAIL>', 'g') AS text
+          FROM t0
+        ), t2 AS (
+          SELECT doc_id, n_email,
+                 len(regexp_extract_all(text, '{I}'))::BIGINT AS n_ip,
+                 regexp_replace(text, '{I}', '<IP>', 'g') AS text
+          FROM t1
+        ), t3 AS (
+          SELECT doc_id, n_email, n_ip,
+                 len(regexp_extract_all(text, '{P}'))::BIGINT AS n_phone,
+                 regexp_replace(text, '{P}', '<PHONE>', 'g') AS text
+          FROM t2
+        )
+        SELECT doc_id, n_email, n_ip, n_phone, text AS clean_text FROM t3
+    """.format(E=PII_EMAIL, I=PII_IPV4, P=PII_PHONE),
     # doc_fingerprint: intentionally no SQL (order-sensitive rolling hash)
     "phrase_match": f"""
         WITH ph(phrase) AS (VALUES {", ".join(f"('{p}')" for p in PHRASES)})
@@ -274,4 +383,5 @@ QUERIES = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "phrase_match": q_phrase_match,
+    "pii_redact": q_pii_redact,
 }

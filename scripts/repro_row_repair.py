@@ -19,6 +19,34 @@ Bisection so far: victim collection path irrelevant (collect_table and
 iter_batches both affected); nothing needs to run between the two
 victim executions; the simplified single-pipeline warmups in the git
 history of this file do NOT trigger it.
+
+Round-3 bisection results (REPRO=min warmup below):
+- The two-pipeline warmup can be replaced by a much smaller one: ONE
+  actor-pool ``map_batches`` stage (``concurrency=2``, 3 fixed-width
+  output columns) followed by ONE downstream task ``map_batches``,
+  consumed via ``to_pandas`` — fires 7-8/8 against the repo victim,
+  STRONGER than the original two-pipeline warmup (~6/8).
+- A pure task-map warmup (no actor pool) or the actor stage alone
+  without a downstream task map fires rarely or not at all; the
+  persistent actor worker processes + one task hop are the key
+  warmup ingredients.
+- The VICTIM resists standalone reduction: a repo-free clone matching
+  the repo victim's tokenizer (_TOKEN_RE), read projection
+  (columns=["doc_id","text"]), collection (to_arrow_refs + IPC
+  deep-copy), and output schema ran 8/8 CLEAN across four variants
+  (/tmp/r6b/test_min2..5 in round 3) while the in-repo victim kept
+  firing under the same warmup. The remaining untested delta is that
+  the repo victim's lambda closes over the installed package (workers
+  import docinsight_ray), i.e. worker import/allocation timing —
+  consistent with a timing/layout-sensitive transport bug, not an
+  input-data or hashing issue.
+- Production mitigation unchanged and sufficient: every 2-fixed-width
+  column result carries a variable-width provenance column
+  (content_sha8), which suppresses the re-pairing completely, plus
+  collect_table()'s deep-copy collection.
+
+Run the minimized variant with REPRO=min:
+    REPRO=min python -m pytest test_repair.py -q
 """
 import sys
 
@@ -57,7 +85,52 @@ def q_simhash_2col(sf_dir):
     return collect_table(_read_documents(sf_dir).map_batches(simhash, batch_format="pyarrow"))
 
 
+class _MinWarmupActor:
+    """Minimal actor-pool stage (round-3 minimized warmup)."""
+
+    def __init__(self):
+        self.perm = np.random.default_rng(7).integers(1, 2**61, size=8, dtype=np.uint64)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_id, out_band, out_key = [], [], []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = list({w for w in x.lower().split()})
+            h = pd.util.hash_array(np.asarray(ws, dtype=object)) if ws else np.array([0], dtype=np.uint64)
+            mins = np.minimum.reduce([(h * p) % np.uint64(2**61 - 1) for p in self.perm])
+            for b in range(4):
+                out_id.append(d)
+                out_band.append(b)
+                out_key.append(int(mins.min()) & ((1 << 58) - 1))
+        return pa.table(
+            {"doc_id": pa.array(out_id, type=pa.int64()),
+             "band_id": pa.array(out_band, type=pa.uint64()),
+             "band_key": pa.array(out_key, type=pa.uint64())}
+        )
+
+
+def _min_warmup_tail(t: pa.Table) -> pa.Table:
+    bid = t["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    bkey = t["band_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    key = (bkey << np.uint64(6)) | bid
+    return pa.table(
+        {"key": pa.array(key, type=pa.uint64()),
+         "doc_id": t["doc_id"],
+         "bucket": pa.array((key % np.uint64(16)).astype(np.int32), type=pa.int32())}
+    )
+
+
 def test_minhash_like(ray_session):
+    import os
+
+    if os.environ.get("REPRO") == "min":
+        # Round-3 minimized warmup: one actor-pool stage + one task map.
+        import ray.data
+
+        (ray.data.read_parquet(SF + "/documents.parquet")
+            .map_batches(_MinWarmupActor, batch_format="pyarrow", concurrency=2)
+            .map_batches(_min_warmup_tail, batch_format="pyarrow")
+            .to_pandas())
+        return
     # BOTH pipelines required — either alone leaves 6/6 clean
     from docinsight_ray.functions.dedup import q_minhash_lsh_pairs, q_ngram_jaccard_pairs
 

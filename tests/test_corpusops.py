@@ -195,3 +195,40 @@ def test_mixture_sample_rebalances_toward_uniform():
     assert kept.max() / max(kept.min(), 1) < sizes.max() / sizes.min()
     # deterministic
     assert t.equals(q_mixture_sample(SF).to_pandas())
+
+
+def test_unigram_surprisal_semantics(ray_session):
+    """unigram_surprisal: per-doc cost equals a brute-force LM built the
+    same way (top-LM_VOCAB by tf, OOV fold), rare terms cost more than
+    frequent ones, and the OOV path fires on the sf corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from docinsight_ray.functions.corpusops import (
+        LM_VOCAB,
+        _TOK2_RE,
+        q_unigram_surprisal,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_unigram_surprisal(sf).to_pandas().set_index("doc_id").sort_index()
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    toks = docs["text"].str.lower().str.findall(_TOK2_RE)
+    tf: dict[str, int] = {}
+    for ts in toks:
+        for t in ts:
+            tf[t] = tf.get(t, 0) + 1
+    total = sum(tf.values())
+    top = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:LM_VOCAB]
+    oov_tf = max(total - sum(c for _, c in top), 1)
+    cmap = {t: int(np.round(np.log(total / float(c)) * 1e6)) for t, c in top}
+    oov_cost = int(np.round(np.log(total / float(oov_tf)) * 1e6))
+
+    want_cost = toks.map(lambda ts: sum(cmap.get(t, oov_cost) for t in ts))
+    want_oov = toks.map(lambda ts: sum(1 for t in ts if t not in cmap))
+    assert (got["cost_micro"].to_numpy() == want_cost.to_numpy()[np.argsort(docs["doc_id"].to_numpy())]).all()
+    assert int(got["n_oov"].sum()) == int(want_oov.sum()) and int(got["n_oov"].sum()) > 0
+    # rarer vocab term → strictly higher per-token cost
+    costs_by_tf = sorted(((c, cmap[t]) for t, c in top), key=lambda x: x[0])
+    assert all(a[1] >= b[1] for a, b in zip(costs_by_tf, costs_by_tf[1:]))

@@ -543,3 +543,54 @@ def test_revenue_by_nation_parity_and_conservation():
     ).fetchone()[0]
     assert got["n_items"].sum() == n_chain
     assert (got["revenue_e4"] > 0).all()
+
+
+def test_pii_redact_semantics(ray_session):
+    """redact_pii_table on a hand-built PII fixture: emails, IPv4s and
+    phone runs become typed placeholders; clean text is untouched; the
+    gate op matches its DuckDB oracle including the seeded-PII rows."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    from docinsight_ray.functions.textstats import (
+        ORACLE_SQL,
+        q_pii_redact,
+        redact_pii_table,
+    )
+
+    fixture = pa.table(
+        {
+            "text": [
+                "mail bob.smith+x@ex-ample.co.uk today",
+                "hosts 10.0.255.1 192.168.1.77 up",
+                "call +1 415-555-0199 or 020-7946-0958",
+                "no pii here at all",
+                "a@b.io and 8.8.8.8 and 555-123-4567x",
+            ]
+        }
+    )
+    got = redact_pii_table(fixture)["text"].to_pylist()
+    assert got == [
+        "mail <EMAIL> today",
+        "hosts <IP> <IP> up",
+        "call <PHONE> or <PHONE>",
+        "no pii here at all",
+        "<EMAIL> and <IP> and <PHONE>x",
+    ]
+
+    # gate vs oracle on the real table (seeded PII fires on 2/3 of rows)
+    sf = "/root/testdata/sf0.001"
+    t = q_pii_redact(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    o = (
+        con.execute(ORACLE_SQL["pii_redact"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(t, o, check_dtype=False)
+    assert int(t["n_email"].sum()) > 0 and int(t["n_ip"].sum()) > 0
