@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
-from ..codec import delta_decode, delta_encode, varbyte_decode, varbyte_encode
+from ..codec import delta_decode, varbyte_decode, varbyte_encode, varbyte_lengths
 from ..config import EngineConfig
 from ..ids import doc_id_from_key, term_bucket
 from ..tokenizer import tokenize_text
@@ -73,44 +73,77 @@ def build_positional_index(
     """
     cfg = cfg or EngineConfig()
 
+    empty_out = pa.table(
+        {
+            "bucket": pa.array([], type=pa.int64()),
+            "term": pa.array([], type=pa.string()),
+            "doc_id": pa.array([], type=pa.uint64()),
+            "npos": pa.array([], type=pa.uint32()),
+            "pos_vb": pa.array([], type=pa.binary()),
+        }
+    )
+
     def explode(batch: pa.Table) -> pa.Table:
+        """Fully batch-vectorized (term, doc) position-list extraction:
+        one flat (term_id, doc_idx) lexsort over every token in the
+        batch, vectorized within-segment delta encode, ONE
+        ``varbyte_encode`` call over the whole batch, and zero-copy
+        binary slicing via an Arrow offsets buffer — no per-token or
+        per-posting Python work (the per-doc-dict version this
+        replaces was the build's bottleneck)."""
         if cfg.doc_id_mode == "column":
             doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         else:
             doc_ids = doc_id_from_key(
                 batch["repo"].to_pylist(), batch["path"].to_pylist(), batch["commit"].to_pylist()
             )
-        terms_out: list[str] = []
-        docs_out: list[int] = []
-        npos_out: list[int] = []
-        pvb_out: list[bytes] = []
-        for did, text in zip(doc_ids, batch["content"].to_pylist()):
-            toks = tokenize_text(text, cfg)
-            if not toks:
-                continue
-            by_term: dict[str, list[int]] = {}
-            for p, t in enumerate(toks):
-                by_term.setdefault(t, []).append(p)
-            for t, ps in by_term.items():
-                terms_out.append(t)
-                docs_out.append(int(did))
-                npos_out.append(len(ps))
-                pvb_out.append(
-                    varbyte_encode(delta_encode(np.asarray(ps, dtype=np.uint64)))
-                )
-        tarr = np.asarray(terms_out, dtype=object)
+        tok_lists = [tokenize_text(t, cfg) for t in batch["content"].to_pylist()]
+        lens = np.fromiter((len(ts) for ts in tok_lists), dtype=np.int64, count=len(tok_lists))
+        n_tok = int(lens.sum())
+        if n_tok == 0:
+            return empty_out
+        flat_terms = np.empty(n_tok, dtype=object)
+        pos = 0
+        for ts in tok_lists:
+            flat_terms[pos : pos + len(ts)] = ts
+            pos += len(ts)
+        doc_idx = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        tok_pos = (np.arange(n_tok, dtype=np.int64) - doc_starts[doc_idx]).astype(np.uint64)
+        uniq, inv = np.unique(flat_terms, return_inverse=True)
+        # sort every token by (term, doc); tok_pos stays ascending
+        # within each (term, doc) segment because the sort is stable
+        order = np.lexsort((doc_idx, inv))
+        inv_s, doc_s, pos_s = inv[order], doc_idx[order], tok_pos[order]
+        seg_start_mask = np.empty(n_tok, dtype=bool)
+        seg_start_mask[0] = True
+        np.logical_or(
+            inv_s[1:] != inv_s[:-1], doc_s[1:] != doc_s[:-1], out=seg_start_mask[1:]
+        )
+        seg_starts = np.flatnonzero(seg_start_mask)
+        npos = np.diff(np.append(seg_starts, n_tok)).astype(np.uint32)
+        # within-segment delta encode (first value absolute, diffs after)
+        deltas = pos_s.copy()
+        deltas[1:] -= pos_s[:-1]
+        deltas[seg_starts] = pos_s[seg_starts]
+        data = varbyte_encode(deltas)
+        byte_lens = np.add.reduceat(varbyte_lengths(deltas), seg_starts)
+        offsets = np.zeros(seg_starts.size + 1, dtype=np.int32)
+        np.cumsum(byte_lens, out=offsets[1:])
+        pos_vb = pa.Array.from_buffers(
+            pa.binary(), seg_starts.size,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)],
+        )
+        tarr = uniq[inv_s[seg_starts]]
         return pa.table(
             {
                 "bucket": pa.array(
-                    term_bucket(tarr, cfg.num_buckets).astype(np.int64)
-                    if tarr.size
-                    else np.empty(0, dtype=np.int64),
-                    type=pa.int64(),
+                    term_bucket(tarr, cfg.num_buckets).astype(np.int64), type=pa.int64()
                 ),
                 "term": pa.array(tarr, type=pa.string()),
-                "doc_id": pa.array(np.asarray(docs_out, dtype=np.uint64), type=pa.uint64()),
-                "npos": pa.array(np.asarray(npos_out, dtype=np.uint32), type=pa.uint32()),
-                "pos_vb": pa.array(pvb_out, type=pa.binary()),
+                "doc_id": pa.array(doc_ids[doc_s[seg_starts]], type=pa.uint64()),
+                "npos": pa.array(npos, type=pa.uint32()),
+                "pos_vb": pos_vb,
             }
         )
 
