@@ -247,6 +247,15 @@ def _run_suite(sf_dir: str, num_cpus: int) -> dict:
     with timed("prepare_corpus"):
         q_prepare_corpus(sf_dir)
 
+    # ---- compliance + quality scoring scans (pure streaming map_batches)
+    from docinsight_ray.functions.corpusops import q_unigram_surprisal
+    from docinsight_ray.functions.textstats import q_pii_redact
+
+    with timed("pii_redact"):
+        q_pii_redact(sf_dir)
+    with timed("unigram_surprisal"):
+        q_unigram_surprisal(sf_dir)
+
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     return {

@@ -162,6 +162,20 @@ def build_positional_index(
     return stats
 
 
+def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of two SORTED unique uint64 arrays via one
+    searchsorted — no re-sort (np.intersect1d concatenates + sorts,
+    which dominated the warm phrase-serving profile)."""
+    if a.size == 0 or b.size == 0:
+        return a[:0]
+    if a.size > b.size:
+        a, b = b, a
+    sel = np.searchsorted(b, a)
+    mask = sel < b.size
+    mask[mask] = b[sel[mask]] == a[mask]
+    return a[mask]
+
+
 class PhraseScorer:
     """Actor-pool phrase server over a positional index.
 
@@ -219,19 +233,28 @@ class PhraseScorer:
         t = pa.concat_tables(tables)
         docs = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         order = np.argsort(docs, kind="stable")
-        docs = docs[order]
-        npos = t["npos"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-        pvb = t["pos_vb"].to_pylist()
-        flat = (
-            np.concatenate(
-                [delta_decode(varbyte_decode(pvb[i], int(npos_i)))
-                 for i, npos_i in zip(order, npos)]
-            )
-            if docs.size
-            else np.empty(0, dtype=np.uint64)
+        # ONE varbyte decode over the whole term (entries joined in
+        # file order), vectorized per-segment cumsum (= delta_decode),
+        # then one gather into doc-sorted segment order — no
+        # per-posting Python decode calls
+        npos_f = t["npos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(npos_f.sum())
+        deltas = varbyte_decode(b"".join(t["pos_vb"].to_pylist()), total)
+        ends_f = np.cumsum(npos_f)
+        starts_f = ends_f - npos_f
+        cs = np.cumsum(deltas, dtype=np.uint64)
+        seg_prefix = np.where(starts_f > 0, cs[starts_f - 1], np.uint64(0))
+        pos_file = cs - np.repeat(seg_prefix, npos_f)
+        npos_s = npos_f[order]
+        ends_s = np.cumsum(npos_s)
+        starts_s = ends_s - npos_s
+        gather = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(starts_s, npos_s)
+            + np.repeat(starts_f[order], npos_s)
         )
-        offsets = np.concatenate([[0], np.cumsum(npos)])
-        out = (docs, flat, offsets)
+        offsets = np.concatenate([[0], ends_s])
+        out = (docs[order], pos_file[gather], offsets)
         self._cache[term] = out
         return out
 
@@ -250,7 +273,7 @@ class PhraseScorer:
         for i, (docs, _f, _o) in enumerate(posts):
             if i == rare:
                 continue
-            cand_docs = cand_docs[np.isin(cand_docs, docs, assume_unique=True)]
+            cand_docs = _intersect_sorted(cand_docs, docs)
         if cand_docs.size == 0:
             return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
         # composite keys: local doc index * 2^32 + (pos - phrase_offset)
@@ -284,7 +307,7 @@ class PhraseScorer:
         for i in range(1, len(words)):
             if starts.size == 0:
                 break
-            starts = np.intersect1d(starts, keys_for(i), assume_unique=True)
+            starts = _intersect_sorted(starts, keys_for(i))
         if starts.size == 0:
             return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
         local = (starts // SHIFT).astype(np.int64)
@@ -318,7 +341,7 @@ class PhraseScorer:
         for i, (docs, _f, _o) in enumerate(posts):
             if i == rare:
                 continue
-            cand_docs = cand_docs[np.isin(cand_docs, docs, assume_unique=True)]
+            cand_docs = _intersect_sorted(cand_docs, docs)
         if cand_docs.size == 0:
             return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
         # int64 keys: the window subtraction k-(1+slop) must not wrap
