@@ -1082,6 +1082,34 @@ FROM scores s JOIN documents d ON d.doc_id = s.doc_id
 GROUP BY s.query_id, d.lang
 """
 
+# Retrieval evaluation: relevance = conjunctive containment of all
+# distinct query terms; metrics over the BM25 top-k ranking.
+ORACLE_SQL["retrieval_eval"] = _bm25_cte(_BM25_VALUES) + f"""
+, nq AS (SELECT query_id, count(*)::BIGINT AS m FROM qt GROUP BY query_id),
+rel AS (
+  SELECT qt.query_id, tf.doc_id
+  FROM qt JOIN tf ON tf.term = qt.term
+  GROUP BY qt.query_id, tf.doc_id
+  HAVING count(*) = (SELECT m FROM nq WHERE nq.query_id = qt.query_id)
+),
+nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM rel GROUP BY query_id),
+topk AS (SELECT query_id, rank, doc_id FROM ranked WHERE rank < {TOPK}),
+hits AS (
+  SELECT t.query_id, count(*)::BIGINT AS hits_at_k, min(t.rank)::BIGINT AS first_rel_rank
+  FROM topk t JOIN rel r ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+  GROUP BY t.query_id
+)
+SELECT qq.query_id::BIGINT AS query_id,
+       coalesce(n.n_rel, 0)::BIGINT AS n_rel,
+       coalesce(h.hits_at_k, 0)::BIGINT AS hits_at_k,
+       coalesce(h.first_rel_rank, -1)::BIGINT AS first_rel_rank,
+       CASE WHEN h.first_rel_rank IS NULL THEN 0
+            ELSE round(1000000.0 / (h.first_rel_rank + 1))::BIGINT END AS rr_micro
+FROM (SELECT DISTINCT query_id FROM qt) qq
+LEFT JOIN nrel n USING (query_id)
+LEFT JOIN hits h USING (query_id)
+"""
+
 # RM3 pseudo-relevance feedback: pass-1 ranking (shared BM25 CTEs) →
 # feedback docs → tf·idf-weighted expansion candidates (original terms
 # excluded) → expanded term set → pass-2 scoring with the same formula.
@@ -1372,6 +1400,94 @@ FROM best
 ORDER BY rank LIMIT {TOPK}
 """
 
+def q_retrieval_eval(sf_dir: str) -> pa.Table:
+    """IR-quality evaluation of the engine's own ranking (SURVEY §2
+    G10 as a first-class distributed op, not just a test): relevance
+    for each fixed query is conjunctive containment (a document is
+    relevant iff it contains ALL the query's distinct terms), and the
+    op reports per-query n_rel, hits@k over the BM25 top-``TOPK``,
+    the first relevant rank, and the integer reciprocal rank
+    (round(1e6/(rank+1)); 0 when no relevant doc is retrieved).
+
+    Scale shape: the corpus pass emits a CONSTANT 8 rows per batch —
+    a partial relevant-doc count plus a bitmask of which top-k ranks
+    were hit (top-k doc→rank maps broadcast once via ``ray.put``;
+    counts sum, bitmasks OR) — so the reduce is O(queries), never
+    O(relevant docs)."""
+    import pandas as pd
+
+    topk = q_bm25_topk(sf_dir).to_pandas()
+    qterms = {
+        qid: frozenset(tokenize_text(text, SQL_PARITY_CONFIG))
+        for qid, text in DOC_QUERIES
+    }
+    rank_of = {
+        qid: dict(
+            zip(
+                topk.loc[topk.query_id == qid, "doc_id"].astype("int64"),
+                topk.loc[topk.query_id == qid, "rank"].astype("int64"),
+            )
+        )
+        for qid, _ in DOC_QUERIES
+    }
+    qt_ref = ray.put((qterms, rank_of))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qts, rk = ray.get(qt_ref)
+        sets = [
+            set(tokenize_text(t, SQL_PARITY_CONFIG)) for t in batch["text"].tolist()
+        ]
+        dids = batch["doc_id"].astype("int64").to_numpy()
+        out_q, out_n, out_m = [], [], []
+        for qid, terms in qts.items():
+            n_rel = 0
+            mask = 0
+            for d, s in zip(dids, sets):
+                if terms <= s:
+                    n_rel += 1
+                    r = rk[qid].get(int(d))
+                    if r is not None:
+                        mask |= 1 << int(r)
+            out_q.append(qid)
+            out_n.append(n_rel)
+            out_m.append(mask)
+        return pd.DataFrame(
+            {
+                "query_id": np.asarray(out_q, dtype=np.int64),
+                "n_rel": np.asarray(out_n, dtype=np.int64),
+                "hit_mask": np.asarray(out_m, dtype=np.int64),
+            }
+        )
+
+    from ..collect import collect_table
+
+    empty = pa.schema([("query_id", pa.int64()), ("n_rel", pa.int64()), ("hit_mask", pa.int64())])
+    parts = collect_table(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        ).map_batches(partial, batch_format="pandas"),
+        empty,
+    ).to_pandas()
+    rows = []
+    for qid, _ in DOC_QUERIES:
+        g = parts[parts.query_id == qid]
+        n_rel = int(g["n_rel"].sum())
+        mask = int(np.bitwise_or.reduce(g["hit_mask"].to_numpy())) if len(g) else 0
+        hits = bin(mask).count("1")
+        first = (mask & -mask).bit_length() - 1 if mask else -1
+        rr = int(np.round(1e6 / (first + 1))) if first >= 0 else 0
+        rows.append((qid, n_rel, hits, first, rr))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "n_rel": pa.array([r[1] for r in rows], type=pa.int64()),
+            "hits_at_k": pa.array([r[2] for r in rows], type=pa.int64()),
+            "first_rel_rank": pa.array([r[3] for r in rows], type=pa.int64()),
+            "rr_micro": pa.array([r[4] for r in rows], type=pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "docs_registry": q_docs_registry,
     "corpus_stats": q_corpus_stats,
@@ -1395,4 +1511,5 @@ QUERIES = {
     "bm25_conjunctive": q_bm25_conjunctive,
     "bm25_doc_query": q_bm25_doc_query,
     "exact_dedup": q_exact_dedup,
+    "retrieval_eval": q_retrieval_eval,
 }

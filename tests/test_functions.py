@@ -594,3 +594,35 @@ def test_pii_redact_semantics(ray_session):
     )
     pd.testing.assert_frame_equal(t, o, check_dtype=False)
     assert int(t["n_email"].sum()) > 0 and int(t["n_ip"].sum()) > 0
+
+
+def test_retrieval_eval_invariants(ray_session):
+    """retrieval_eval: metrics are internally consistent (hits bounded
+    by min(TOPK, n_rel); rr_micro follows first_rel_rank; a query with
+    no conjunctive matches scores zero) and match the DuckDB oracle."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from docinsight_ray.pipelines.documents import ORACLE_SQL, TOPK, q_retrieval_eval
+
+    sf = "/root/testdata/sf0.001"
+    t = q_retrieval_eval(sf).to_pandas().sort_values("query_id").reset_index(drop=True)
+    assert (t["hits_at_k"] <= np.minimum(t["n_rel"], TOPK)).all()
+    for _, r in t.iterrows():
+        if r["first_rel_rank"] >= 0:
+            assert r["rr_micro"] == int(np.round(1e6 / (r["first_rel_rank"] + 1)))
+            assert r["hits_at_k"] >= 1
+        else:
+            assert r["rr_micro"] == 0 and r["hits_at_k"] == 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    o = (
+        con.execute(ORACLE_SQL["retrieval_eval"])
+        .df()
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(t, o, check_dtype=False)
