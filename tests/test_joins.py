@@ -116,3 +116,94 @@ def test_sharded_dedup_join_path_identical(ray_session, tmp_path):
         sub = out[out.query_id == qid].sort_values("rank")
         np.testing.assert_array_equal(sub.doc_id.to_numpy(dtype=np.uint64), od)
         np.testing.assert_array_equal(sub.score.to_numpy(), osc)
+
+
+def test_bloom_key_set_filter_identity(ray_session):
+    """bloom_key_set_filter == anti_join as a row set (exactness: the
+    Bloom has no false negatives, the maybe-branch is join-verified),
+    and the Bloom routes the vast majority of new rows around the
+    shuffle (maybe-fraction ≈ dupes + FPR)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docinsight_ray.joins import (
+        anti_join,
+        bloom_key_set_filter,
+        bloom_might_contain,
+        build_bloom,
+    )
+
+    rng = np.random.default_rng(11)
+    seen = [f"sha-{i:06d}" for i in range(5000)]
+    # left: 1000 true dupes + 9000 new keys
+    left_keys = seen[:1000] + [f"new-{i:06d}" for i in range(9000)]
+    rng.shuffle(left_keys)
+    left_tbl = pa.table(
+        {
+            "content_sha256": pa.array(left_keys, type=pa.string()),
+            "payload": pa.array(np.arange(len(left_keys), dtype=np.int64)),
+        }
+    )
+    keys_ds = ray.data.from_arrow(
+        pa.table({"content_sha256": pa.array(seen, type=pa.string())})
+    )
+
+    got = (
+        bloom_key_set_filter(
+            lambda: ray.data.from_arrow(left_tbl),
+            keys_ds,
+            "content_sha256",
+            n_keys=len(seen),
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("payload")
+        .reset_index(drop=True)
+    )
+    want = (
+        anti_join(ray.data.from_arrow(left_tbl), keys_ds, "content_sha256", 4)
+        .to_pandas()
+        .sort_values("payload")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    assert len(got) == 9000  # every dupe dropped, every new row kept
+
+    # no false negatives + bounded false-positive rate on fresh keys
+    bm_bytes, m, k = build_bloom(keys_ds, "content_sha256", len(seen))
+    bm = np.frombuffer(bm_bytes, dtype=np.uint8)
+    members = pa.array(seen, type=pa.string())
+    assert bloom_might_contain(members, bm, m, k).all()
+    fresh = pa.array([f"probe-{i}" for i in range(20000)], type=pa.string())
+    fpr = float(bloom_might_contain(fresh, bm, m, k).mean())
+    assert fpr < 0.05, fpr
+
+
+def test_bloom_key_set_filter_int_keys(ray_session):
+    """Same exactness for fixed-width (uint64 doc_id) keys, including
+    full-range values (sign bit set)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docinsight_ray.joins import anti_join, bloom_key_set_filter
+
+    rng = np.random.default_rng(5)
+    seen = rng.integers(0, 2**63, size=2000, dtype=np.uint64) | np.uint64(1) << np.uint64(63)
+    new = rng.integers(0, 2**62, size=6000, dtype=np.uint64)
+    left = np.concatenate([seen[:500], new])
+    rng.shuffle(left)
+    left_tbl = pa.table({"doc_id": pa.array(left, type=pa.uint64())})
+    keys_ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(seen, type=pa.uint64())}))
+    got = (
+        bloom_key_set_filter(
+            lambda: ray.data.from_arrow(left_tbl), keys_ds, "doc_id",
+            n_keys=len(seen), num_partitions=4,
+        ).to_pandas()["doc_id"].sort_values().reset_index(drop=True)
+    )
+    want = (
+        anti_join(ray.data.from_arrow(left_tbl), keys_ds, "doc_id", 4)
+        .to_pandas()["doc_id"].sort_values().reset_index(drop=True)
+    )
+    assert got.equals(want) and len(got) == 6000
