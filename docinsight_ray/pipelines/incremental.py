@@ -64,9 +64,20 @@ def append_window(
     index_root: str,
     window_id: str,
     cfg: EngineConfig | None = None,
+    corpus_factory=None,
 ) -> list[str]:
     """Index one corpus window and refresh global stats across all
-    windows. Returns the current window dir list."""
+    windows. Returns the current window dir list.
+
+    ``corpus_factory`` (optional zero-arg callable recreating
+    ``corpus_window``, e.g. a column-pruned ``read_parquet``): when
+    given AND the seen-sha set exceeds ``cfg.broadcast_limit``, the
+    cross-window dedup runs through ``joins.bloom_key_set_filter`` —
+    definitely-new rows bypass the anti-join shuffle entirely and only
+    the maybe-seen sliver is join-verified (the 100-TB append shape:
+    the seen set dwarfs the broadcast budget while most of the new
+    window is genuinely new). Without it, the proven
+    broadcast/anti-join auto path runs unchanged."""
     cfg = cfg or EngineConfig()
 
     if cfg.dedup:
@@ -107,16 +118,29 @@ def append_window(
             # read_parquet rejects a LIST of directories — expand to files
             docs_files = [f for dd in docs_dirs for f in read_parquet_files(dd)]
             seen_ds = ray.data.read_parquet(docs_files, columns=["content_sha256"])
-            corpus_window = key_set_filter(
-                corpus_window.map_batches(
-                    with_sha, batch_format="pyarrow", zero_copy_batch=True
-                ),
-                seen_ds,
-                "content_sha256",
-                n_keys=n_seen,
-                broadcast_limit=cfg.broadcast_limit,
-                num_partitions=cfg.num_buckets,
-            ).drop_columns(["content_sha256"])
+            if corpus_factory is not None and n_seen > cfg.broadcast_limit:
+                from ..joins import bloom_key_set_filter
+
+                corpus_window = bloom_key_set_filter(
+                    lambda: corpus_factory().map_batches(
+                        with_sha, batch_format="pyarrow", zero_copy_batch=True
+                    ),
+                    seen_ds,
+                    "content_sha256",
+                    n_keys=n_seen,
+                    num_partitions=cfg.num_buckets,
+                ).drop_columns(["content_sha256"])
+            else:
+                corpus_window = key_set_filter(
+                    corpus_window.map_batches(
+                        with_sha, batch_format="pyarrow", zero_copy_batch=True
+                    ),
+                    seen_ds,
+                    "content_sha256",
+                    n_keys=n_seen,
+                    broadcast_limit=cfg.broadcast_limit,
+                    num_partitions=cfg.num_buckets,
+                ).drop_columns(["content_sha256"])
 
     d = os.path.join(index_root, f"window={window_id}")
     build_index(corpus_window, d, cfg, fingerprint=f"window:{window_id}")

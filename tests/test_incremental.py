@@ -190,3 +190,42 @@ def test_compaction_rank_identical_and_crash_safe(ray_session, tmp_path):
     # still identical through a single sub-index
     assert not any(os.path.basename(d) in ("window=000", "window=001") for d in live)
     check("fully-compacted")
+
+
+def test_cross_window_dedup_bloom_path(ray_session, tmp_path):
+    """Same contract with broadcast_limit=0 AND a corpus_factory: the
+    seen-sha filter runs through the Bloom shuffle-bypass tier
+    (definitely-new rows skip the anti-join; maybe-seen rows are
+    join-verified) and the result is identical to the join path."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    cfg = EngineConfig(num_buckets=8, dedup=True, broadcast_limit=0)
+    corpus = gen_corpus(120, seed=17, with_cases=False)
+    root = str(tmp_path / "ddb")
+    append_window(ray.data.from_arrow(corpus.slice(0, 60)), root, "000", cfg)
+    w2 = pa.concat_tables([
+        corpus.slice(0, 30).set_column(
+            0, "repo", pa.array(["later/" + r for r in corpus.slice(0, 30)["repo"].to_pylist()])
+        ),
+        corpus.slice(60, 30),
+    ])
+    append_window(
+        ray.data.from_arrow(w2), root, "001", cfg,
+        corpus_factory=lambda: ray.data.from_arrow(w2),
+    )
+    s1 = json.load(open(os.path.join(root, "window=001", "corpus_stats.json")))
+    assert s1["shard_n_docs"] == 30, "only the 30 new docs may survive the bloom-path filter"
+    assert s1["n_docs"] == 90
+    oracle = OracleIndex(corpus.slice(0, 90), cfg)
+    queries = gen_queries(corpus, n_keyword=5, seed=17)
+    qds = ray.data.from_arrow(queries_table(queries))
+    out = query_windows(qds, root, cfg, mode="taat").to_pandas()
+    for qid, text, k in queries:
+        od, osc = oracle.score(text, k)
+        sub = out[out.query_id == qid].sort_values("rank")
+        np.testing.assert_array_equal(sub.doc_id.to_numpy(dtype=np.uint64), od)
+        np.testing.assert_array_equal(sub.score.to_numpy(), osc)
