@@ -295,6 +295,25 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Tombstone documents in a windowed index by content sha256 or
+    doc_id (Lucene-style deletes: excluded from every query
+    immediately, removed physically at the next compaction;
+    pipelines/incremental.py:delete_docs). The operational analogue of
+    the reference's cascading purge
+    (/root/reference/docinsight_cli.py:184-207), without a rebuild."""
+    _init_ray(args.num_cpus)
+    from .pipelines.incremental import delete_docs
+
+    n = delete_docs(
+        args.index_root,
+        doc_ids=[int(d) for d in args.doc_ids] or None,
+        shas=args.shas or None,
+    )
+    print(json.dumps({"tombstoned": n}))
+    return 0
+
+
 def cmd_purge(args) -> int:
     """GC an index directory: staging leftovers, interrupted-write tmp
     files, stale-fingerprint manifests; ``--all`` cascades to a full
@@ -413,6 +432,15 @@ def main(argv=None) -> int:
                    help="leave source windows on disk (query-excluded by marker)")
     c.add_argument("--tokenizer", default="code", choices=["code", "simple"])
     c.set_defaults(fn=cmd_compact)
+
+    dl = sub.add_parser("delete", parents=[common],
+                        help="tombstone docs in a windowed index (applied at compaction)")
+    dl.add_argument("index_root")
+    dl.add_argument("--sha", dest="shas", action="append", default=[],
+                    help="content sha256 to delete (repeatable)")
+    dl.add_argument("--doc-id", dest="doc_ids", action="append", default=[],
+                    help="doc_id to delete (repeatable)")
+    dl.set_defaults(fn=cmd_delete)
 
     g = sub.add_parser("purge", parents=[common],
                        help="GC staging leftovers / stale manifests from an index dir")

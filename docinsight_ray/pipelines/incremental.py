@@ -23,6 +23,12 @@ Caveat (documented, matching sharded.py): exact dedup across windows
 requires a global (sha → winner) pre-pass; with dedup enabled, a
 duplicate arriving in a LATER window than its original is dropped via
 the cross-window loser filter below.
+
+Deletes: ``delete_docs`` tombstones documents (append-only parquet
+under ``index_root/tombstones``); ``query_windows`` excludes them
+immediately (scores keep pre-delete statistics — Lucene deleted-docs
+semantics) and ``compact_windows`` removes them physically, after
+which statistics are exact again.
 """
 
 from __future__ import annotations
@@ -117,7 +123,14 @@ def append_window(
 
             # read_parquet rejects a LIST of directories — expand to files
             docs_files = [f for dd in docs_dirs for f in read_parquet_files(dd)]
-            seen_ds = ray.data.read_parquet(docs_files, columns=["content_sha256"])
+            # tombstoned docs must NOT count as "seen": deleted content
+            # re-ingested under a new key is corpus again, not a dup
+            # (n_seen stays the pre-filter upper bound — safe for
+            # broadcast sizing and the Bloom n_keys estimate)
+            seen_ds = _drop_tombstoned(
+                ray.data.read_parquet(docs_files, columns=["content_sha256", "doc_id"]),
+                _tombstone_ids(index_root),
+            ).drop_columns(["doc_id"])
             if corpus_factory is not None and n_seen > cfg.broadcast_limit:
                 from ..joins import bloom_key_set_filter
 
@@ -159,6 +172,114 @@ def append_window(
     return dirs
 
 
+def _drop_tombstoned(ds: "ray.data.Dataset", dead) -> "ray.data.Dataset":
+    """Filter rows whose uint64 ``doc_id`` is in the sorted ``dead``
+    array (broadcast once via ray.put; sorted-probe per batch)."""
+    if dead is None or not len(dead):
+        return ds
+    ref = ray.put(dead)
+
+    def drop(t: pa.Table, _r=ref) -> pa.Table:
+        import numpy as np
+
+        da = ray.get(_r)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pos = np.minimum(np.searchsorted(da, ids), da.size - 1)
+        return t.filter(pa.array(da[pos] != ids))
+
+    return ds.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _tombstone_ids(index_root: str):
+    """Sorted uint64 doc_ids tombstoned under ``index_root/tombstones``
+    (empty array when none)."""
+    import numpy as np
+
+    from ..state.fsio import glob_parquet
+
+    import pyarrow.parquet as pq
+
+    files = glob_parquet(os.path.join(index_root, "tombstones"))
+    if not files:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(
+        np.concatenate(
+            [
+                pq.read_table(f, columns=["doc_id"])["doc_id"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+                for f in files
+            ]
+        )
+    )
+
+
+def delete_docs(
+    index_root: str,
+    doc_ids=None,
+    shas: list[str] | None = None,
+    cfg: EngineConfig | None = None,
+) -> int:
+    """Tombstone documents in a windowed index (Lucene-style deletes —
+    the capability the reference lacks entirely: its FAISS index can
+    only REBUILD to remove, /root/reference/index/faiss_index.py:243-266).
+
+    Writes an append-only, content-addressed tombstone parquet under
+    ``index_root/tombstones/`` (idempotent: re-deleting the same set
+    overwrites the same file). ``query_windows`` then excludes the
+    doc_ids from every result while corpus statistics stay pre-delete
+    (the standard deleted-docs contract); ``compact_windows`` applies
+    tombstones physically and recomputes exact statistics.
+
+    ``shas`` are resolved to doc_ids against the live windows' docs
+    registries via a distributed narrow read (only matches reach the
+    driver). Unknown shas are no-ops. Returns the number of doc_ids
+    tombstoned by THIS call."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..collect import collect_table
+    from ..state.fsio import makedirs as fs_makedirs, read_parquet_files, write_parquet_atomic
+
+    ids: list = list(doc_ids or [])
+    if shas:
+        superseded = _compacted_sources(index_root)
+        docs_files = []
+        for d in _window_dirs(index_root):
+            if os.path.basename(d) in superseded or _window_stats(d) is None:
+                continue
+            dd = os.path.join(d, "docs")
+            docs_files.extend(read_parquet_files(dd))
+        if docs_files:
+            want = pa.array(sorted(set(shas)), type=pa.string())
+
+            def matches(t: pa.Table) -> pa.Table:
+                m = pc.is_in(t["content_sha256"].combine_chunks(), value_set=want)
+                return t.filter(m).select(["doc_id", "content_sha256"])
+
+            hits = collect_table(
+                ray.data.read_parquet(
+                    docs_files, columns=["doc_id", "content_sha256"]
+                ).map_batches(matches, batch_format="pyarrow", zero_copy_batch=True),
+                empty_schema=pa.schema(
+                    [("doc_id", pa.uint64()), ("content_sha256", pa.string())]
+                ),
+            )
+            ids.extend(hits["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
+    if not ids:
+        return 0
+    arr = np.unique(np.asarray(ids, dtype=np.uint64))
+    tag = hashlib.sha256(arr.tobytes()).hexdigest()[:16]
+    fs_makedirs(os.path.join(index_root, "tombstones"))
+    write_parquet_atomic(
+        pa.table({"doc_id": pa.array(arr, type=pa.uint64())}),
+        os.path.join(index_root, "tombstones", f"tomb-{tag}.parquet"),
+    )
+    return int(arr.size)
+
+
 class _PostingsDecoder:
     """Actor-pool stage for compaction: one source postings part file →
     SPIMI fragment rows (term, doc_id, tf, doc_len) + df sidecar,
@@ -177,9 +298,19 @@ class _PostingsDecoder:
     (build.py hot detection) holds ACROSS windows: global df ≥
     ratio·Σn_w implies some window has df_w ≥ ratio·n_w."""
 
-    def __init__(self, frag_dir: str, dfstats_dir: str):
+    def __init__(self, frag_dir: str, dfstats_dir: str, dead_ref=None):
         self.frag_dir = frag_dir
         self.dfstats_dir = dfstats_dir
+        # tombstoned doc_ids (sorted uint64, ray.put once driver-side):
+        # dropped from every decoded posting list, so compaction applies
+        # deletes physically and the rebuild's stats exclude them
+        import numpy as np
+
+        if dead_ref is None:
+            self._dead = np.empty(0, dtype=np.uint64)
+        else:  # ObjectRef, or already resolved by the actor call path
+            v = ray.get(dead_ref) if isinstance(dead_ref, ray.ObjectRef) else dead_ref
+            self._dead = np.asarray(v, dtype=np.uint64)
         self._dl: dict[str, tuple] = {}  # window dir → (sorted ids, lens)
 
     def _doc_lens(self, wdir: str):
@@ -217,25 +348,33 @@ class _PostingsDecoder:
                 continue
             dl_ids, dl_lens = self._doc_lens(wdir)
             terms_out, ids_out, tfs_out, lens_out = [], [], [], []
+            dead = self._dead
             for term, df, dvb, tvb in zip(
                 t["term"].to_pylist(), t["df"].to_pylist(),
                 t["doc_ids_vb"].to_pylist(), t["tfs_vb"].to_pylist(),
             ):
                 d, f = decode_posting(dvb, tvb, int(df))
+                if dead.size:
+                    pos = np.minimum(np.searchsorted(dead, d), dead.size - 1)
+                    keep = dead[pos] != d
+                    d, f = d[keep], f[keep]
+                    if d.size == 0:
+                        continue
                 terms_out.append(np.full(d.size, term, dtype=object))
                 ids_out.append(d)
                 tfs_out.append(f.astype(np.uint32))
                 lens_out.append(dl_lens[np.searchsorted(dl_ids, d)])
-            frag = pa.table(
-                {
-                    "term": pa.array(np.concatenate(terms_out), type=pa.string()),
-                    "doc_id": pa.array(np.concatenate(ids_out), type=pa.uint64()),
-                    "tf": pa.array(np.concatenate(tfs_out), type=pa.uint32()),
-                    "doc_len": pa.array(np.concatenate(lens_out), type=pa.uint32()),
-                }
-            )
             tag = hashlib.sha256(fpath.encode()).hexdigest()[:20]
-            write_parquet_atomic(frag, f"{self.frag_dir}/frag-{tag}-{frag.num_rows}.parquet")
+            if terms_out:  # tombstones can empty an entire parts file
+                frag = pa.table(
+                    {
+                        "term": pa.array(np.concatenate(terms_out), type=pa.string()),
+                        "doc_id": pa.array(np.concatenate(ids_out), type=pa.uint64()),
+                        "tf": pa.array(np.concatenate(tfs_out), type=pa.uint32()),
+                        "doc_len": pa.array(np.concatenate(lens_out), type=pa.uint32()),
+                    }
+                )
+                write_parquet_atomic(frag, f"{self.frag_dir}/frag-{tag}-{frag.num_rows}.parquet")
             side = pa.table(
                 {
                     "term": t["term"],
@@ -308,13 +447,21 @@ def compact_windows(
     if not sources:
         raise FileNotFoundError(f"compact_windows: no committed windows under {index_root}")
     src_names = sorted(os.path.basename(d) for d, _ in sources)
+    # tombstones (delete_docs) are applied PHYSICALLY here: their
+    # identity is part of the staging fingerprint, so deleting more
+    # docs and re-compacting never reuses stale pre-delete staging
+    dead = _tombstone_ids(index_root)
+    tdig = hashlib.sha256(dead.tobytes()).hexdigest()[:10] if dead.size else "none"
     if out_window_id is None:
-        out_window_id = "compact-" + hashlib.sha256("|".join(src_names).encode()).hexdigest()[:10]
+        out_window_id = (
+            "compact-"
+            + hashlib.sha256(("|".join(src_names) + "#" + tdig).encode()).hexdigest()[:10]
+        )
     out_dir = os.path.join(index_root, f"window={out_window_id}")
     if os.path.basename(out_dir) in src_names:
         raise ValueError(f"compact_windows: output window id collides with a source: {out_window_id}")
 
-    fingerprint = f"compact:{out_window_id}:{','.join(src_names)}"
+    fingerprint = f"compact:{out_window_id}:{','.join(src_names)}:tomb={tdig}"
     inner_fp = f"{fingerprint}:{cfg.config_hash()}"
     man_dir = os.path.join(out_dir, "manifest")
     if "docs" not in committed_parts(man_dir, inner_fp):
@@ -336,10 +483,16 @@ def compact_windows(
                 closure.update(json.loads(prior))
         atomic_write_bytes(os.path.join(out_dir, "_COMPACTED_FROM"),
                            json.dumps(sorted(closure)).encode())
-        # 2. union docs registries (narrow metadata, one pass)
+        # 2. union docs registries (narrow metadata, one pass),
+        # dropping tombstoned docs — the rebuild's stats (n_docs,
+        # avgdl, df) then exclude them exactly
+        dead_ref = ray.put(dead) if dead.size else None
         docs_files = [f for d, _ in sources for f in glob_parquet(os.path.join(d, "docs"))]
-        ray.data.read_parquet(docs_files).write_parquet(docs_dir)
-        # 1. decode postings → fragments (+ sidecars)
+        _drop_tombstoned(ray.data.read_parquet(docs_files), dead).write_parquet(docs_dir)
+        # 1. decode postings → fragments (+ sidecars). Note: df
+        # sidecars keep PRE-delete pdf/ndocs — the exact candidate-df
+        # pass corrects over-estimates, and a (rare, delete-heavy)
+        # missed hot term only inflates one merge group, never results
         items = []
         for d, s in sources:
             wdocs = s.get("shard_n_docs", s["n_docs"])
@@ -348,7 +501,7 @@ def compact_windows(
         if items:
             ray.data.from_items(items).map_batches(
                 _PostingsDecoder,
-                fn_constructor_args=(frag_dir, dfstats_dir),
+                fn_constructor_args=(frag_dir, dfstats_dir, dead_ref),
                 batch_format="pyarrow",
                 batch_size=4,
                 concurrency=4,
@@ -373,6 +526,12 @@ def compact_windows(
         for d in _window_dirs(index_root):
             if os.path.basename(d) in superseded:
                 fs_rmtree(d)
+    # a FULL compaction (every live window was a source) has applied
+    # every tombstone physically — clear them. Partial compactions keep
+    # the tombstones: untouched windows may still hold the doc_ids, and
+    # a tombstone for an already-removed doc is a harmless no-op.
+    if dead.size and len(sources) == len(committed):
+        fs_rmtree(os.path.join(index_root, "tombstones"))
     live = _compacted_sources(index_root)
     remaining = [
         d for d in _window_dirs(index_root)
@@ -406,8 +565,15 @@ def query_windows(
     concurrency_per_window: int = 1,
 ) -> "ray.data.Dataset":
     """Fan queries over all window sub-indexes; exact top-k merge
-    (same shape as sharded.query_sharded)."""
+    (same shape as sharded.query_sharded). Docs tombstoned via
+    ``delete_docs`` are excluded from every result (each scorer actor
+    reads the small tombstones dir once; scores of surviving docs keep
+    the pre-delete corpus statistics until compaction)."""
+    from ..state.fsio import glob_parquet
+
     cfg = cfg or EngineConfig()
+    tomb_dir = os.path.join(index_root, "tombstones")
+    tomb: str | None = tomb_dir if glob_parquet(tomb_dir) else None
     excluded = _compacted_sources(index_root)
     dirs = []
     for d in _window_dirs(index_root):
@@ -426,6 +592,7 @@ def query_windows(
         queries.map_batches(
             BM25Scorer,
             fn_constructor_args=(d, cfg, mode, True),  # emit_k: carry k to the merge
+            fn_constructor_kwargs={"exclude_doc_ids": tomb},
             batch_format="pyarrow",
             batch_size=cfg.query_batch_size,
             concurrency=concurrency_per_window,

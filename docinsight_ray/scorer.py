@@ -243,6 +243,7 @@ class BM25Scorer:
         max_loaded_parts: int | None = None,
         doc_filter: tuple[str, tuple] | None = None,
         exclude_terms: tuple[str, ...] | None = None,
+        exclude_doc_ids=None,
     ):
         from .state.fsio import exists as fs_exists, glob_parquet, read_bytes
 
@@ -352,6 +353,39 @@ class BM25Scorer:
         if not self.max_loaded_parts:  # eager: load everything now
             for name in sorted(self._part_files):
                 self._load_part(name)
+
+        # tombstoned / explicitly-deleted docs (Lucene deleted-docs
+        # semantics: excluded from every result, corpus stats stay
+        # pre-delete until a compaction rewrites them — the reference
+        # can only rebuild to remove, faiss_index.py:243-266).
+        # Accepts a doc_id sequence or a tombstone parquet dir/file
+        # path (doc_id uint64 column) read ONCE per actor; folded into
+        # the same sorted `_allowed` array as the metadata filter, so
+        # every pruning mode stays exact with zero new mask sites.
+        if exclude_doc_ids is not None:
+            if isinstance(exclude_doc_ids, str):
+                from .state.fsio import glob_parquet as _gp
+
+                tfiles = _gp(exclude_doc_ids)
+                dead = (
+                    np.unique(
+                        np.concatenate(
+                            [
+                                pq.read_table(f, columns=["doc_id"])["doc_id"]
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.uint64)
+                                for f in tfiles
+                            ]
+                        )
+                    )
+                    if tfiles
+                    else np.empty(0, dtype=np.uint64)
+                )
+            else:
+                dead = np.asarray(exclude_doc_ids, dtype=np.uint64)
+            if dead.size:
+                base = self._allowed if self._allowed is not None else self._dl_docid
+                self._allowed = np.setdiff1d(base, dead)
 
         # negated-term retrieval (boolean NOT): docs containing ANY
         # excluded term are removed from the candidate universe. The
@@ -960,6 +994,7 @@ def query_index(
     max_loaded_parts: int | None = None,
     doc_filter: tuple[str, tuple] | None = None,
     exclude_terms: tuple[str, ...] | None = None,
+    exclude_doc_ids=None,
 ):
     """queries Dataset (query_id, text, k) → results Dataset via the
     scorer actor pool. ``max_loaded_parts`` > 0 serves with the
@@ -968,12 +1003,15 @@ def query_index(
     registry metadata matches — resolved once per actor, applied at
     posting decode, exact under every pruning mode.
     ``exclude_terms`` removes every doc containing any of the given
-    terms (boolean NOT) before ranking — same exactness contract."""
+    terms (boolean NOT) before ranking — same exactness contract.
+    ``exclude_doc_ids`` (doc_id array or tombstone parquet dir path)
+    removes specific documents — deleted-docs semantics."""
     cfg = cfg or EngineConfig()
     return queries.map_batches(
         BM25Scorer,
         fn_constructor_args=(
             index_dir, cfg, mode, False, max_loaded_parts, doc_filter, exclude_terms,
+            exclude_doc_ids,
         ),
         batch_format="pyarrow",
         batch_size=cfg.query_batch_size,
