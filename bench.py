@@ -67,7 +67,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     finally:
         for d in (f"/tmp/docinsight_bench/idx-{num_cpus}-{os.getpid()}",
                   f"/tmp/docinsight_bench/shidx-{num_cpus}-{os.getpid()}",
-                  f"/tmp/docinsight_bench/pos-{num_cpus}-{os.getpid()}"):
+                  f"/tmp/docinsight_bench/pos-{num_cpus}-{os.getpid()}",
+                  f"/tmp/docinsight_bench/inc-{num_cpus}-{os.getpid()}"):
             shutil.rmtree(d, ignore_errors=True)
 
 
@@ -183,6 +184,28 @@ def _run_suite(sf_dir: str, num_cpus: int) -> dict:
         n_sh = query_sharded(qds, sh_dir, 2, cfg, mode="maxscore",
                              concurrency_per_shard=max(1, num_cpus // 8)).count()
     extra["sharded_qps"] = round(len(queries) / timings["sharded_serving"], 1)
+
+    # ---- windowed incremental lifecycle: two appends → tombstone
+    # deletes → serving with serve-time exclusion → segment compaction
+    # (the ops path a long-running 100-TB deployment exercises daily)
+    from docinsight_ray.ids import sha256_hex
+    from docinsight_ray.pipelines.incremental import (
+        append_window, compact_windows, delete_docs, query_windows,
+    )
+
+    inc_root = f"/tmp/docinsight_bench/inc-{num_cpus}-{os.getpid()}"
+    with timed("incremental_append"):
+        halves = ray.data.read_parquet(corpus_path).split(2, equal=True)
+        for i, h in enumerate(halves):
+            append_window(h, inc_root, f"{i:03d}", cfg)
+    with timed("tombstone_delete"):
+        head = pq_mod.read_table(corpus_path, columns=["content"]).slice(0, BENCH_DOCS // 32)
+        delete_docs(inc_root, shas=list(sha256_hex(head["content"].to_pylist())))
+    with timed("windowed_serving_tombstoned"):
+        qds = ray.data.from_arrow(queries_table(queries)).repartition(max(8, num_cpus))
+        query_windows(qds, inc_root, cfg, mode="maxscore").count()
+    with timed("window_compaction"):
+        compact_windows(inc_root, cfg=cfg)
 
     # ---- breadth pipelines over the sf tables
     from docinsight_ray.functions.dedup import q_minhash_lsh_pairs

@@ -610,6 +610,105 @@ def q_bm25_filtered(sf_dir: str) -> pa.Table:
     return q_bm25_topk(sf_dir, mode="maxscore", doc_filter=("lang", FILTER_LANGS))
 
 
+# deletion gate: deterministic tombstone set, SQL-expressible
+TOMB_MOD, TOMB_REM = 31, 7
+
+_WINDOWED_CACHE: dict[str, str] = {}
+
+
+def ensure_windowed_index(sf_dir: str) -> str:
+    """Two-window incremental build over the documents table (windows
+    split by doc_id parity — deterministic), memoized like
+    ensure_index; append_window's per-window fingerprints make
+    repeated calls resume no-ops."""
+    from .incremental import append_window
+
+    key = f"{sf_dir}:{SQL_PARITY_CONFIG.config_hash()}"
+    if key in _WINDOWED_CACHE:
+        return _WINDOWED_CACHE[key]
+    safe = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(
+        "/tmp", "docinsight_ray_idx", f"{safe}-win-{SQL_PARITY_CONFIG.config_hash()}"
+    )
+    for wid, rem in (("000", 0), ("001", 1)):
+
+        def keep(batch: pa.Table, _r=rem) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array((ids & 1) == _r))
+
+        part = documents_as_corpus(sf_dir).map_batches(
+            keep, batch_format="pyarrow", zero_copy_batch=True
+        )
+        append_window(part, root, wid, SQL_PARITY_CONFIG)
+    _WINDOWED_CACHE[key] = root
+    return root
+
+
+def q_bm25_tombstone(sf_dir: str) -> pa.Table:
+    """Document DELETION end-to-end over the windowed incremental
+    index: docs with doc_id % TOMB_MOD == TOMB_REM are tombstoned via
+    delete_docs, then the fixed query set is served through
+    query_windows — deleted docs vanish from every ranking while
+    survivors keep pre-delete BM25 statistics (Lucene deleted-docs
+    semantics, which the SQL oracle mirrors by scoring the FULL corpus
+    and dropping the deleted set post-scoring). Same over-fetch +
+    round-6 re-rank protocol as q_bm25_topk. The reference can only
+    rebuild to remove (/root/reference/index/faiss_index.py:243-266)."""
+    import json as _json
+
+    from ..state.fsio import rmtree as fs_rmtree
+    from .incremental import delete_docs, query_windows
+
+    root = ensure_windowed_index(sf_dir)
+    # deterministic slate: clear leftovers from prior runs/constants
+    fs_rmtree(os.path.join(root, "tombstones"))
+
+    def dead_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % TOMB_MOD == TOMB_REM))
+
+    from ..collect import collect_table
+
+    dead_t = collect_table(
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .map_batches(dead_rows, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([("doc_id", pa.int64())]),
+    )
+    delete_docs(root, doc_ids=dead_t["doc_id"].to_pylist())
+
+    with open(os.path.join(root, "window=000", "corpus_stats.json")) as f:
+        n_docs = int(_json.load(f)["n_docs"])
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q for q, _ in DOC_QUERIES], type=pa.int64()),
+            "text": pa.array([t for _, t in DOC_QUERIES], type=pa.string()),
+            "k": pa.array([n_docs] * len(DOC_QUERIES), type=pa.uint32()),
+        }
+    )
+    res = query_windows(
+        ray.data.from_arrow(qtbl), root, SQL_PARITY_CONFIG, mode="maxscore"
+    ).to_pandas()
+    qids, ranks, dids, scores = [], [], [], []
+    for qid, _text in DOC_QUERIES:
+        g = res[res.query_id == qid]
+        d = g["doc_id"].to_numpy().astype(np.uint64)
+        s6 = np.round(g["score"].to_numpy(), 6)
+        order = np.lexsort((d, -s6))[:TOPK]
+        d, s6 = d[order], s6[order]
+        qids += [qid] * d.size
+        ranks += list(range(d.size))
+        dids.append(d.astype(np.int64))
+        scores.append(s6)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(dids), type=pa.int64()),
+            "score": pa.array(np.concatenate(scores), type=pa.float64()),
+        }
+    )
+
+
 # chosen against the driver testdata vocabulary: "s" expands to six
 # terms (scan/slow/small/sort/spark/stream), "va" to two, "quer" to one
 PREFIX_QUERIES: list[tuple[int, str]] = [(0, "s"), (1, "va"), (2, "quer")]
@@ -1275,6 +1374,19 @@ ORACLE_SQL["bm25_filtered"] = _bm25_cte(_BM25_VALUES) + f"""
 SELECT query_id, rank, doc_id, score FROM flt WHERE rank < {TOPK}
 """
 
+ORACLE_SQL["bm25_tombstone"] = _bm25_cte(_BM25_VALUES) + f"""
+, flt AS (
+  SELECT s.query_id,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY round(s.raw, 6) DESC, s.doc_id ASC) - 1 AS rank,
+         s.doc_id, round(s.raw, 6) AS score
+  FROM scores s
+  WHERE s.doc_id % {TOMB_MOD} <> {TOMB_REM}
+)
+SELECT query_id, rank, doc_id, score FROM flt WHERE rank < {TOPK}
+"""
+
+
 def _phrase_occ_sql() -> str:
     """Per-phrase positional chain-join occurrence counts, UNION ALL."""
     parts = []
@@ -1502,6 +1614,7 @@ QUERIES = {
     "bm25_facets": q_bm25_facets,
     "bm25_hydrated": q_bm25_hydrated,
     "bm25_filtered": q_bm25_filtered,
+    "bm25_tombstone": q_bm25_tombstone,
     "bm25_negated": q_bm25_negated,
     "bm25_prefix": q_bm25_prefix,
     "bm25_fuzzy": q_bm25_fuzzy,

@@ -359,6 +359,40 @@ def test_more_like_this_invariants(ray_session):
             assert int(g.iloc[0]["doc_id"]) in dup_ids
 
 
+def test_bm25_tombstone_parity_and_exclusion():
+    """bm25_tombstone: DuckDB oracle parity at sf0.001 (full-corpus
+    BM25 scored, deleted set dropped post-scoring — Lucene deleted-docs
+    semantics), plus: no deleted doc_id ever appears, and the deletion
+    actually changed at least one query's top-k vs bm25_topk."""
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.pipelines.documents import (
+        ORACLE_SQL,
+        TOMB_MOD,
+        TOMB_REM,
+        q_bm25_tombstone,
+        q_bm25_topk,
+    )
+
+    got = q_bm25_tombstone(SF).to_pandas()
+    assert not ((got["doc_id"] % TOMB_MOD) == TOMB_REM).any()
+    base = q_bm25_topk(SF).to_pandas()
+    assert ((base["doc_id"] % TOMB_MOD) == TOMB_REM).any(), (
+        "fixture too weak: no deleted doc ranked top-k pre-delete"
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = con.sql(ORACLE_SQL["bm25_tombstone"]).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_rrf_fusion_parity_and_formula():
     """rrf_topk: DuckDB oracle parity at sf0.001 + the fusion formula
     holds row-by-row (rrf == 1/(C+1+bm25_rank) + 1/(C+1+lmdir_rank))."""
