@@ -245,7 +245,120 @@ def q_revenue_by_nation(sf_dir: str) -> pa.Table:
     )
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-07-01"
+Q3_K = 10
+
+
+def q_top_unshipped_orders(sf_dir: str) -> pa.Table:
+    """TPC-H-Q3-shaped: top-10 orders by outstanding revenue — orders
+    placed before the cutoff by customers in one market segment, summed
+    over lineitems not yet shipped at the cutoff.
+
+    Scale shape: lineitem ⨝ orders is the DISTRIBUTED hash join on
+    l_orderkey (both fact tables; revenue_by_nation's pattern); the
+    segment-filtered customer keyset broadcasts once via ``ray.put``
+    (the dim-side filter — above ``cfg.broadcast_limit`` this would
+    route through joins.key_set_filter like the dedup paths). After the
+    keyed groupby-sum (one row per surviving order), each batch emits
+    only its LOCAL top-10, so the driver merges O(blocks · 10) rows."""
+    from ..collect import collect_table
+
+    cutoff_us = int(np.datetime64(Q3_CUTOFF, "us").astype(np.int64))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_keys = pa.array(
+        np.sort(cust.loc[cust["c_mktsegment"] == Q3_SEGMENT, "c_custkey"].to_numpy(np.int64)),
+        type=pa.int64(),
+    )
+    keys_ref = ray.put(seg_keys)
+
+    def ord_project(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        date_us = pc.cast(t["o_orderdate"], pa.int64())
+        mask = pc.and_(
+            pc.less(date_us, pa.scalar(cutoff_us, type=pa.int64())),
+            pc.is_in(pc.cast(t["o_custkey"], pa.int64()), value_set=ks),
+        )
+        t = t.filter(mask)
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_orderdate": t["o_orderdate"],
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    def li_project(t: pa.Table) -> pa.Table:
+        ship_us = pc.cast(t["l_shipdate"], pa.int64())
+        t = t.filter(pc.greater(ship_us, pa.scalar(cutoff_us, type=pa.int64())))
+        price_c = np.floor(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        disc_c = np.floor(t["l_discount"].to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "rev_e4": pa.array(price_c * (100 - disc_c), type=pa.int64()),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]).map_batches(
+        li_project, batch_format="pyarrow", zero_copy_batch=True
+    )
+    orders = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+        .map_batches(ord_project, batch_format="pyarrow")
+        .repartition(REV_PARTITIONS)  # Ray 2.49 empty-block join hazard (joins.py)
+    )
+    joined = li.join(orders, join_type="inner", num_partitions=REV_PARTITIONS, on=("l_orderkey",))
+
+    agg = joined.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"]).aggregate(
+        Sum("rev_e4", alias_name="revenue_e4")
+    )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["revenue_e4", "o_orderdate", "l_orderkey"], ascending=[False, True, True]
+        ).head(Q3_K)
+
+    empty = pa.schema(
+        [
+            ("l_orderkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+            ("revenue_e4", pa.int64()),
+        ]
+    )
+    parts = collect_table(agg.map_batches(local_topk, batch_format="pandas"), empty)
+    out = (
+        parts.to_pandas()
+        .sort_values(["revenue_e4", "o_orderdate", "l_orderkey"], ascending=[False, True, True])
+        .head(Q3_K)
+        .reset_index(drop=True)
+    )
+    out["l_orderkey"] = out["l_orderkey"].astype("int64")
+    out["revenue_e4"] = out["revenue_e4"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["l_orderkey", "revenue_e4", "o_orderdate", "o_orderpriority"]], preserve_index=False
+    )
+
+
 ORACLE_SQL = {
+    "top_unshipped_orders": f"""
+        SELECT l.l_orderkey,
+               sum(floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+                   * (100 - floor(l.l_discount * 100 + 0.5)::BIGINT))::BIGINT AS revenue_e4,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+          AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+          AND l.l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue_e4 DESC, o.o_orderdate ASC, l.l_orderkey ASC
+        LIMIT {Q3_K}
+    """,
     "revenue_by_nation": """
         SELECT n.n_name AS nation,
                sum(floor(l.l_extendedprice * 100 + 0.5)::BIGINT
@@ -294,4 +407,5 @@ QUERIES = {
     "orders_by_nation": q_orders_by_nation,
     "top_parts_by_size": q_top_parts_by_size,
     "topk_per_group": q_topk_per_group,
+    "top_unshipped_orders": q_top_unshipped_orders,
 }

@@ -660,3 +660,40 @@ def test_retrieval_eval_invariants(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(t, o, check_dtype=False)
+
+
+def test_top_unshipped_orders_parity(ray_session):
+    """top_unshipped_orders (TPC-H-Q3 shape): DuckDB 3-table-join oracle
+    parity at sf0.001, plus top-k invariants (descending revenue, k
+    rows, every hit inside the segment/date predicate)."""
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.pipelines.relational import (
+        ORACLE_SQL,
+        Q3_CUTOFF,
+        Q3_K,
+        Q3_SEGMENT,
+        q_top_unshipped_orders,
+    )
+
+    got = q_top_unshipped_orders(SF).to_pandas()
+    assert len(got) == Q3_K
+    assert (got["revenue_e4"].diff().dropna() <= 0).all()
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    want = con.sql(ORACLE_SQL["top_unshipped_orders"]).df()
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].reset_index(drop=True),
+        want[cols].reset_index(drop=True),
+        check_dtype=False,
+    )
+    seg_ok = con.sql(
+        f"""SELECT count(*) FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+              AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+              AND o.o_orderkey IN ({",".join(str(k) for k in got["l_orderkey"])})"""
+    ).fetchone()[0]
+    assert seg_ok == Q3_K
