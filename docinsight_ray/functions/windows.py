@@ -325,7 +325,60 @@ def q_event_transitions(sf_dir: str) -> pa.Table:
     )
 
 
+def q_user_cum_spend(sf_dir: str) -> pa.Table:
+    """Running total per user (window-function shape): purchases
+    ordered by (ts, event_id) with cumulative spend and 0-based seq.
+
+    Per-user ordered scan via ``groupby(user_id).map_groups`` — the
+    same partitioning contract as sessionize (a user's events co-locate
+    after the key shuffle; group size is bounded by per-user activity,
+    never corpus size). Spend is integer cents (round-half-away, the
+    relational module's exactness discipline) so the running sum is
+    order-exact regardless of aggregation order."""
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        cents = np.floor(g["value"].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+        seq = np.arange(len(g), dtype=np.int64)
+        out = pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype("int64"),
+                "event_id": g["event_id"].astype("int64"),
+                "ts": g["ts"],
+                "spend_cents": cents,
+                "cum_spend_cents": np.cumsum(cents),
+                "seq": seq,
+            }
+        )
+        # composite string key: keeps the output out of the
+        # all-fixed-width layout (ROADMAP.md §6b) and is the natural row id
+        out["ukey"] = out["user_id"].astype(str) + ":" + out["seq"].astype(str)
+        return out
+
+    running.__name__ = "running"
+    out = (
+        _read_events(sf_dir)
+        .filter(expr="event_type == 'purchase'")
+        .select_columns(["user_id", "ts", "event_id", "value"])
+        .groupby("user_id")
+        .map_groups(running, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 ORACLE_SQL = {
+    "user_cum_spend": """
+        SELECT user_id, event_id, ts,
+               floor(value * 100 + 0.5)::BIGINT AS spend_cents,
+               sum(floor(value * 100 + 0.5)::BIGINT)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_spend_cents,
+               (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)::BIGINT AS seq,
+               user_id::VARCHAR || ':' ||
+                   (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)::VARCHAR AS ukey
+        FROM events WHERE event_type = 'purchase'
+    """,
     "event_transitions": """
         WITH s AS (
           SELECT user_id, event_type AS cur_type,
@@ -418,4 +471,5 @@ QUERIES = {
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "user_cum_spend": q_user_cum_spend,
 }

@@ -343,7 +343,62 @@ def q_top_unshipped_orders(sf_dir: str) -> pa.Table:
     )
 
 
+LAPSED_CUTOFF = "2001-01-01"
+ANTI_PARTITIONS = 8
+
+
+def q_lapsed_customers(sf_dir: str) -> pa.Table:
+    """Distributed ANTI-JOIN as a first-class gate: customers with no
+    order on/after the cutoff (TPC-H-Q22 shape).
+
+    Deliberately exercises ``joins.anti_join`` — the hash-partitioned
+    NOT-IN path every dedup/seen-filter falls back to above
+    ``broadcast_limit`` — as a public relational surface: the recent
+    orderer keyset shuffles as a Dataset (duplicates fine, never
+    collected to the driver), so no single process ever holds it."""
+    from ..joins import anti_join
+
+    cutoff_us = int(np.datetime64(LAPSED_CUTOFF, "us").astype(np.int64))
+
+    def recent_keys(t: pa.Table) -> pa.Table:
+        date_us = pc.cast(t["o_orderdate"], pa.int64())
+        t = t.filter(pc.greater_equal(date_us, pa.scalar(cutoff_us, type=pa.int64())))
+        return pa.table({"c_custkey": pc.cast(t["o_custkey"], pa.int64())})
+
+    keys = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        recent_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def cust_project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "c_name": t["c_name"],
+                "c_mktsegment": t["c_mktsegment"],
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]).map_batches(
+        cust_project, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = anti_join(cust, keys, on="c_custkey", num_partitions=ANTI_PARTITIONS).to_pandas()
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("c_custkey").reset_index(drop=True), preserve_index=False
+    )
+
+
 ORACLE_SQL = {
+    "lapsed_customers": f"""
+        SELECT c.c_custkey, c.c_name, c.c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '{LAPSED_CUTOFF}'
+        )
+        ORDER BY c.c_custkey
+    """,
     "top_unshipped_orders": f"""
         SELECT l.l_orderkey,
                sum(floor(l.l_extendedprice * 100 + 0.5)::BIGINT
@@ -408,4 +463,5 @@ QUERIES = {
     "top_parts_by_size": q_top_parts_by_size,
     "topk_per_group": q_topk_per_group,
     "top_unshipped_orders": q_top_unshipped_orders,
+    "lapsed_customers": q_lapsed_customers,
 }

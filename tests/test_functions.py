@@ -697,3 +697,61 @@ def test_top_unshipped_orders_parity(ray_session):
               AND o.o_orderkey IN ({",".join(str(k) for k in got["l_orderkey"])})"""
     ).fetchone()[0]
     assert seg_ok == Q3_K
+
+
+def test_lapsed_customers_anti_join_parity(ray_session):
+    """lapsed_customers: the hash-partitioned anti-join gate equals the
+    DuckDB NOT EXISTS oracle at sf0.001, is non-trivial (some but not
+    all customers lapse), and no survivor has a recent order."""
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.pipelines.relational import (
+        LAPSED_CUTOFF,
+        ORACLE_SQL,
+        q_lapsed_customers,
+    )
+
+    got = q_lapsed_customers(SF).to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    want = con.sql(ORACLE_SQL["lapsed_customers"]).df()
+    n_cust = con.sql("SELECT count(*) FROM customer").fetchone()[0]
+    assert 0 < len(got) < n_cust
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].reset_index(drop=True), want[cols].reset_index(drop=True), check_dtype=False
+    )
+    n_recent = con.sql(
+        f"""SELECT count(*) FROM orders
+            WHERE o_orderdate >= TIMESTAMP '{LAPSED_CUTOFF}'
+              AND o_custkey IN ({",".join(str(k) for k in got["c_custkey"])})"""
+    ).fetchone()[0]
+    assert n_recent == 0
+
+
+def test_user_cum_spend_parity(ray_session):
+    """user_cum_spend: per-user running sum equals the DuckDB window
+    oracle at sf0.001; per-user invariants (seq dense from 0, cum sum
+    telescopes, last cum equals the user's total)."""
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.functions.windows import ORACLE_SQL, q_user_cum_spend
+
+    got = q_user_cum_spend(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    want = con.sql(ORACLE_SQL["user_cum_spend"]).df()
+    cols = sorted(got.columns)
+    key = ["user_id", "seq"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(key).reset_index(drop=True),
+        want[cols].sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+    for uid, g in got.groupby("user_id"):
+        g = g.sort_values("seq")
+        assert (g["seq"].to_numpy() == np.arange(len(g))).all()
+        assert (g["cum_spend_cents"].to_numpy() == g["spend_cents"].cumsum().to_numpy()).all()
