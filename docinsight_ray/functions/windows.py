@@ -325,6 +325,100 @@ def q_event_transitions(sf_dir: str) -> pa.Table:
     )
 
 
+SLIDE_MIN = 15
+WINDOW_MIN = 60
+_N_SLIDES = WINDOW_MIN // SLIDE_MIN
+
+
+def q_sliding_agg(sf_dir: str) -> pa.Table:
+    """SLIDING 1-hour windows advancing every 15 min, per event_type:
+    count + sum(value). The overlapping-window analogue of
+    ``windowed_agg`` (tumbling): each event belongs to exactly
+    WINDOW/SLIDE = 4 windows, so the map stage REPLICATES the row into
+    its windows (vectorized repeat/take — bounded 4× amplification,
+    decided per row with no shuffle) and the downstream groupby-agg is
+    identical to the tumbling path. Window starts are epoch-aligned
+    15-min boundaries (DuckDB time_bucket's origin is a 15-min multiple
+    from epoch, so the two agree bucket-for-bucket)."""
+    slide_us = SLIDE_MIN * 60 * 1_000_000
+    win_us = WINDOW_MIN * 60 * 1_000_000
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts_us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(ts_us)
+        last = (ts_us // slide_us) * slide_us  # latest window containing ts
+        offs = np.arange(_N_SLIDES, dtype=np.int64) * slide_us
+        ws = np.repeat(last, _N_SLIDES) - np.tile(offs, n)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), _N_SLIDES))
+        assert int(win_us // slide_us) == _N_SLIDES  # every row lands in exactly 4 windows
+        return pa.table(
+            {
+                "event_type": pc.take(batch["event_type"], idx),
+                "window_start": pc.cast(pa.array(ws, type=pa.int64()), pa.timestamp("us")),
+                "value": pc.take(batch["value"], idx),
+            }
+        )
+
+    out = (
+        _read_events(sf_dir)
+        .select_columns(["event_type", "ts", "value"])
+        .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = np.round(out["sum_value"].astype(np.float64), 6)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+MODE_BUCKETS = 64
+
+
+def q_top_event_type(sf_dir: str) -> pa.Table:
+    """Per-group MODE: each user's most frequent event_type (ties →
+    lexicographically first). Scale shape: per-batch partial
+    (user, type) counts bound what leaves every batch at
+    users-in-batch × |types|; the shuffle groups by a COARSENED bucket
+    key (user_id % 64 — thousands of tiny Ray groups cost ~1 ms each,
+    ROADMAP §7), and the in-bucket pandas argmax is exact."""
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            batch.groupby(["user_id", "event_type"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        out["user_id"] = out["user_id"].astype("int64")
+        out["cnt"] = out["cnt"].astype("int64")
+        out["bucket"] = (out["user_id"] % MODE_BUCKETS).astype("int64")
+        return out
+
+    def bucket_mode(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["user_id", "event_type"], as_index=False)["cnt"].sum()
+        tot = tot.sort_values(["user_id", "cnt", "event_type"], ascending=[True, False, True])
+        top = tot.groupby("user_id", sort=False).head(1).reset_index(drop=True)
+        top["ukey"] = top["user_id"].astype(str) + ":" + top["event_type"]
+        return top
+
+    bucket_mode.__name__ = "bucket_mode"
+    out = (
+        _read_events(sf_dir)
+        .select_columns(["user_id", "event_type"])
+        .map_batches(partial_counts, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_mode, batch_format="pandas")
+        .to_pandas()
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["cnt"] = out["cnt"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("user_id").reset_index(drop=True), preserve_index=False
+    )
+
+
 def q_user_cum_spend(sf_dir: str) -> pa.Table:
     """Running total per user (window-function shape): purchases
     ordered by (ts, event_id) with cumulative spend and 0-based seq.
@@ -368,6 +462,30 @@ def q_user_cum_spend(sf_dir: str) -> pa.Table:
 
 
 ORACLE_SQL = {
+    "sliding_agg": f"""
+        WITH w AS (
+          SELECT e.event_type, e.value,
+                 time_bucket(INTERVAL '{SLIDE_MIN} minutes', e.ts)
+                     - k.i * INTERVAL '{SLIDE_MIN} minutes' AS window_start
+          FROM events e CROSS JOIN (VALUES (0),(1),(2),(3)) k(i)
+        )
+        SELECT event_type, window_start, count(*)::BIGINT AS n,
+               round(sum(value), 6) AS sum_value
+        FROM w GROUP BY event_type, window_start
+    """,
+    "top_event_type": """
+        WITH c AS (
+          SELECT user_id, event_type, count(*)::BIGINT AS cnt
+          FROM events GROUP BY user_id, event_type
+        ), r AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY cnt DESC, event_type ASC) AS rn
+          FROM c
+        )
+        SELECT user_id, event_type, cnt,
+               user_id::VARCHAR || ':' || event_type AS ukey
+        FROM r WHERE rn = 1 ORDER BY user_id
+    """,
     "user_cum_spend": """
         SELECT user_id, event_id, ts,
                floor(value * 100 + 0.5)::BIGINT AS spend_cents,
@@ -472,4 +590,6 @@ QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "user_cum_spend": q_user_cum_spend,
+    "sliding_agg": q_sliding_agg,
+    "top_event_type": q_top_event_type,
 }

