@@ -128,7 +128,7 @@ def cmd_query(args) -> int:
             "hits": [{"doc_id": int(x), "score": round(float(y), 6)} for x, y in zip(d, s)],
         }))
         rows += [(qid, r, int(x), float(y)) for r, (x, y) in enumerate(zip(d, s))]
-    if args.out or args.report:
+    if args.out or args.report or args.report_html:
         import pyarrow as pa
 
         results = pa.table(
@@ -157,6 +157,16 @@ def cmd_query(args) -> int:
                 corpus_path=args.corpus,
             )
             print(f"wrote JSON report to {args.report}", file=sys.stderr)
+        if args.report_html:
+            # HTML rendering of the same payload (reference
+            # enhanced_pipeline.py:673-721 _generate_html_report)
+            from .report import write_html_report
+
+            write_html_report(
+                results, list(enumerate(args.text)), args.index_dir, args.report_html,
+                corpus_path=args.corpus,
+            )
+            print(f"wrote HTML report to {args.report_html}", file=sys.stderr)
     return 0
 
 
@@ -412,6 +422,8 @@ def main(argv=None) -> int:
                         "(repeatable; unknown terms are no-ops)")
     q.add_argument("--out", default=None, help="directory to write results.parquet")
     q.add_argument("--report", default=None, help="path to write a per-query JSON report")
+    q.add_argument("--report-html", default=None,
+                   help="path to write an HTML rendering of the report")
     q.add_argument("--corpus", default=None,
                    help="source corpus parquet for content previews in --report")
     q.set_defaults(fn=cmd_query)

@@ -301,3 +301,84 @@ def query_document_topk(
             ),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# HTML rendering (S8 tail; reference enhanced_pipeline.py:673-721
+# _generate_html_report — same payload, stdlib-only renderer)
+
+
+_HTML_HEAD = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>docinsight_ray query report</title>
+<style>
+body{font-family:system-ui,sans-serif;margin:2rem;color:#1a1a1a}
+table{border-collapse:collapse;margin:0.5rem 0 1.5rem}
+th,td{border:1px solid #ccc;padding:0.3rem 0.6rem;text-align:left;font-size:0.9rem}
+th{background:#f0f0f0}
+.stats{color:#555;font-size:0.9rem}
+.snippet{color:#333;font-size:0.85rem;max-width:48rem}
+h2{margin-top:1.5rem;font-size:1.1rem}
+</style></head><body>
+"""
+
+
+def render_html_report(payload: dict[str, Any]) -> str:
+    """Render the ``build_query_report`` JSON payload as a static HTML
+    page (stdlib only; output is deterministic for a fixed payload).
+
+    Reference parity: enhanced_pipeline.py:673-721 renders its report
+    dict to HTML with per-sentence tables; here the unit is the
+    per-query hit table, matching this engine's retrieval contract."""
+    from html import escape
+
+    st = payload["corpus_stats"]
+    parts = [_HTML_HEAD]
+    parts.append("<h1>docinsight_ray query report</h1>\n")
+    parts.append(
+        f'<p class="stats">index: {escape(str(payload["index_dir"]))} &middot; '
+        f'{int(st["n_docs"])} docs &middot; avgdl {float(st["avgdl"]):.2f} &middot; '
+        f'BM25(k1={st["k1"]}, b={st["b"]}) &middot; tokenizer {escape(str(st["tokenizer"]))} '
+        f'&middot; config {escape(str(st["config_hash"]))}</p>\n'
+    )
+    meta_keys: list[str] = []
+    for q in payload["queries"]:
+        for h in q["hits"]:
+            for k in h:
+                if k not in ("rank", "doc_id", "score", "preview", "snippet") and k not in meta_keys:
+                    meta_keys.append(k)
+    for q in payload["queries"]:
+        parts.append(
+            f'<h2>Q{int(q["query_id"])}: {escape(q["query"])} '
+            f'<span class="stats">({int(q["n_hits"])} hits)</span></h2>\n'
+        )
+        cols = ["rank", "doc_id", "score", *meta_keys]
+        has_text = any(("snippet" in h or "preview" in h) for h in q["hits"])
+        if has_text:
+            cols.append("snippet")
+        parts.append("<table><tr>" + "".join(f"<th>{escape(c)}</th>" for c in cols) + "</tr>\n")
+        for h in q["hits"]:
+            cells = [str(int(h["rank"])), str(int(h["doc_id"])), f'{float(h["score"]):.6f}']
+            cells += [escape(str(h.get(k, ""))) for k in meta_keys]
+            if has_text:
+                cells.append(
+                    f'<span class="snippet">{escape(str(h.get("snippet", h.get("preview", ""))))}</span>'
+                )
+            parts.append("<tr>" + "".join(f"<td>{c}</td>" for c in cells) + "</tr>\n")
+        parts.append("</table>\n")
+    parts.append("</body></html>\n")
+    return "".join(parts)
+
+
+def write_html_report(
+    results: pa.Table,
+    queries: list[tuple[int, str]],
+    index_dir: str,
+    out_path: str,
+    corpus_path: str | None = None,
+) -> dict[str, Any]:
+    """Build the payload and write its HTML rendering atomically;
+    returns the payload (same contract as ``write_query_report``)."""
+    payload = build_query_report(results, queries, index_dir, corpus_path=corpus_path)
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)) or ".", exist_ok=True)
+    atomic_write_bytes(out_path, render_html_report(payload).encode())
+    return payload

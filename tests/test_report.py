@@ -140,3 +140,62 @@ def test_report_snippets_from_corpus(built, tmp_path):
     for h in hits:
         assert "preview" in h and len(h["preview"]) <= 160
         assert "snippet" in h and "[" in h["snippet"], h
+
+
+def test_html_report_rendering(built, tmp_path):
+    """S8 HTML tail: the HTML rendering contains every hit row of the
+    JSON payload, escapes markup in query text, and parses cleanly
+    (stdlib HTMLParser finds balanced tables)."""
+    from html.parser import HTMLParser
+
+    import pyarrow as pa
+
+    from docinsight_ray.report import render_html_report, write_html_report
+
+    corpus, idx = built
+    sc = BM25Scorer(idx, CFG, mode="maxscore")
+    queries = [(0, "public static void"), (1, "<script>alert('x')</script> main")]
+    rows = []
+    for qid, text in queries:
+        d, s = sc.score_maxscore(text, 5)
+        rows += [(qid, r, int(x), float(y)) for r, (x, y) in enumerate(zip(d, s))]
+    results = pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "rank": pa.array([r[1] for r in rows], type=pa.uint32()),
+            "doc_id": pa.array([r[2] for r in rows], type=pa.uint64()),
+            "score": pa.array([r[3] for r in rows], type=pa.float64()),
+        }
+    )
+    out = str(tmp_path / "report.html")
+    payload = write_html_report(results, queries, idx, out)
+    html = open(out).read()
+    assert html == render_html_report(payload)  # deterministic
+    assert "<script>" not in html  # query text is escaped
+    assert "&lt;script&gt;" in html
+    for q in payload["queries"]:
+        for h in q["hits"]:
+            assert f"<td>{h['doc_id']}</td>" in html
+            assert h["path"] in html
+
+    class Audit(HTMLParser):
+        def __init__(self):
+            super().__init__()
+            self.opened = 0
+            self.rows = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag == "table":
+                self.opened += 1
+            if tag == "tr":
+                self.rows += 1
+
+        def handle_endtag(self, tag):
+            if tag == "table":
+                self.opened -= 1
+
+    a = Audit()
+    a.feed(html)
+    assert a.opened == 0  # balanced tables
+    n_hits = sum(q["n_hits"] for q in payload["queries"])
+    assert a.rows == n_hits + len(payload["queries"])  # data rows + header per query
