@@ -378,6 +378,29 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    """Structured query: terms, -negations, col:value filters and
+    "quoted phrases" in one string (querylang grammar)."""
+    _init_ray(args.num_cpus)
+    from .config import EngineConfig
+    from .querylang import structured_search
+
+    cfg = EngineConfig(tokenizer=args.tokenizer)
+    try:
+        d, s = structured_search(
+            args.query, args.index_dir, cfg,
+            k=args.k, mode=args.mode, pos_dir=args.pos_dir,
+        )
+    except (ValueError, FileNotFoundError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(json.dumps({
+        "query": args.query,
+        "hits": [{"doc_id": int(x), "score": round(float(y), 6)} for x, y in zip(d, s)],
+    }))
+    return 0
+
+
 def cmd_bench(args) -> int:
     os.environ.setdefault("RAY_GRAFT_CPUS", str(args.num_cpus or 32))
     sys.argv = ["bench.py"] + (["--scaling"] if args.scaling else [])
@@ -493,6 +516,18 @@ def main(argv=None) -> int:
     r.add_argument("--head", type=int, default=20, help="rows to print without --out")
     r.add_argument("--list", action="store_true", help="print the op registry and exit")
     r.set_defaults(fn=cmd_run)
+
+    se = sub.add_parser("search", parents=[common],
+                        help='structured query: terms -neg col:v1,v2 "phrase"')
+    se.add_argument("index_dir")
+    se.add_argument("query")
+    se.add_argument("-k", type=int, default=10)
+    se.add_argument("--mode", default="maxscore",
+                    choices=["taat", "maxscore", "bmw", "conjunctive"])
+    se.add_argument("--tokenizer", default="code", choices=["code", "simple"])
+    se.add_argument("--pos-dir", default=None,
+                    help="positional index dir (required for phrase constraints)")
+    se.set_defaults(fn=cmd_search)
 
     be = sub.add_parser("bench", parents=[common], help="run the bench suite")
     be.add_argument("--scaling", action="store_true")

@@ -610,6 +610,56 @@ def q_bm25_filtered(sf_dir: str) -> pa.Table:
     return q_bm25_topk(sf_dir, mode="maxscore", doc_filter=("lang", FILTER_LANGS))
 
 
+# structured query language gate: every retrieval primitive composed
+# through one query string (querylang.py) — positive BM25 terms,
+# boolean NOT, metadata filter, exact-phrase constraint
+STRUCTURED_QUERY = 'data stream table -dup lang:en,fr "hash scan"'
+
+
+def q_bm25_structured(sf_dir: str) -> pa.Table:
+    """STRUCTURED search end-to-end: parse_structured_query →
+    phrase candidates from the positional index → actor-pool BM25
+    serving with the parsed metadata filter, negated terms and
+    phrase-candidate include set all folded into the scorer's one
+    ``_allowed`` mechanism (exact under every pruning mode; BM25 stats
+    stay corpus-global). Same k = n_docs over-fetch + round-6 re-rank
+    protocol as q_bm25_topk, so the SQL oracle sees every candidate."""
+    from ..querylang import parse_structured_query, phrase_candidates
+
+    idx = ensure_index(sf_dir)
+    pos_dir = ensure_positional(sf_dir)
+    sq = parse_structured_query(STRUCTURED_QUERY)
+    include = phrase_candidates(sq.phrases, pos_dir, SQL_PARITY_CONFIG)
+    n_docs = BM25Scorer(idx, SQL_PARITY_CONFIG, mode="maxscore").n_docs
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([0], type=pa.int64()),
+            "text": pa.array([sq.terms], type=pa.string()),
+            "k": pa.array([n_docs], type=pa.uint32()),
+        }
+    )
+    res = (
+        query_index(
+            ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG, mode="maxscore",
+            concurrency=2, doc_filter=sq.field_filter,
+            exclude_terms=sq.exclude_terms, include_doc_ids=include,
+        )
+        .to_pandas()
+    )
+    d = res["doc_id"].to_numpy().astype(np.uint64)
+    s6 = np.round(res["score"].to_numpy(), 6)
+    order = np.lexsort((d, -s6))[:TOPK]
+    d, s6 = d[order], s6[order]
+    return pa.table(
+        {
+            "query_id": pa.array([0] * d.size, type=pa.int64()),
+            "rank": pa.array(np.arange(d.size), type=pa.int64()),
+            "doc_id": pa.array(d.astype(np.int64), type=pa.int64()),
+            "score": pa.array(s6, type=pa.float64()),
+        }
+    )
+
+
 # deletion gate: deterministic tombstone set, SQL-expressible
 TOMB_MOD, TOMB_REM = 31, 7
 
@@ -1374,6 +1424,33 @@ ORACLE_SQL["bm25_filtered"] = _bm25_cte(_BM25_VALUES) + f"""
 SELECT query_id, rank, doc_id, score FROM flt WHERE rank < {TOPK}
 """
 
+# structured query: positive-terms BM25 CTE + phrase chain + metadata
+# filter + negation, mirroring querylang's composition exactly
+ORACLE_SQL["bm25_structured"] = _bm25_cte("(0, 'data stream table')") + f"""
+, ptok AS (
+  SELECT doc_id, unnest({SIMPLE_TOK_SQL}) AS term,
+         unnest(range(len({SIMPLE_TOK_SQL}))) AS pos
+  FROM documents
+), ph AS (
+  SELECT DISTINCT t0.doc_id FROM ptok t0
+  JOIN ptok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1 AND t1.term = 'scan'
+  WHERE t0.term = 'hash'
+), neg AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ('dup')
+), flt AS (
+  SELECT s.query_id,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY round(s.raw, 6) DESC, s.doc_id ASC) - 1 AS rank,
+         s.doc_id, round(s.raw, 6) AS score
+  FROM scores s
+  JOIN documents d ON d.doc_id = s.doc_id
+  WHERE d.lang IN ('en', 'fr')
+    AND s.doc_id IN (SELECT doc_id FROM ph)
+    AND s.doc_id NOT IN (SELECT doc_id FROM neg)
+)
+SELECT query_id, rank, doc_id, score FROM flt WHERE rank < {TOPK}
+"""
+
 ORACLE_SQL["bm25_tombstone"] = _bm25_cte(_BM25_VALUES) + f"""
 , flt AS (
   SELECT s.query_id,
@@ -1614,6 +1691,7 @@ QUERIES = {
     "bm25_facets": q_bm25_facets,
     "bm25_hydrated": q_bm25_hydrated,
     "bm25_filtered": q_bm25_filtered,
+    "bm25_structured": q_bm25_structured,
     "bm25_tombstone": q_bm25_tombstone,
     "bm25_negated": q_bm25_negated,
     "bm25_prefix": q_bm25_prefix,

@@ -1,0 +1,138 @@
+"""Structured query language: one string → a composed retrieval plan.
+
+The user-facing entry point tying the engine's retrieval primitives
+together (the reference exposes a single search box feeding its whole
+pipeline — enhanced_pipeline.py:524-566; this is that surface for the
+inverted-index engine):
+
+    parse_structured_query('data stream -join lang:en,fr "key value"')
+
+- bare words       → BM25-scored positive terms
+- ``-word``        → boolean NOT (docs containing it are excluded)
+- ``col:v1,v2``    → metadata filter on the docs registry (one column)
+- ``"..."``        → exact phrase the doc must contain (positional index)
+
+``structured_search`` composes them through the one ``_allowed``-set
+mechanism the scorer already uses for filtered / negated / tombstoned
+retrieval, so every pruning mode (taat / maxscore / bmw / conjunctive)
+stays exact: the metadata filter and phrase candidates intersect, the
+negated docs subtract, and BM25 statistics stay corpus-global (the
+standard filtered-search semantics). Scale shape: phrase candidates
+resolve from the positional index ONCE (never a text scan), the id set
+broadcasts to scorer actors with the constructor, and scoring runs on
+the normal actor-pool serving path.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .config import EngineConfig
+
+_TOKEN_RE = re.compile(r'"([^"]*)"|(\S+)')
+
+
+@dataclass(frozen=True)
+class StructuredQuery:
+    terms: str = ""
+    exclude_terms: tuple[str, ...] = ()
+    field_filter: tuple[str, tuple[str, ...]] | None = None
+    phrases: tuple[str, ...] = ()
+
+
+def parse_structured_query(text: str) -> StructuredQuery:
+    """Parse the query grammar above. Multiple ``col:`` filters on the
+    SAME column merge their value lists; filters on different columns
+    raise (one metadata column per query — the scorer's doc_filter
+    contract)."""
+    terms: list[str] = []
+    excludes: list[str] = []
+    filters: dict[str, list[str]] = {}
+    phrases: list[str] = []
+    for m in _TOKEN_RE.finditer(text):
+        quoted, bare = m.group(1), m.group(2)
+        if quoted is not None:
+            if quoted.strip():
+                phrases.append(quoted.strip())
+            continue
+        if bare.startswith("-") and len(bare) > 1:
+            excludes.append(bare[1:].lower())
+        elif ":" in bare and not bare.startswith(":"):
+            col, _, vals = bare.partition(":")
+            filters.setdefault(col, []).extend(v for v in vals.split(",") if v)
+        else:
+            terms.append(bare)
+    if len(filters) > 1:
+        raise ValueError(
+            f"structured query supports one metadata filter column, got {sorted(filters)}"
+        )
+    ff = None
+    if filters:
+        col, vals = next(iter(filters.items()))
+        ff = (col, tuple(vals))
+    return StructuredQuery(
+        terms=" ".join(terms),
+        exclude_terms=tuple(excludes),
+        field_filter=ff,
+        phrases=tuple(phrases),
+    )
+
+
+def phrase_candidates(
+    phrases: tuple[str, ...], pos_dir: str, cfg: EngineConfig
+) -> np.ndarray:
+    """doc_ids (sorted uint64) containing EVERY phrase, from the
+    positional index — the AND of the per-phrase match sets."""
+    from .pipelines.positional import PhraseScorer
+
+    ps = PhraseScorer(pos_dir, cfg)
+    allowed: np.ndarray | None = None
+    for ph in phrases:
+        docs, _occ = ps.phrase_occurrences(ph, k=1 << 31)
+        docs = np.sort(np.asarray(docs, dtype=np.uint64))
+        allowed = docs if allowed is None else np.intersect1d(allowed, docs)
+        if allowed.size == 0:
+            break
+    return allowed if allowed is not None else np.empty(0, dtype=np.uint64)
+
+
+def structured_search(
+    text: str,
+    index_dir: str,
+    cfg: EngineConfig | None = None,
+    *,
+    k: int = 10,
+    mode: str = "maxscore",
+    pos_dir: str | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One-shot structured search (driver-side scorer; for the
+    actor-pool serving path pass the same pieces to ``query_index``).
+    Returns (doc_ids, scores) of the top-k."""
+    from .scorer import BM25Scorer
+
+    cfg = cfg or EngineConfig()
+    sq = parse_structured_query(text)
+    if not sq.terms:
+        raise ValueError("structured query needs at least one positive term")
+    include = None
+    if sq.phrases:
+        if pos_dir is None:
+            raise ValueError("phrase constraints need pos_dir (a positional index)")
+        include = phrase_candidates(sq.phrases, pos_dir, cfg)
+    sc = BM25Scorer(
+        index_dir,
+        cfg,
+        mode=mode,
+        doc_filter=sq.field_filter,
+        exclude_terms=sq.exclude_terms or None,
+        include_doc_ids=include,
+    )
+    score = {
+        "bmw": sc.score_bmw,
+        "maxscore": sc.score_maxscore,
+        "conjunctive": sc.score_conjunctive,
+    }.get(mode, sc.score_taat)
+    return score(sq.terms, k)

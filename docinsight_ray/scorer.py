@@ -244,6 +244,7 @@ class BM25Scorer:
         doc_filter: tuple[str, tuple] | None = None,
         exclude_terms: tuple[str, ...] | None = None,
         exclude_doc_ids=None,
+        include_doc_ids=None,
     ):
         from .state.fsio import exists as fs_exists, glob_parquet, read_bytes
 
@@ -290,6 +291,16 @@ class BM25Scorer:
             mask = _pc.is_in(ft[fcol].combine_chunks(), value_set=pa.array(list(fvals)))
             ids = ft.filter(mask)["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
             self._allowed = np.sort(ids)
+
+        # explicit candidate restriction (boolean AND with everything
+        # else): only these doc_ids may appear in results — the generic
+        # "restrict to this id set" surface (phrase-constrained search,
+        # join-driven candidate sets, ACL scopes). Folded into the same
+        # sorted `_allowed` array, so every pruning mode stays exact;
+        # an EMPTY include set means "nothing matches", not "no filter".
+        if include_doc_ids is not None:
+            inc = np.unique(np.asarray(include_doc_ids, dtype=np.uint64))
+            self._allowed = inc if self._allowed is None else np.intersect1d(self._allowed, inc)
 
         # doc lengths (narrow columns only)
         docs = pq.read_table(os.path.join(index_dir, "docs"), columns=["doc_id", "doc_len"])
@@ -995,6 +1006,7 @@ def query_index(
     doc_filter: tuple[str, tuple] | None = None,
     exclude_terms: tuple[str, ...] | None = None,
     exclude_doc_ids=None,
+    include_doc_ids=None,
 ):
     """queries Dataset (query_id, text, k) → results Dataset via the
     scorer actor pool. ``max_loaded_parts`` > 0 serves with the
@@ -1005,13 +1017,15 @@ def query_index(
     ``exclude_terms`` removes every doc containing any of the given
     terms (boolean NOT) before ranking — same exactness contract.
     ``exclude_doc_ids`` (doc_id array or tombstone parquet dir path)
-    removes specific documents — deleted-docs semantics."""
+    removes specific documents — deleted-docs semantics.
+    ``include_doc_ids`` (uint64 array) restricts candidates to an
+    explicit id set (phrase constraints, pre-joined candidates)."""
     cfg = cfg or EngineConfig()
     return queries.map_batches(
         BM25Scorer,
         fn_constructor_args=(
             index_dir, cfg, mode, False, max_loaded_parts, doc_filter, exclude_terms,
-            exclude_doc_ids,
+            exclude_doc_ids, include_doc_ids,
         ),
         batch_format="pyarrow",
         batch_size=cfg.query_batch_size,

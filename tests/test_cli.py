@@ -237,3 +237,21 @@ def test_cli_run_registry(ray_session, tmp_path, capsys):
 
     rc = main(["run", "definitely_not_an_op", "/root/testdata/sf0.001"])
     assert rc == 2
+
+
+def test_cli_search_structured(built_cli, capsys):
+    """search subcommand: structured grammar end-to-end — positive
+    terms return hits, a universal negation empties them, phrase
+    constraints without --pos-dir fail cleanly with rc=2."""
+    corpus_path, idx, root = built_cli
+    rc = main(["search", idx, "public static -zzznotaterm", "-k", "5"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["hits"]) == 5
+    # negating a term every generated doc contains empties the result
+    rc = main(["search", idx, "public static -import", "-k", "5"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["hits"] == []
+    rc = main(["search", idx, 'public "static void"', "-k", "5"])
+    assert rc == 2  # phrase needs --pos-dir

@@ -1,0 +1,116 @@
+"""Structured query language: parser, include-set scorer plumbing,
+composed gate vs its DuckDB oracle."""
+
+import numpy as np
+import pytest
+
+from docinsight_ray.querylang import (
+    StructuredQuery,
+    parse_structured_query,
+    structured_search,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_parser_grammar():
+    sq = parse_structured_query('data stream -join lang:en,fr "key value" table')
+    assert sq.terms == "data stream table"
+    assert sq.exclude_terms == ("join",)
+    assert sq.field_filter == ("lang", ("en", "fr"))
+    assert sq.phrases == ("key value",)
+
+
+def test_parser_edge_cases():
+    # bare query: nothing but positive terms
+    assert parse_structured_query("a bb ccc") == StructuredQuery(terms="a bb ccc")
+    # repeated filters on one column merge; two columns raise
+    sq = parse_structured_query("x lang:en lang:fr")
+    assert sq.field_filter == ("lang", ("en", "fr"))
+    with pytest.raises(ValueError, match="one metadata filter column"):
+        parse_structured_query("x lang:en repo:r1")
+    # empty quotes ignored; lone '-' is a term, '-x' is an exclusion
+    sq = parse_structured_query('x "" - -y')
+    assert sq.phrases == () and sq.terms == "x -" and sq.exclude_terms == ("y",)
+    # multiple phrases all collected
+    assert parse_structured_query('"a b" x "c d"').phrases == ("a b", "c d")
+
+
+@pytest.fixture(scope="module")
+def doc_index(ray_session):
+    from docinsight_ray.pipelines.documents import (
+        SQL_PARITY_CONFIG,
+        ensure_index,
+        ensure_positional,
+    )
+
+    return ensure_index(SF), ensure_positional(SF), SQL_PARITY_CONFIG
+
+
+def test_include_doc_ids_restricts_exactly(doc_index):
+    """include_doc_ids: results are exactly the unrestricted ranking
+    filtered to the include set (scores unchanged — corpus-global
+    stats), for every pruning mode; empty include ⇒ empty result."""
+    from docinsight_ray.scorer import BM25Scorer
+
+    idx, _pos, cfg = doc_index
+    base = BM25Scorer(idx, cfg, mode="maxscore")
+    d_all, s_all = base.score_maxscore("data stream table", base.n_docs)
+    include = d_all[::3].astype(np.uint64)  # every 3rd result doc
+    want = [(int(d), float(s)) for d, s in zip(d_all, s_all) if d in set(include.tolist())]
+    for mode, fn in (
+        ("maxscore", "score_maxscore"),
+        ("bmw", "score_bmw"),
+        ("taat", "score_taat"),
+    ):
+        sc = BM25Scorer(idx, cfg, mode=mode, include_doc_ids=include)
+        d, s = getattr(sc, fn)("data stream table", base.n_docs)
+        assert [(int(x), float(y)) for x, y in zip(d, s)] == want, mode
+    sc = BM25Scorer(idx, cfg, mode="maxscore", include_doc_ids=np.empty(0, dtype=np.uint64))
+    d, s = sc.score_maxscore("data stream table", 10)
+    assert d.size == 0 and s.size == 0
+
+
+def test_structured_search_composition(doc_index):
+    """structured_search equals the hand-composed plan: phrase
+    candidates ∩ lang filter, negated docs removed, BM25 over the
+    positive terms."""
+    from docinsight_ray.pipelines.documents import STRUCTURED_QUERY
+    from docinsight_ray.querylang import parse_structured_query, phrase_candidates
+    from docinsight_ray.scorer import BM25Scorer
+
+    idx, pos_dir, cfg = doc_index
+    d, s = structured_search(STRUCTURED_QUERY, idx, cfg, k=10, pos_dir=pos_dir)
+    assert d.size > 0
+    sq = parse_structured_query(STRUCTURED_QUERY)
+    include = phrase_candidates(sq.phrases, pos_dir, cfg)
+    sc = BM25Scorer(
+        idx, cfg, mode="maxscore", doc_filter=sq.field_filter,
+        exclude_terms=sq.exclude_terms, include_doc_ids=include,
+    )
+    d2, s2 = sc.score_maxscore(sq.terms, 10)
+    np.testing.assert_array_equal(d, d2)
+    np.testing.assert_array_equal(s, s2)
+    # phrase constraints without a positional index are refused
+    with pytest.raises(ValueError, match="pos_dir"):
+        structured_search(STRUCTURED_QUERY, idx, cfg, k=10)
+
+
+def test_bm25_structured_gate_parity(doc_index):
+    """bm25_structured gate equals its DuckDB oracle at sf0.001."""
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.pipelines.documents import ORACLE_SQL, q_bm25_structured
+
+    got = q_bm25_structured(SF).to_pandas()
+    assert len(got) > 0
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    want = con.sql(ORACLE_SQL["bm25_structured"]).df()
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values("rank").reset_index(drop=True),
+        want[cols].sort_values("rank").reset_index(drop=True),
+        check_dtype=False,
+    )
