@@ -563,12 +563,21 @@ def query_windows(
     cfg: EngineConfig | None = None,
     mode: str = "taat",
     concurrency_per_window: int = 1,
+    doc_filter: tuple[str, tuple] | None = None,
+    exclude_terms: tuple[str, ...] | None = None,
+    include_doc_ids=None,
 ) -> "ray.data.Dataset":
     """Fan queries over all window sub-indexes; exact top-k merge
     (same shape as sharded.query_sharded). Docs tombstoned via
     ``delete_docs`` are excluded from every result (each scorer actor
     reads the small tombstones dir once; scores of surviving docs keep
-    the pre-delete corpus statistics until compaction)."""
+    the pre-delete corpus statistics until compaction).
+
+    ``doc_filter`` / ``exclude_terms`` / ``include_doc_ids`` carry the
+    single-index semantics window-locally, exactly as
+    ``sharded.query_sharded`` does shard-locally: cross-window dedup
+    makes windows disjoint and each doc's postings live wholly in its
+    window, so the union of window-local sets is the global set."""
     from ..state.fsio import glob_parquet
 
     cfg = cfg or EngineConfig()
@@ -592,7 +601,12 @@ def query_windows(
         queries.map_batches(
             BM25Scorer,
             fn_constructor_args=(d, cfg, mode, True),  # emit_k: carry k to the merge
-            fn_constructor_kwargs={"exclude_doc_ids": tomb},
+            fn_constructor_kwargs={
+                "exclude_doc_ids": tomb,
+                "doc_filter": doc_filter,
+                "exclude_terms": exclude_terms,
+                "include_doc_ids": include_doc_ids,
+            },
             batch_format="pyarrow",
             batch_size=cfg.query_batch_size,
             concurrency=concurrency_per_window,

@@ -336,17 +336,20 @@ def query_sharded(
     concurrency_per_shard: int = 1,
     doc_filter: tuple[str, tuple] | None = None,
     exclude_terms: tuple[str, ...] | None = None,
+    include_doc_ids=None,
 ) -> "ray.data.Dataset":
     """Fan every query out to all shard scorers, then exact-merge the
     per-shard top-k candidates per query. Hash-empty shards (possible
     when n_shards approaches the doc count) are skipped — their
     empty-but-valid sub-indexes have no postings to serve.
 
-    ``doc_filter`` / ``exclude_terms`` carry the single-index semantics
-    shard-locally: each shard resolves the allowed/denied sets from its
-    OWN docs registry and postings, and the union of shard-local sets
-    is exactly the global set (docs are hash-partitioned disjointly),
-    so the merged ranking equals the filtered single-index ranking."""
+    ``doc_filter`` / ``exclude_terms`` / ``include_doc_ids`` carry the
+    single-index semantics shard-locally: each shard resolves the
+    allowed/denied sets from its OWN docs registry and postings (the
+    include set intersects each shard's disjoint registry slice), and
+    the union of shard-local sets is exactly the global set (docs are
+    hash-partitioned disjointly), so the merged ranking equals the
+    filtered single-index ranking."""
     from ..state.fsio import read_bytes
 
     cfg = cfg or EngineConfig()
@@ -367,6 +370,7 @@ def query_sharded(
                 BM25Scorer,
                 # emit_k: carry k to the merge
                 fn_constructor_args=(d, cfg, mode, True, None, doc_filter, exclude_terms),
+                fn_constructor_kwargs={"include_doc_ids": include_doc_ids},
                 batch_format="pyarrow",
                 batch_size=cfg.query_batch_size,
                 concurrency=concurrency_per_shard,

@@ -229,3 +229,45 @@ def test_cross_window_dedup_bloom_path(ray_session, tmp_path):
         sub = out[out.query_id == qid].sort_values("rank")
         np.testing.assert_array_equal(sub.doc_id.to_numpy(dtype=np.uint64), od)
         np.testing.assert_array_equal(sub.score.to_numpy(), osc)
+
+
+def test_windowed_filters_match_single_index(ray_session, tmp_path):
+    """doc_filter / exclude_terms / include_doc_ids through the
+    windowed fan-out equal the single-index restricted ranking
+    (window-local sets union to the global ones — cross-window dedup
+    makes windows disjoint)."""
+    import ray.data
+
+    from docinsight_ray.build import build_index
+    from docinsight_ray.config import EngineConfig
+    from docinsight_ray.pipelines.incremental import append_window, query_windows
+    from docinsight_ray.scorer import BM25Scorer
+
+    cfg = EngineConfig(num_buckets=8)
+    corpus = gen_corpus(240, seed=31)
+    root = str(tmp_path / "winflt")
+    half = corpus.num_rows // 2
+    append_window(ray.data.from_arrow(corpus.slice(0, half)), root, "000", cfg)
+    append_window(ray.data.from_arrow(corpus.slice(half)), root, "001", cfg)
+    single = str(tmp_path / "single")
+    build_index(ray.data.from_arrow(corpus), single, cfg, fingerprint="winflt-single")
+
+    base = BM25Scorer(single, cfg, mode="taat")
+    queries = gen_queries(corpus, n_keyword=6, seed=32)
+    # query-independent include set: half the registry by sorted order
+    include = np.sort(base._dl_docid.astype(np.uint64))[::2]
+    langs = ("py", "go", "rs", "c")
+    neg = ("score",)
+    ref = BM25Scorer(single, cfg, mode="taat", doc_filter=("lang", langs),
+                     exclude_terms=neg, include_doc_ids=include)
+    qds = ray.data.from_arrow(queries_table(queries))
+    out = query_windows(qds, root, cfg, mode="taat", doc_filter=("lang", langs),
+                        exclude_terms=neg, include_doc_ids=include).to_pandas()
+    checked = 0
+    for qid, text, k in queries:
+        od, osc = ref.score_taat(text, k)
+        sub = out[out.query_id == qid].sort_values("rank")
+        np.testing.assert_array_equal(sub.doc_id.to_numpy(dtype=np.uint64), od)
+        np.testing.assert_array_equal(sub.score.to_numpy(), osc)
+        checked += 1 if od.size else 0
+    assert checked >= 2

@@ -234,3 +234,33 @@ def test_sharded_filter_and_negation_match_single_index(sharded, tmp_path):
         np.testing.assert_array_equal(sub.score.to_numpy(), osc)
         checked += 1 if od.size else 0
     assert checked >= 3
+
+
+def test_sharded_include_set_matches_single_index(sharded, tmp_path):
+    """include_doc_ids through the sharded fan-out equals the
+    single-index include-restricted ranking (each shard intersects the
+    global include set with its disjoint registry slice)."""
+    import ray.data
+
+    from docinsight_ray.build import build_index
+    from docinsight_ray.scorer import BM25Scorer
+
+    corpus, idx = sharded
+    single = str(tmp_path / "single-inc")
+    build_index(ray.data.from_arrow(corpus), single, CFG, fingerprint="sh-single-inc")
+    base = BM25Scorer(single, CFG, mode="taat")
+    queries = gen_queries(corpus, n_keyword=6, seed=13)
+    d_any, _ = base.score_taat(queries[0][1], base.n_docs)
+    include = np.sort(d_any[::2].astype(np.uint64))  # arbitrary id subset
+    ref = BM25Scorer(single, CFG, mode="taat", include_doc_ids=include)
+    qds = ray.data.from_arrow(queries_table(queries))
+    out = query_sharded(qds, idx, N_SHARDS, CFG, mode="taat",
+                        include_doc_ids=include).to_pandas()
+    checked = 0
+    for qid, text, k in queries:
+        od, osc = ref.score_taat(text, k)
+        sub = out[out.query_id == qid].sort_values("rank")
+        np.testing.assert_array_equal(sub.doc_id.to_numpy(dtype=np.uint64), od)
+        np.testing.assert_array_equal(sub.score.to_numpy(), osc)
+        checked += 1 if od.size else 0
+    assert checked >= 2
