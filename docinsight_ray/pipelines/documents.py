@@ -610,6 +610,36 @@ def q_bm25_filtered(sf_dir: str) -> pa.Table:
     return q_bm25_topk(sf_dir, mode="maxscore", doc_filter=("lang", FILTER_LANGS))
 
 
+def q_positions_probe(sf_dir: str) -> pa.Table:
+    """Positional-index integrity probe: the raw (term, doc_id, pos)
+    rows for PROBE_TERMS, decoded from the compressed positional
+    postings — the positions analogue of ``postings_probe`` (the SQL
+    oracle re-derives every position from the tokenizer, so a single
+    off-by-one in the varbyte/delta position codec hash-mismatches)."""
+    from .positional import PhraseScorer
+
+    pos_dir = ensure_positional(sf_dir)
+    ps = PhraseScorer(pos_dir, SQL_PARITY_CONFIG)
+    terms_out, docs_out, pos_out = [], [], []
+    for term in PROBE_TERMS:
+        docs, flat, offsets = ps._term_positions(term)
+        npos = np.diff(offsets)
+        terms_out.append(np.repeat(np.array([term], dtype=object), int(npos.sum())))
+        docs_out.append(np.repeat(docs.astype(np.int64), npos))
+        pos_out.append(flat.astype(np.int64))
+    t = np.concatenate(terms_out)
+    d = np.concatenate(docs_out)
+    p = np.concatenate(pos_out)
+    order = np.lexsort((p, d, t))
+    return pa.table(
+        {
+            "term": pa.array(t[order], type=pa.string()),
+            "doc_id": pa.array(d[order], type=pa.int64()),
+            "pos": pa.array(p[order], type=pa.int64()),
+        }
+    )
+
+
 # structured query language gate: every retrieval primitive composed
 # through one query string (querylang.py) — positive BM25 terms,
 # boolean NOT, metadata filter, exact-phrase constraint
@@ -1424,6 +1454,18 @@ ORACLE_SQL["bm25_filtered"] = _bm25_cte(_BM25_VALUES) + f"""
 SELECT query_id, rank, doc_id, score FROM flt WHERE rank < {TOPK}
 """
 
+ORACLE_SQL["positions_probe"] = f"""
+        WITH ptok AS (
+          SELECT doc_id, unnest({SIMPLE_TOK_SQL}) AS term,
+                 unnest(range(len({SIMPLE_TOK_SQL}))) AS pos
+          FROM documents
+        )
+        SELECT term, doc_id, pos::BIGINT AS pos
+        FROM ptok
+        WHERE term IN ({", ".join(repr(t) for t in PROBE_TERMS)})
+        ORDER BY term, doc_id, pos
+"""
+
 # structured query: positive-terms BM25 CTE + phrase chain + metadata
 # filter + negation, mirroring querylang's composition exactly
 ORACLE_SQL["bm25_structured"] = _bm25_cte("(0, 'data stream table')") + f"""
@@ -1692,6 +1734,7 @@ QUERIES = {
     "bm25_hydrated": q_bm25_hydrated,
     "bm25_filtered": q_bm25_filtered,
     "bm25_structured": q_bm25_structured,
+    "positions_probe": q_positions_probe,
     "bm25_tombstone": q_bm25_tombstone,
     "bm25_negated": q_bm25_negated,
     "bm25_prefix": q_bm25_prefix,

@@ -152,3 +152,21 @@ def test_proximity_slop0_equals_phrase(pos_index):
         d1, c1 = sc.proximity_occurrences(phrase, k=10_000, slop=0)
         np.testing.assert_array_equal(d0, d1)
         np.testing.assert_array_equal(c0, c1)
+
+
+def test_positions_probe_gate_parity(ray_session):
+    """positions_probe gate: decoded (term, doc_id, pos) rows equal the
+    DuckDB tokenizer-derived oracle at sf0.001 — bitwise codec
+    integrity for the positional layout."""
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.pipelines.documents import ORACLE_SQL, q_positions_probe
+
+    sf = "/root/testdata/sf0.001"
+    got = q_positions_probe(sf).to_pandas()
+    assert len(got) > 0
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    want = con.sql(ORACLE_SQL["positions_probe"]).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False)
