@@ -11,6 +11,7 @@ inverted-index engine):
 - ``-word``        → boolean NOT (docs containing it are excluded)
 - ``col:v1,v2``    → metadata filter on the docs registry (one column)
 - ``"..."``        → exact phrase the doc must contain (positional index)
+- ``-"..."``       → exact phrase the doc must NOT contain
 
 ``structured_search`` composes them through the one ``_allowed``-set
 mechanism the scorer already uses for filtered / negated / tombstoned
@@ -32,7 +33,7 @@ import numpy as np
 
 from .config import EngineConfig
 
-_TOKEN_RE = re.compile(r'"([^"]*)"|(\S+)')
+_TOKEN_RE = re.compile(r'(-?)"([^"]*)"|(\S+)')
 
 
 @dataclass(frozen=True)
@@ -41,6 +42,7 @@ class StructuredQuery:
     exclude_terms: tuple[str, ...] = ()
     field_filter: tuple[str, tuple[str, ...]] | None = None
     phrases: tuple[str, ...] = ()
+    exclude_phrases: tuple[str, ...] = ()
 
 
 def parse_structured_query(text: str) -> StructuredQuery:
@@ -52,11 +54,12 @@ def parse_structured_query(text: str) -> StructuredQuery:
     excludes: list[str] = []
     filters: dict[str, list[str]] = {}
     phrases: list[str] = []
+    neg_phrases: list[str] = []
     for m in _TOKEN_RE.finditer(text):
-        quoted, bare = m.group(1), m.group(2)
+        neg, quoted, bare = m.group(1), m.group(2), m.group(3)
         if quoted is not None:
             if quoted.strip():
-                phrases.append(quoted.strip())
+                (neg_phrases if neg else phrases).append(quoted.strip())
             continue
         if bare.startswith("-") and len(bare) > 1:
             excludes.append(bare[1:].lower())
@@ -78,6 +81,7 @@ def parse_structured_query(text: str) -> StructuredQuery:
         exclude_terms=tuple(excludes),
         field_filter=ff,
         phrases=tuple(phrases),
+        exclude_phrases=tuple(neg_phrases),
     )
 
 
@@ -117,11 +121,19 @@ def structured_search(
     sq = parse_structured_query(text)
     if not sq.terms:
         raise ValueError("structured query needs at least one positive term")
-    include = None
-    if sq.phrases:
+    include = exclude = None
+    if sq.phrases or sq.exclude_phrases:
         if pos_dir is None:
             raise ValueError("phrase constraints need pos_dir (a positional index)")
-        include = phrase_candidates(sq.phrases, pos_dir, cfg)
+        if sq.phrases:
+            include = phrase_candidates(sq.phrases, pos_dir, cfg)
+        if sq.exclude_phrases:
+            # union of the negated phrases' match sets (OR of NOTs)
+            exclude = np.unique(
+                np.concatenate(
+                    [phrase_candidates((ph,), pos_dir, cfg) for ph in sq.exclude_phrases]
+                )
+            )
     sc = BM25Scorer(
         index_dir,
         cfg,
@@ -129,6 +141,7 @@ def structured_search(
         doc_filter=sq.field_filter,
         exclude_terms=sq.exclude_terms or None,
         include_doc_ids=include,
+        exclude_doc_ids=exclude,
     )
     score = {
         "bmw": sc.score_bmw,

@@ -114,3 +114,28 @@ def test_bm25_structured_gate_parity(doc_index):
         want[cols].sort_values("rank").reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_parser_negated_phrases():
+    sq = parse_structured_query('x "a b" -"c d" -e')
+    assert sq.phrases == ("a b",) and sq.exclude_phrases == ("c d",)
+    assert sq.exclude_terms == ("e",) and sq.terms == "x"
+
+
+def test_negated_phrase_excludes_matching_docs(doc_index):
+    """-"phrase" removes exactly the phrase's match set: results equal
+    the unrestricted ranking minus phrase_candidates, scores
+    unchanged."""
+    from docinsight_ray.querylang import phrase_candidates
+    from docinsight_ray.scorer import BM25Scorer
+
+    idx, pos_dir, cfg = doc_index
+    base = BM25Scorer(idx, cfg, mode="maxscore")
+    d_all, s_all = base.score_maxscore("data stream table", base.n_docs)
+    dead = set(phrase_candidates(("hash scan",), pos_dir, cfg).tolist())
+    assert dead  # the phrase matches something
+    want = [(int(d), float(s)) for d, s in zip(d_all, s_all) if int(d) not in dead]
+    d, s = structured_search(
+        'data stream table -"hash scan"', idx, cfg, k=base.n_docs, pos_dir=pos_dir
+    )
+    assert [(int(x), float(y)) for x, y in zip(d, s)] == want
