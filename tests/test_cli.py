@@ -239,11 +239,18 @@ def test_cli_run_registry(ray_session, tmp_path, capsys):
     assert rc == 2
 
 
-def test_cli_search_structured(built_cli, capsys):
+def test_cli_search_structured(ray_session, tmp_path, capsys):
     """search subcommand: structured grammar end-to-end — positive
     terms return hits, a universal negation empties them, phrase
-    constraints without --pos-dir fail cleanly with rc=2."""
-    corpus_path, idx, root = built_cli
+    constraints without --pos-dir fail cleanly with rc=2.
+
+    Builds its own index: the shared built_cli index is cascade-deleted
+    by test_cli_purge_crash_leftovers' final `purge --all --yes`."""
+    corpus_path = str(tmp_path / "corpus.parquet")
+    pq.write_table(gen_corpus(120, seed=77), corpus_path)
+    idx = str(tmp_path / "index")
+    assert main(["build", corpus_path, idx, "--fingerprint", "cli-search"]) == 0
+    capsys.readouterr()
     rc = main(["search", idx, "public static -zzznotaterm", "-k", "5"])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
