@@ -170,6 +170,99 @@ def cmd_query(args) -> int:
     return 0
 
 
+def _validate_positional(args) -> int:
+    """Positional-index validator: per-row varbyte decode, strict
+    position monotonicity, (term, doc_id) uniqueness, bucket-routing
+    agreement; with --corpus, spot-checks that each sampled doc's
+    Σnpos equals its token count and max position equals doc_len-1
+    (every token position emitted exactly once)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .codec import varbyte_decode
+    from .ids import term_bucket
+    from .tokenizer import tokenize_text
+
+    idx = args.index_dir
+    with open(os.path.join(idx, "pos_stats.json")) as f:
+        stats = json.load(f)
+    num_buckets = int(stats["num_buckets"])
+    problems: list[str] = []
+    n_rows = 0
+    terms_seen: set[str] = set()
+    pair_count = 0
+    pair_set: set[tuple[str, int]] = set()
+    files = glob.glob(os.path.join(idx, "bucket=*", "*.parquet"))
+    if not files:
+        problems.append("no bucket=* parquet files")
+    doc_npos: dict[int, int] = {}
+    doc_maxpos: dict[int, int] = {}
+    for fpath in sorted(files):
+        b = int(fpath.rsplit("bucket=", 1)[-1].split(os.sep, 1)[0])
+        t = pq.read_table(fpath, columns=["term", "doc_id", "npos", "pos_vb"])
+        n_rows += t.num_rows
+        terms = t["term"].to_pylist()
+        docs = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        npos = t["npos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = t["pos_vb"].to_pylist()
+        terms_seen.update(terms)
+        pair_count += t.num_rows
+        pair_set.update(zip(terms, docs.tolist()))
+        routed = term_bucket(np.asarray(terms, dtype=object), num_buckets)
+        if (routed != b).any():
+            problems.append(f"{int((routed != b).sum())} rows mis-bucketed in bucket={b}")
+        try:
+            deltas = varbyte_decode(b"".join(blobs), int(npos.sum()))
+        except ValueError as e:
+            problems.append(f"position decode failed in bucket={b}: {e}")
+            continue
+        starts = np.concatenate(([0], np.cumsum(npos)[:-1]))
+        # strictly increasing positions ⇔ every non-first delta ≥ 1
+        nonfirst = np.ones(deltas.size, dtype=bool)
+        nonfirst[starts] = False
+        if (deltas[nonfirst] < 1).any():
+            problems.append(f"non-increasing positions in bucket={b}")
+        cs = np.cumsum(deltas.astype(np.int64))
+        seg_prefix = np.where(starts > 0, cs[starts - 1], 0)
+        last = cs[np.cumsum(npos) - 1] - seg_prefix  # final position per row
+        for d, n, m in zip(docs.tolist(), npos.tolist(), last.tolist()):
+            doc_npos[d] = doc_npos.get(d, 0) + int(n)
+            doc_maxpos[d] = max(doc_maxpos.get(d, -1), int(m))
+    if pair_count != len(pair_set):
+        problems.append(f"{pair_count - len(pair_set)} duplicate (term, doc_id) rows")
+    if args.corpus:
+        _init_ray(args.num_cpus)
+        import ray.data
+
+        from .config import EngineConfig
+        from .ids import doc_id_from_key
+
+        cfg = EngineConfig(tokenizer=stats.get("tokenizer", "code"))
+        sample = ray.data.read_parquet(args.corpus).limit(args.spot_checks).to_pandas()
+        for row in sample.itertuples():
+            did = int(doc_id_from_key([row.repo], [row.path], [row.commit])[0])
+            want = len(tokenize_text(row.content, cfg))
+            if doc_npos.get(did, 0) != want:
+                problems.append(
+                    f"Σnpos {doc_npos.get(did, 0)} != token count {want} for {row.repo}/{row.path}"
+                )
+            elif want and doc_maxpos.get(did, -1) != want - 1:
+                problems.append(
+                    f"max position {doc_maxpos.get(did, -1)} != doc_len-1 {want - 1} "
+                    f"for {row.repo}/{row.path}"
+                )
+    report = {
+        "pos_dir": idx,
+        "n_rows": n_rows,
+        "n_terms": len(terms_seen),
+        "n_docs": len(doc_npos),
+        "problems": problems,
+        "ok": not problems,
+    }
+    print(json.dumps(report, indent=1))
+    return 0 if not problems else 1
+
+
 def cmd_validate(args) -> int:
     import numpy as np
     import pyarrow.parquet as pq
@@ -177,6 +270,12 @@ def cmd_validate(args) -> int:
     from .codec import decode_posting
 
     idx = args.index_dir
+    # a positional index (pos_stats.json, no corpus_stats.json) gets
+    # its own validator — layout and invariants differ entirely
+    if os.path.exists(os.path.join(idx, "pos_stats.json")) and not os.path.exists(
+        os.path.join(idx, "corpus_stats.json")
+    ):
+        return _validate_positional(args)
     # sharded / windowed ROOT: validate every committed sub-index, plus
     # the cross-sub-index invariants (global stats are sums of locals,
     # every sub-index agrees on the global n_docs/total_len)

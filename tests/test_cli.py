@@ -262,3 +262,47 @@ def test_cli_search_structured(ray_session, tmp_path, capsys):
     assert out["hits"] == []
     rc = main(["search", idx, 'public "static void"', "-k", "5"])
     assert rc == 2  # phrase needs --pos-dir
+
+
+def test_cli_validate_positional(ray_session, tmp_path, capsys):
+    """validate on a positional index: clean index passes (incl.
+    --corpus Σnpos/doc_len spot checks); an injected duplicate
+    (term, doc_id) row and a corrupted position blob are reported."""
+    import pyarrow as pa
+
+    corpus_path = str(tmp_path / "corpus.parquet")
+    pq.write_table(gen_corpus(100, seed=81), corpus_path)
+    pos_dir = str(tmp_path / "posidx")
+    assert main(["posbuild", corpus_path, pos_dir, "--fingerprint", "v"]) == 0
+    capsys.readouterr()
+    rc = main(["validate", pos_dir, "--corpus", corpus_path, "--spot-checks", "20"])
+    rep = json.loads(capsys.readouterr().out)
+    assert rc == 0 and rep["ok"] and not rep["problems"]
+    assert rep["n_rows"] > 0 and rep["n_docs"] > 0
+
+    # corruption: append a duplicate row with a NON-monotonic position
+    # blob into an existing bucket dir
+    import glob as _glob
+
+    f = sorted(_glob.glob(os.path.join(pos_dir, "bucket=*", "*.parquet")))[0]
+    t = pq.read_table(f)
+    bad = t.slice(0, 1)
+    from docinsight_ray.codec import varbyte_encode
+    import numpy as np
+
+    # positions [5, 5] encode as deltas [5, 0] — delta 0 ⇒ non-increasing
+    blob = varbyte_encode(np.array([5, 0], dtype=np.uint64))
+    bad = pa.table(
+        {
+            "term": bad["term"],
+            "doc_id": bad["doc_id"],
+            "npos": pa.array([2], type=pa.uint32()),
+            "pos_vb": pa.array([blob], type=pa.binary()),
+        }
+    )
+    pq.write_table(bad, os.path.join(os.path.dirname(f), "zz-corrupt.parquet"))
+    rc = main(["validate", pos_dir])
+    rep = json.loads(capsys.readouterr().out)
+    assert rc == 1 and not rep["ok"]
+    assert any("duplicate (term, doc_id)" in p for p in rep["problems"])
+    assert any("non-increasing positions" in p for p in rep["problems"])
