@@ -9,7 +9,8 @@ inverted-index engine):
 
 - bare words       → BM25-scored positive terms
 - ``-word``        → boolean NOT (docs containing it are excluded)
-- ``col:v1,v2``    → metadata filter on the docs registry (one column)
+- ``col:v1,v2``    → metadata filter on the docs registry (OR within a
+  column, AND across columns)
 - ``"..."``        → exact phrase the doc must contain (positional index)
 - ``-"..."``       → exact phrase the doc must NOT contain
 
@@ -40,16 +41,21 @@ _TOKEN_RE = re.compile(r'(-?)"([^"]*)"|(\S+)')
 class StructuredQuery:
     terms: str = ""
     exclude_terms: tuple[str, ...] = ()
-    field_filter: tuple[str, tuple[str, ...]] | None = None
+    field_filters: tuple[tuple[str, tuple[str, ...]], ...] = ()
     phrases: tuple[str, ...] = ()
     exclude_phrases: tuple[str, ...] = ()
+
+    @property
+    def field_filter(self) -> tuple[str, tuple[str, ...]] | None:
+        """First metadata filter (the one the scorer applies natively)."""
+        return self.field_filters[0] if self.field_filters else None
 
 
 def parse_structured_query(text: str) -> StructuredQuery:
     """Parse the query grammar above. Multiple ``col:`` filters on the
-    SAME column merge their value lists; filters on different columns
-    raise (one metadata column per query — the scorer's doc_filter
-    contract)."""
+    SAME column merge their value lists (OR within a column); filters
+    on different columns AND together — the first rides the scorer's
+    native doc_filter, the rest resolve into the include set."""
     terms: list[str] = []
     excludes: list[str] = []
     filters: dict[str, list[str]] = {}
@@ -68,18 +74,10 @@ def parse_structured_query(text: str) -> StructuredQuery:
             filters.setdefault(col, []).extend(v for v in vals.split(",") if v)
         else:
             terms.append(bare)
-    if len(filters) > 1:
-        raise ValueError(
-            f"structured query supports one metadata filter column, got {sorted(filters)}"
-        )
-    ff = None
-    if filters:
-        col, vals = next(iter(filters.items()))
-        ff = (col, tuple(vals))
     return StructuredQuery(
         terms=" ".join(terms),
         exclude_terms=tuple(excludes),
-        field_filter=ff,
+        field_filters=tuple((col, tuple(vals)) for col, vals in filters.items()),
         phrases=tuple(phrases),
         exclude_phrases=tuple(neg_phrases),
     )
@@ -134,6 +132,30 @@ def structured_search(
                     [phrase_candidates((ph,), pos_dir, cfg) for ph in sq.exclude_phrases]
                 )
             )
+    if len(sq.field_filters) > 1:
+        # beyond the first filter (the scorer's native doc_filter), the
+        # remaining columns resolve here from the docs registry — one
+        # narrow column-pruned read per query — and AND into the
+        # include set. Same mechanism as phrase candidates, so every
+        # pruning mode stays exact.
+        import os as _os
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        extra_cols = [c for c, _ in sq.field_filters[1:]]
+        ft = pq.read_table(
+            _os.path.join(index_dir, "docs"), columns=["doc_id", *extra_cols]
+        )
+        mask = None
+        for col, vals in sq.field_filters[1:]:
+            m = pc.is_in(ft[col].combine_chunks(), value_set=pa.array(list(vals)))
+            mask = m if mask is None else pc.and_(mask, m)
+        ids = np.sort(
+            ft.filter(mask)["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        include = ids if include is None else np.intersect1d(include, ids)
     sc = BM25Scorer(
         index_dir,
         cfg,

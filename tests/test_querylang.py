@@ -24,11 +24,11 @@ def test_parser_grammar():
 def test_parser_edge_cases():
     # bare query: nothing but positive terms
     assert parse_structured_query("a bb ccc") == StructuredQuery(terms="a bb ccc")
-    # repeated filters on one column merge; two columns raise
+    # repeated filters on one column merge (OR); distinct columns AND
     sq = parse_structured_query("x lang:en lang:fr")
     assert sq.field_filter == ("lang", ("en", "fr"))
-    with pytest.raises(ValueError, match="one metadata filter column"):
-        parse_structured_query("x lang:en repo:r1")
+    sq = parse_structured_query("x lang:en repo:r1,r2")
+    assert sq.field_filters == (("lang", ("en",)), ("repo", ("r1", "r2")))
     # empty quotes ignored; lone '-' is a term, '-x' is an exclusion
     sq = parse_structured_query('x "" - -y')
     assert sq.phrases == () and sq.terms == "x -" and sq.exclude_terms == ("y",)
@@ -139,3 +139,30 @@ def test_negated_phrase_excludes_matching_docs(doc_index):
         'data stream table -"hash scan"', idx, cfg, k=base.n_docs, pos_dir=pos_dir
     )
     assert [(int(x), float(y)) for x, y in zip(d, s)] == want
+
+
+def test_multi_column_filters_and_together(doc_index):
+    """Filters on two registry columns AND together: results equal the
+    lang-filtered ranking restricted to the repo-matching id set."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from docinsight_ray.scorer import BM25Scorer
+
+    idx, _pos, cfg = doc_index
+    reg = pq_.read_table(os.path.join(idx, "docs"), columns=["doc_id", "repo"]).to_pandas()
+    repo_ids = np.sort(
+        reg.loc[reg["repo"].isin(["src1", "src2"]), "doc_id"].to_numpy("uint64")
+    )
+    ref = BM25Scorer(
+        idx, cfg, mode="maxscore", doc_filter=("lang", ("en", "fr")),
+        include_doc_ids=repo_ids,
+    )
+    want_d, want_s = ref.score_maxscore("data stream table", 50)
+    assert want_d.size > 0
+    d, s = structured_search(
+        "data stream table lang:en,fr repo:src1,src2", idx, cfg, k=50
+    )
+    np.testing.assert_array_equal(d, want_d)
+    np.testing.assert_array_equal(s, want_s)
