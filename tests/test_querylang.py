@@ -166,3 +166,25 @@ def test_multi_column_filters_and_together(doc_index):
     )
     np.testing.assert_array_equal(d, want_d)
     np.testing.assert_array_equal(s, want_s)
+
+
+def test_parser_never_crashes_property():
+    """Property: the parser accepts ARBITRARY text — never raises, and
+    its output always satisfies the structural invariants (no empty
+    exclusion tokens, phrases stripped and non-empty, filter values
+    non-empty)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=80))
+    def check(text):
+        sq = parse_structured_query(text)
+        assert all(t for t in sq.exclude_terms)
+        assert all(p and p == p.strip() for p in sq.phrases + sq.exclude_phrases)
+        for col, vals in sq.field_filters:
+            assert col and all(vals)
+        # parsing is deterministic
+        assert parse_structured_query(text) == sq
+
+    check()
