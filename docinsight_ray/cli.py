@@ -120,6 +120,15 @@ def cmd_query(args) -> int:
         "conjunctive": scorer.score_conjunctive,
         "lmdir": scorer.score_lmdir,
     }.get(args.mode, scorer.score_taat)
+    if args.explain_doc is not None:
+        # Lucene-style per-term breakdown for one (query, doc) pair
+        for text in args.text:
+            try:
+                print(json.dumps(scorer.explain(text, args.explain_doc)))
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+        return 0
     rows = []
     for qid, text in enumerate(args.text):
         d, s = score(text, args.k)
@@ -546,6 +555,8 @@ def main(argv=None) -> int:
     q.add_argument("--report", default=None, help="path to write a per-query JSON report")
     q.add_argument("--report-html", default=None,
                    help="path to write an HTML rendering of the report")
+    q.add_argument("--explain-doc", type=int, default=None,
+                   help="print the per-term BM25 breakdown for this doc_id instead of ranking")
     q.add_argument("--corpus", default=None,
                    help="source corpus parquet for content previews in --report")
     q.set_defaults(fn=cmd_query)

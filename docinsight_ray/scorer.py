@@ -601,6 +601,60 @@ class BM25Scorer:
         sel = topk_order(cand, acc, k)
         return cand[sel], acc[sel]
 
+    def explain(self, text: str, doc_id: int) -> dict:
+        """Lucene-style score explanation for one (query, doc) pair:
+        per-term tf / df / idf / saturation weight / contribution, plus
+        the total. The total accumulates the SAME float64 contribution
+        values in the SAME sorted-term order as ``score_taat``, so it
+        is bitwise-equal to the doc's served score. A doc removed by
+        the active filter/negation/include set reports
+        ``in_candidate_set: False`` with zero contributions (the
+        reference surfaces per-sentence score components the same way —
+        enhanced_pipeline.py:484-500 ``components``)."""
+        did = np.uint64(doc_id)
+        j = np.searchsorted(self._dl_docid, did)
+        if j >= self._dl_docid.size or self._dl_docid[j] != did:
+            raise ValueError(f"doc_id {doc_id} is not in this index's registry")
+        dl = int(self._dl[j])
+        allowed = self._allowed is None or bool(
+            self._filter_mask(np.asarray([did], dtype=np.uint64))[0]
+        )
+        terms = self.query_terms(text)
+        out_terms = []
+        total = np.float64(0.0)
+        for t in terms:  # sorted order: score_taat's accumulation order
+            d, c = self._term_arrays(t)[:2]
+            k = np.searchsorted(d, did)
+            hit = k < d.size and d[k] == did
+            part, i = self._lookup(t)
+            df = int(part.idf_df[i])
+            idf = float(idf_fn(df, self.n_docs))
+            rec = {"term": t, "df": df, "idf": idf, "tf": 0, "weight": 0.0,
+                   "contribution": 0.0}
+            if hit:
+                dr, tfs, _ctf = self._term_raw(t)
+                kr = np.searchsorted(dr, did)
+                tf = float(tfs[kr])
+                rec["tf"] = int(tf)
+                rec["weight"] = float(
+                    tf_sat_weight(np.asarray([tf]), np.asarray([dl]),
+                                  self.avgdl, self.cfg.k1, self.cfg.b)[0]
+                )
+                rec["contribution"] = float(c[k])
+                total += c[k]
+            out_terms.append(rec)
+        return {
+            "query": text,
+            "doc_id": int(doc_id),
+            "doc_len": dl,
+            "in_candidate_set": allowed,
+            "k1": self.cfg.k1,
+            "b": self.cfg.b,
+            "avgdl": self.avgdl,
+            "score": float(total),
+            "terms": out_terms,
+        }
+
     # ---- LM Dirichlet query likelihood ----------------------------------
 
     def score_lmdir(self, text: str, k: int) -> tuple[np.ndarray, np.ndarray]:

@@ -306,3 +306,24 @@ def test_cli_validate_positional(ray_session, tmp_path, capsys):
     assert rc == 1 and not rep["ok"]
     assert any("duplicate (term, doc_id)" in p for p in rep["problems"])
     assert any("non-increasing positions" in p for p in rep["problems"])
+
+
+def test_cli_query_explain(ray_session, tmp_path, capsys):
+    """query --explain-doc prints the per-term breakdown whose total is
+    the doc's served score. (Private index: the shared built_cli one is
+    cascade-deleted by the purge test, which runs earlier.)"""
+    corpus_path = str(tmp_path / "corpus.parquet")
+    pq.write_table(gen_corpus(120, seed=93), corpus_path)
+    idx = str(tmp_path / "index")
+    assert main(["build", corpus_path, idx, "--fingerprint", "cli-explain"]) == 0
+    capsys.readouterr()
+    rc = main(["query", idx, "public static void", "-k", "3"])
+    assert rc == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[0])["hits"]
+    assert hits
+    rc = main(["query", idx, "public static void",
+               "--explain-doc", str(hits[0]["doc_id"])])
+    assert rc == 0
+    ex = json.loads(capsys.readouterr().out.strip())
+    assert round(ex["score"], 6) == hits[0]["score"]
+    assert ex["in_candidate_set"] and ex["terms"]

@@ -691,3 +691,45 @@ def test_expand_fuzzy(built):
         ("same", "same", 0, True),
     ):
         assert _edit_leq(a, b, d) is ok, (a, b, d)
+
+
+def test_explain_matches_served_score(ray_session, tmp_path):
+    """explain(): per-term contributions sum bitwise to the served
+    TAAT score; tf/df fields are real; filtered-out docs report
+    in_candidate_set=False with zero score; unknown doc_id raises."""
+    import math
+
+    import pytest
+    import ray.data
+
+    from docinsight_ray.build import build_index
+    from docinsight_ray.config import EngineConfig
+    from docinsight_ray.fixtures import gen_corpus
+    from docinsight_ray.scorer import BM25Scorer
+
+    cfg = EngineConfig(num_buckets=8)
+    corpus = gen_corpus(150, seed=91)
+    idx = str(tmp_path / "index")
+    build_index(ray.data.from_arrow(corpus), idx, cfg, fingerprint="xp")
+    sc = BM25Scorer(idx, cfg, mode="taat")
+    q = "public static void class"
+    d, s = sc.score_taat(q, 5)
+    assert d.size > 0
+    for did, score in zip(d, s):
+        ex = sc.explain(q, int(did))
+        assert ex["score"] == float(score)  # bitwise: same adds, same order
+        assert ex["in_candidate_set"]
+        assert math.isclose(sum(t["contribution"] for t in ex["terms"]), ex["score"],
+                            rel_tol=1e-12)
+        for t in ex["terms"]:
+            if t["contribution"]:
+                assert t["tf"] >= 1 and t["df"] >= 1 and t["idf"] > 0
+    # a doc removed by the include set explains as out-of-candidate
+    import numpy as np
+
+    other = np.asarray([x for x in sc._dl_docid if x != d[0]][:10], dtype=np.uint64)
+    sc2 = BM25Scorer(idx, cfg, mode="taat", include_doc_ids=other)
+    ex = sc2.explain(q, int(d[0]))
+    assert not ex["in_candidate_set"] and ex["score"] == 0.0
+    with pytest.raises(ValueError, match="not in this index"):
+        sc.explain(q, 12345)
