@@ -610,6 +610,74 @@ def q_bm25_filtered(sf_dir: str) -> pa.Table:
     return q_bm25_topk(sf_dir, mode="maxscore", doc_filter=("lang", FILTER_LANGS))
 
 
+COLLAPSE_FIELD = "lang"
+COLLAPSE_K = 5
+
+
+def q_bm25_collapse(sf_dir: str) -> pa.Table:
+    """FIELD-COLLAPSED retrieval (Elasticsearch collapse semantics):
+    per query, at most ONE result per COLLAPSE_FIELD value — the
+    best-scoring doc of each group — then the top-COLLAPSE_K of those
+    collapsed winners. Collapse runs on the round-6 score with doc_id
+    tiebreak (the gates' SQL-parity discipline).
+
+    Scale shape: the serving path is the normal actor-pool ranking;
+    collapse operates on the BOUNDED result set (≤ k rows per query ×
+    queries), hydrating the collapse field from the registry via one
+    broadcast dict — never a corpus-wide shuffle."""
+    idx = ensure_index(sf_dir)
+    n_docs = BM25Scorer(idx, SQL_PARITY_CONFIG, mode="maxscore").n_docs
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q for q, _ in DOC_QUERIES], type=pa.int64()),
+            "text": pa.array([t for _, t in DOC_QUERIES], type=pa.string()),
+            "k": pa.array([n_docs] * len(DOC_QUERIES), type=pa.uint32()),
+        }
+    )
+    res = (
+        query_index(ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG,
+                    mode="maxscore", concurrency=2)
+        .to_pandas()
+    )
+    import pyarrow.parquet as pq
+
+    reg = pq.read_table(os.path.join(idx, "docs"), columns=["doc_id", COLLAPSE_FIELD])
+    field_of = dict(
+        zip(
+            reg["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64).tolist(),
+            reg[COLLAPSE_FIELD].to_pylist(),
+        )
+    )
+    qids, ranks, dids, scores, fields = [], [], [], [], []
+    for qid, _text in DOC_QUERIES:
+        g = res[res.query_id == qid]
+        d = g["doc_id"].to_numpy().astype(np.uint64)
+        s6 = np.round(g["score"].to_numpy(), 6)
+        order = np.lexsort((d, -s6))
+        d, s6 = d[order], s6[order]
+        best: dict[str, int] = {}
+        for j in range(d.size):  # first hit per group = group winner
+            f = field_of[int(d[j])]
+            if f not in best:
+                best[f] = j
+        keep = np.sort(np.fromiter(best.values(), dtype=np.int64))[:COLLAPSE_K]
+        d, s6 = d[keep], s6[keep]
+        qids += [qid] * d.size
+        ranks += list(range(d.size))
+        dids.append(d.astype(np.int64))
+        scores.append(s6)
+        fields += [field_of[int(x)] for x in d]
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(dids), type=pa.int64()),
+            "score": pa.array(np.concatenate(scores), type=pa.float64()),
+            COLLAPSE_FIELD: pa.array(fields, type=pa.string()),
+        }
+    )
+
+
 def q_positions_probe(sf_dir: str) -> pa.Table:
     """Positional-index integrity probe: the raw (term, doc_id, pos)
     rows for PROBE_TERMS, decoded from the compressed positional
@@ -1454,6 +1522,22 @@ ORACLE_SQL["bm25_filtered"] = _bm25_cte(_BM25_VALUES) + f"""
 SELECT query_id, rank, doc_id, score FROM flt WHERE rank < {TOPK}
 """
 
+ORACLE_SQL["bm25_collapse"] = _bm25_cte(_BM25_VALUES) + f"""
+, lg AS (
+  SELECT s.query_id, s.doc_id, round(s.raw, 6) AS score, d.{COLLAPSE_FIELD},
+         row_number() OVER (PARTITION BY s.query_id, d.{COLLAPSE_FIELD}
+                            ORDER BY round(s.raw, 6) DESC, s.doc_id ASC) AS rn
+  FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+), coll AS (
+  SELECT query_id, doc_id, score, {COLLAPSE_FIELD},
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) - 1 AS rank
+  FROM lg WHERE rn = 1
+)
+SELECT query_id, rank, doc_id, score, {COLLAPSE_FIELD}
+FROM coll WHERE rank < {COLLAPSE_K}
+"""
+
 ORACLE_SQL["positions_probe"] = f"""
         WITH ptok AS (
           SELECT doc_id, unnest({SIMPLE_TOK_SQL}) AS term,
@@ -1735,6 +1819,7 @@ QUERIES = {
     "bm25_filtered": q_bm25_filtered,
     "bm25_structured": q_bm25_structured,
     "positions_probe": q_positions_probe,
+    "bm25_collapse": q_bm25_collapse,
     "bm25_tombstone": q_bm25_tombstone,
     "bm25_negated": q_bm25_negated,
     "bm25_prefix": q_bm25_prefix,

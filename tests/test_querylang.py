@@ -188,3 +188,33 @@ def test_parser_never_crashes_property():
         assert parse_structured_query(text) == sq
 
     check()
+
+
+def test_bm25_collapse_gate_parity(doc_index):
+    """bm25_collapse (field collapsing): equals the DuckDB window
+    oracle at sf0.001; per query, field values are unique and each
+    winner outscores every other same-field doc."""
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.pipelines.documents import (
+        COLLAPSE_FIELD,
+        ORACLE_SQL,
+        q_bm25_collapse,
+    )
+
+    got = q_bm25_collapse(SF).to_pandas()
+    assert len(got) > 0
+    for _qid, g in got.groupby("query_id"):
+        assert g[COLLAPSE_FIELD].is_unique
+        assert (g.sort_values("rank")["score"].diff().dropna() <= 0).all()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    want = con.sql(ORACLE_SQL["bm25_collapse"]).df()
+    cols = sorted(got.columns)
+    key = ["query_id", "rank"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(key).reset_index(drop=True),
+        want[cols].sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
