@@ -610,6 +610,56 @@ def q_bm25_filtered(sf_dir: str) -> pa.Table:
     return q_bm25_topk(sf_dir, mode="maxscore", doc_filter=("lang", FILTER_LANGS))
 
 
+def q_bm25_page2(sf_dir: str) -> pa.Table:
+    """Deep pagination via SEARCH_AFTER (Elasticsearch cursor
+    semantics): the second page of TOPK results per query is produced
+    by the cursor PREDICATE — (score, doc_id) strictly after page 1's
+    last hit in (score desc, doc_id asc) order — not by a rank offset,
+    which is the stateless-pagination contract that still works when
+    the ranking is recomputed between pages. Emitted ranks are
+    absolute (TOPK..2·TOPK-1) so the SQL oracle's rank window matches
+    row-for-row."""
+    idx = ensure_index(sf_dir)
+    n_docs = BM25Scorer(idx, SQL_PARITY_CONFIG, mode="maxscore").n_docs
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q for q, _ in DOC_QUERIES], type=pa.int64()),
+            "text": pa.array([t for _, t in DOC_QUERIES], type=pa.string()),
+            "k": pa.array([n_docs] * len(DOC_QUERIES), type=pa.uint32()),
+        }
+    )
+    res = (
+        query_index(ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG,
+                    mode="maxscore", concurrency=2)
+        .to_pandas()
+    )
+    qids, ranks, dids, scores = [], [], [], []
+    for qid, _text in DOC_QUERIES:
+        g = res[res.query_id == qid]
+        d = g["doc_id"].to_numpy().astype(np.uint64)
+        s6 = np.round(g["score"].to_numpy(), 6)
+        order = np.lexsort((d, -s6))
+        d, s6 = d[order], s6[order]
+        if d.size <= TOPK:
+            continue  # no second page
+        cs, cd = s6[TOPK - 1], d[TOPK - 1]  # page-1 cursor
+        after = (s6 < cs) | ((s6 == cs) & (d > cd))
+        d2, s2 = d[after][:TOPK], s6[after][:TOPK]
+        qids += [qid] * d2.size
+        ranks += list(range(TOPK, TOPK + d2.size))
+        dids.append(d2.astype(np.int64))
+        scores.append(s2)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(dids) if dids else np.empty(0, dtype=np.int64),
+                               type=pa.int64()),
+            "score": pa.array(np.concatenate(scores) if scores else np.empty(0), type=pa.float64()),
+        }
+    )
+
+
 COLLAPSE_FIELD = "lang"
 COLLAPSE_K = 5
 
@@ -1522,6 +1572,11 @@ ORACLE_SQL["bm25_filtered"] = _bm25_cte(_BM25_VALUES) + f"""
 SELECT query_id, rank, doc_id, score FROM flt WHERE rank < {TOPK}
 """
 
+ORACLE_SQL["bm25_page2"] = BM25_CTE + (
+    f"SELECT query_id, rank, doc_id, score FROM ranked "
+    f"WHERE rank >= {TOPK} AND rank < {2 * TOPK}"
+)
+
 ORACLE_SQL["bm25_collapse"] = _bm25_cte(_BM25_VALUES) + f"""
 , lg AS (
   SELECT s.query_id, s.doc_id, round(s.raw, 6) AS score, d.{COLLAPSE_FIELD},
@@ -1820,6 +1875,7 @@ QUERIES = {
     "bm25_structured": q_bm25_structured,
     "positions_probe": q_positions_probe,
     "bm25_collapse": q_bm25_collapse,
+    "bm25_page2": q_bm25_page2,
     "bm25_tombstone": q_bm25_tombstone,
     "bm25_negated": q_bm25_negated,
     "bm25_prefix": q_bm25_prefix,

@@ -218,3 +218,34 @@ def test_bm25_collapse_gate_parity(doc_index):
         want[cols].sort_values(key).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_bm25_page2_search_after(doc_index):
+    """bm25_page2 (search_after cursor): equals the DuckDB rank-window
+    oracle at sf0.001, and page 2 never repeats a page-1 doc."""
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.pipelines.documents import (
+        ORACLE_SQL,
+        q_bm25_page2,
+        q_bm25_topk,
+    )
+
+    page2 = q_bm25_page2(SF).to_pandas()
+    page1 = q_bm25_topk(SF).to_pandas()
+    assert len(page2) > 0
+    for qid, g in page2.groupby("query_id"):
+        p1 = set(page1.loc[page1.query_id == qid, "doc_id"])
+        assert not (set(g["doc_id"]) & p1)
+        assert g["rank"].min() >= 10
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    want = con.sql(ORACLE_SQL["bm25_page2"]).df()
+    cols = sorted(page2.columns)
+    key = ["query_id", "rank"]
+    pd.testing.assert_frame_equal(
+        page2[cols].sort_values(key).reset_index(drop=True),
+        want[cols].sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
