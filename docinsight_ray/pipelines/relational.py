@@ -388,7 +388,105 @@ def q_lapsed_customers(sf_dir: str) -> pa.Table:
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+PIVOT_BUCKETS = 64
+
+
+def q_event_pivot(sf_dir: str) -> pa.Table:
+    """PIVOT: one row per user with a count column per event type.
+    Scale shape: per-batch partial (user, type) counts bound what
+    leaves each batch; the shuffle groups by a coarsened bucket key
+    (user_id % 64 — thousands of tiny Ray groups cost ~1 ms each) and
+    the in-bucket pandas pivot is exact. Unknown event types would be
+    dropped silently, so the partial ASSERTS the closed type set."""
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        unknown = set(batch["event_type"].unique()) - set(EVENT_TYPES)
+        assert not unknown, f"unexpected event types: {unknown}"
+        out = (
+            batch.groupby(["user_id", "event_type"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        out["user_id"] = out["user_id"].astype("int64")
+        out["cnt"] = out["cnt"].astype("int64")
+        out["bucket"] = (out["user_id"] % PIVOT_BUCKETS).astype("int64")
+        return out
+
+    def bucket_pivot(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["user_id", "event_type"], as_index=False)["cnt"].sum()
+        wide = tot.pivot_table(index="user_id", columns="event_type",
+                               values="cnt", fill_value=0, aggfunc="sum")
+        wide = wide.reindex(columns=list(EVENT_TYPES), fill_value=0).astype("int64")
+        wide.columns = [f"n_{c}" for c in wide.columns]
+        wide = wide.reset_index()
+        wide["user_id"] = wide["user_id"].astype("int64")
+        wide["ukey"] = "u:" + wide["user_id"].astype(str)
+        return wide
+
+    bucket_pivot.__name__ = "bucket_pivot"
+    out = (
+        ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                              columns=["user_id", "event_type"])
+        .map_batches(partial_counts, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_pivot, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("user_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+def q_doc_rollup(sf_dir: str) -> pa.Table:
+    """ROLLUP / GROUPING SETS: doc counts + char sums at (lang, source),
+    (lang) and grand-total levels, subtotal rows marked 'ALL'.
+    Scale shape: ONE distributed pre-aggregation to the bounded
+    (lang × source) grid; the coarser levels re-aggregate that tiny
+    grid (never the table) — the standard rollup-from-finest-level
+    identity, exact because count and sum are decomposable."""
+    base = (
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["lang", "source", "n_chars"])
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+        .to_pandas()
+    )
+    base["n_docs"] = base["n_docs"].astype("int64")
+    base["sum_chars"] = base["sum_chars"].astype("int64")
+    lang = base.groupby("lang", as_index=False)[["n_docs", "sum_chars"]].sum()
+    lang["source"] = "ALL"
+    total = pd.DataFrame(
+        {"lang": ["ALL"], "source": ["ALL"],
+         "n_docs": [base["n_docs"].sum()], "sum_chars": [base["sum_chars"].sum()]}
+    )
+    out = (
+        pd.concat([base, lang, total], ignore_index=True)[
+            ["lang", "source", "n_docs", "sum_chars"]
+        ]
+        .sort_values(["lang", "source"])
+        .reset_index(drop=True)
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 ORACLE_SQL = {
+    "event_pivot": f"""
+        SELECT user_id,
+               {", ".join(
+                   f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS n_{t}"
+                   for t in EVENT_TYPES
+               )},
+               'u:' || user_id::VARCHAR AS ukey
+        FROM events GROUP BY user_id
+    """,
+    "doc_rollup": """
+        SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+               count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+        FROM documents GROUP BY GROUPING SETS ((lang, source), (lang), ())
+    """,
     "lapsed_customers": f"""
         SELECT c.c_custkey, c.c_name, c.c_mktsegment
         FROM customer c
@@ -464,4 +562,6 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "top_unshipped_orders": q_top_unshipped_orders,
     "lapsed_customers": q_lapsed_customers,
+    "event_pivot": q_event_pivot,
+    "doc_rollup": q_doc_rollup,
 }

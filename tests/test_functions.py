@@ -804,3 +804,50 @@ def test_top_event_type_parity(ray_session):
     )
     n_users = con.sql("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
     assert len(got) == n_users
+
+
+def test_event_pivot_parity(ray_session):
+    """event_pivot: per-user wide counts equal the DuckDB conditional-
+    sum oracle; row sums equal each user's event count."""
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.pipelines.relational import EVENT_TYPES, ORACLE_SQL, q_event_pivot
+
+    got = q_event_pivot(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    want = con.sql(ORACLE_SQL["event_pivot"]).df()
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values("user_id").reset_index(drop=True),
+        want[cols].sort_values("user_id").reset_index(drop=True),
+        check_dtype=False,
+    )
+    n_events = con.sql("SELECT count(*) FROM events").fetchone()[0]
+    assert got[[f"n_{t}" for t in EVENT_TYPES]].to_numpy().sum() == n_events
+
+
+def test_doc_rollup_parity(ray_session):
+    """doc_rollup: GROUPING SETS parity; subtotal identities hold
+    (Σ per-lang rows = lang subtotal; Σ lang subtotals = grand total)."""
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.pipelines.relational import ORACLE_SQL, q_doc_rollup
+
+    got = q_doc_rollup(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    want = con.sql(ORACLE_SQL["doc_rollup"]).df()
+    cols = sorted(got.columns)
+    key = ["lang", "source"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(key).reset_index(drop=True),
+        want[cols].sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+    fine = got[(got.lang != "ALL") & (got.source != "ALL")]
+    subs = got[(got.lang != "ALL") & (got.source == "ALL")]
+    total = got[(got.lang == "ALL") & (got.source == "ALL")]
+    assert fine["n_docs"].sum() == total["n_docs"].iloc[0] == subs["n_docs"].sum()
