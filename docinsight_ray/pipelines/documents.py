@@ -197,6 +197,7 @@ def q_bm25_topk(
     max_loaded_parts: int | None = None,
     doc_filter: tuple[str, tuple] | None = None,
     exclude_terms: tuple[str, ...] | None = None,
+    min_should_match: int | None = None,
 ) -> pa.Table:
     """Full engine path END-TO-END: build → Dataset of queries →
     actor-pool scorers (the serving path, not a driver loop) → top-10
@@ -215,7 +216,8 @@ def q_bm25_topk(
     res = (
         query_index(ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG, mode=mode,
                     concurrency=2, max_loaded_parts=max_loaded_parts,
-                    doc_filter=doc_filter, exclude_terms=exclude_terms)
+                    doc_filter=doc_filter, exclude_terms=exclude_terms,
+                    min_should_match=min_should_match)
         .to_pandas()
     )
     qids, ranks, dids, scores = [], [], [], []
@@ -1038,6 +1040,19 @@ def q_bm25_conjunctive(sf_dir: str) -> pa.Table:
     return q_bm25_topk(sf_dir, mode="conjunctive")
 
 
+MSM_MIN = 2  # minimum_should_match floor for the gate
+
+
+def q_bm25_msm(sf_dir: str) -> pa.Table:
+    """MINIMUM_SHOULD_MATCH retrieval (Elasticsearch semantics): a doc
+    must contain at least MSM_MIN distinct query terms to be ranked;
+    surviving docs keep their plain BM25 scores. The middle ground
+    between the pure disjunction (m=1, bm25_topk) and the conjunction
+    (m=|q|, bm25_conjunctive) — served exhaustively (TAAT) because a
+    match-count floor breaks additive-upper-bound pruning."""
+    return q_bm25_topk(sf_dir, min_should_match=MSM_MIN)
+
+
 def q_bm25_hydrated(sf_dir: str) -> pa.Table:
     """Top-k results joined back to document metadata — the reference's
     chunk-detail hydration join (J1, /root/reference/index/index_manager.py:258-286)
@@ -1549,6 +1564,24 @@ ORACLE_SQL["bm25_conjunctive"] = _bm25_cte(_BM25_VALUES) + f"""
 SELECT query_id, rank, doc_id, score FROM conj WHERE rank < {TOPK}
 """
 
+ORACLE_SQL["bm25_msm"] = _bm25_cte(_BM25_VALUES) + f"""
+, matched AS (
+  SELECT qt.query_id, tf.doc_id, count(*) AS m
+  FROM qt JOIN tf ON tf.term = qt.term
+  GROUP BY qt.query_id, tf.doc_id
+)
+, msm AS (
+  SELECT s.query_id,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY round(s.raw, 6) DESC, s.doc_id ASC) - 1 AS rank,
+         s.doc_id, round(s.raw, 6) AS score
+  FROM scores s
+  JOIN matched m ON m.query_id = s.query_id AND m.doc_id = s.doc_id
+  WHERE m.m >= {MSM_MIN}
+)
+SELECT query_id, rank, doc_id, score FROM msm WHERE rank < {TOPK}
+"""
+
 ORACLE_SQL["bm25_more_like_this"] = _bm25_cte_qt(
     f"""qt AS (
   SELECT d.doc_id AS query_id, t.term
@@ -1884,6 +1917,7 @@ QUERIES = {
     "proximity_topk": q_proximity_topk,
     "bm25_more_like_this": q_bm25_more_like_this,
     "bm25_conjunctive": q_bm25_conjunctive,
+    "bm25_msm": q_bm25_msm,
     "bm25_doc_query": q_bm25_doc_query,
     "exact_dedup": q_exact_dedup,
     "retrieval_eval": q_retrieval_eval,

@@ -245,11 +245,25 @@ class BM25Scorer:
         exclude_terms: tuple[str, ...] | None = None,
         exclude_doc_ids=None,
         include_doc_ids=None,
+        min_should_match: int | None = None,
     ):
         from .state.fsio import exists as fs_exists, glob_parquet, read_bytes
 
         self.cfg = cfg or EngineConfig()
         self.mode = mode
+        # minimum_should_match (Elasticsearch semantics): a doc must
+        # contain at least m of the query's distinct indexed terms to
+        # be a candidate; scores of surviving docs are the plain BM25
+        # sums. m=1 is the ordinary disjunction, m=|q| the conjunction.
+        # Served via exhaustive TAAT only: MaxScore/BMW upper bounds
+        # assume ANY single term may carry a candidate, so their
+        # pruning is unsound under a match-count floor.
+        self.min_should_match = int(min_should_match) if min_should_match else 0
+        if self.min_should_match > 1 and mode not in ("taat",):
+            raise ValueError(
+                "min_should_match > 1 requires mode='taat' "
+                "(match-count floors break additive-upper-bound pruning)"
+            )
         # emit_k: append the requested k as a per-row column so a
         # downstream sharded/windowed top-k merge knows the TRUE k even
         # when this sub-index returned fewer than k rows (inferring k
@@ -596,8 +610,17 @@ class BM25Scorer:
         per_term = [self._term_arrays(t)[:2] for t in terms]
         cand = np.unique(np.concatenate([d for d, _ in per_term]))
         acc = np.zeros(cand.size, dtype=np.float64)
-        for d, c in per_term:  # sorted-term order → deterministic float sums
-            acc[np.searchsorted(cand, d)] += c
+        if self.min_should_match > 1:
+            cnt = np.zeros(cand.size, dtype=np.int32)
+            for d, c in per_term:  # sorted-term order → deterministic sums
+                idx = np.searchsorted(cand, d)
+                acc[idx] += c
+                cnt[idx] += 1
+            keep = cnt >= self.min_should_match
+            cand, acc = cand[keep], acc[keep]
+        else:
+            for d, c in per_term:  # sorted-term order → deterministic float sums
+                acc[np.searchsorted(cand, d)] += c
         sel = topk_order(cand, acc, k)
         return cand[sel], acc[sel]
 
@@ -1061,6 +1084,7 @@ def query_index(
     exclude_terms: tuple[str, ...] | None = None,
     exclude_doc_ids=None,
     include_doc_ids=None,
+    min_should_match: int | None = None,
 ):
     """queries Dataset (query_id, text, k) → results Dataset via the
     scorer actor pool. ``max_loaded_parts`` > 0 serves with the
@@ -1073,13 +1097,15 @@ def query_index(
     ``exclude_doc_ids`` (doc_id array or tombstone parquet dir path)
     removes specific documents — deleted-docs semantics.
     ``include_doc_ids`` (uint64 array) restricts candidates to an
-    explicit id set (phrase constraints, pre-joined candidates)."""
+    explicit id set (phrase constraints, pre-joined candidates).
+    ``min_should_match`` = m keeps only docs matching ≥ m distinct
+    query terms (Elasticsearch minimum_should_match; taat mode only)."""
     cfg = cfg or EngineConfig()
     return queries.map_batches(
         BM25Scorer,
         fn_constructor_args=(
             index_dir, cfg, mode, False, max_loaded_parts, doc_filter, exclude_terms,
-            exclude_doc_ids, include_doc_ids,
+            exclude_doc_ids, include_doc_ids, min_should_match,
         ),
         batch_format="pyarrow",
         batch_size=cfg.query_batch_size,

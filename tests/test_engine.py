@@ -327,6 +327,53 @@ def test_conjunctive_rank_identity(built):
         np.testing.assert_array_equal(s, cosc[sel], err_msg=f"conjunctive scores q{qid}")
 
 
+def test_min_should_match(built):
+    """minimum_should_match: m=1 is bitwise-identical to the plain
+    disjunction; m=|q| equals the conjunction; intermediate m keeps
+    exactly the docs matching >= m distinct indexed query terms, with
+    unchanged BM25 scores."""
+    corpus, idx, res = built
+    from docinsight_ray.bm25 import topk_order
+
+    oracle = OracleIndex(corpus, CFG)
+    base = BM25Scorer(idx, CFG)
+    conj = BM25Scorer(idx, CFG, mode="conjunctive")
+    for qid, text, k in gen_queries(corpus, n_keyword=15, seed=7):
+        terms = base.query_terms(text)
+        if len(terms) < 2:
+            continue
+        # m=1 == plain TAAT
+        m1 = BM25Scorer(idx, CFG, min_should_match=1)
+        np.testing.assert_array_equal(m1.score_taat(text, k)[0], base.score_taat(text, k)[0])
+        # m=2: oracle = exhaustive scores filtered by match count >= 2
+        m2 = BM25Scorer(idx, CFG, min_should_match=2)
+        d2, s2 = m2.score_taat(text, k)
+        od, osc = oracle.score(text, oracle.n_docs)
+        n_match = np.asarray([
+            sum(any(int(di) == p[0] for p in oracle.postings[t]) for t in terms)
+            for di in od
+        ])
+        keep = n_match >= 2
+        kd, ks = od[keep], osc[keep]
+        sel = topk_order(kd, ks, k)
+        np.testing.assert_array_equal(d2, kd[sel], err_msg=f"msm docs q{qid}")
+        np.testing.assert_array_equal(s2, ks[sel], err_msg=f"msm scores q{qid}")
+        # m=|q| == conjunction (when every raw token is indexed)
+        from docinsight_ray.tokenizer import tokenize_text as _tok
+
+        if all(base.has_term(t) for t in _tok(text, CFG)):
+            mq = BM25Scorer(idx, CFG, min_should_match=len(terms))
+            np.testing.assert_array_equal(
+                mq.score_taat(text, k)[0], conj.score_conjunctive(text, k)[0]
+            )
+
+
+def test_msm_rejects_pruning_modes(built):
+    corpus, idx, res = built
+    with pytest.raises(ValueError):
+        BM25Scorer(idx, CFG, mode="maxscore", min_should_match=2)
+
+
 def test_build_dup_free_corpus(ray_session, tmp_path):
     """Regression: a corpus with ZERO duplicate contents must build
     (empty dup-sha Dataset loses its schema in to_pandas)."""
