@@ -198,6 +198,7 @@ def q_bm25_topk(
     doc_filter: tuple[str, tuple] | None = None,
     exclude_terms: tuple[str, ...] | None = None,
     min_should_match: int | None = None,
+    synonyms: dict[str, tuple[str, ...]] | None = None,
 ) -> pa.Table:
     """Full engine path END-TO-END: build → Dataset of queries →
     actor-pool scorers (the serving path, not a driver loop) → top-10
@@ -217,7 +218,7 @@ def q_bm25_topk(
         query_index(ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG, mode=mode,
                     concurrency=2, max_loaded_parts=max_loaded_parts,
                     doc_filter=doc_filter, exclude_terms=exclude_terms,
-                    min_should_match=min_should_match)
+                    min_should_match=min_should_match, synonyms=synonyms)
         .to_pandas()
     )
     qids, ranks, dids, scores = [], [], [], []
@@ -1042,6 +1043,24 @@ def q_bm25_conjunctive(sf_dir: str) -> pa.Table:
 
 MSM_MIN = 2  # minimum_should_match floor for the gate
 
+# fixed test thesaurus over the driver vocabulary; "quick" is absent
+# from the corpus (the no-op expansion path)
+SYNONYMS: dict[str, tuple[str, ...]] = {
+    "stream": ("window",),
+    "join": ("merge",),
+    "fast": ("quick",),
+}
+
+
+def q_bm25_synonyms(sf_dir: str) -> pa.Table:
+    """Query-time SYNONYM expansion (Elasticsearch synonym-filter,
+    simple-expand semantics): each query token additionally contributes
+    its thesaurus entries; every expanded term scores with its own idf.
+    The thesaurus ships once per scorer actor (constructor broadcast),
+    and the expansion happens inside query_terms, so the pruning modes
+    serve it unchanged."""
+    return q_bm25_topk(sf_dir, mode="maxscore", synonyms=SYNONYMS)
+
 
 def q_bm25_msm(sf_dir: str) -> pa.Table:
     """MINIMUM_SHOULD_MATCH retrieval (Elasticsearch semantics): a doc
@@ -1564,6 +1583,23 @@ ORACLE_SQL["bm25_conjunctive"] = _bm25_cte(_BM25_VALUES) + f"""
 SELECT query_id, rank, doc_id, score FROM conj WHERE rank < {TOPK}
 """
 
+ORACLE_SQL["bm25_synonyms"] = _bm25_cte_qt(
+    f"""q(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qt0 AS (
+  SELECT q.query_id, t.term
+  FROM q, unnest(list_filter(regexp_extract_all(lower(q.qtext), '[a-z0-9]+'), t -> length(t) >= 2)) AS t(term)
+  GROUP BY q.query_id, t.term
+),
+syn(term, syn) AS (VALUES {", ".join(
+    f"('{t}', '{s}')" for t, ss in sorted(SYNONYMS.items()) for s in ss
+)}),
+qt AS (
+  SELECT query_id, term FROM qt0
+  UNION
+  SELECT qt0.query_id, syn.syn FROM qt0 JOIN syn ON syn.term = qt0.term
+)"""
+) + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}"
+
 ORACLE_SQL["bm25_msm"] = _bm25_cte(_BM25_VALUES) + f"""
 , matched AS (
   SELECT qt.query_id, tf.doc_id, count(*) AS m
@@ -1918,6 +1954,7 @@ QUERIES = {
     "bm25_more_like_this": q_bm25_more_like_this,
     "bm25_conjunctive": q_bm25_conjunctive,
     "bm25_msm": q_bm25_msm,
+    "bm25_synonyms": q_bm25_synonyms,
     "bm25_doc_query": q_bm25_doc_query,
     "exact_dedup": q_exact_dedup,
     "retrieval_eval": q_retrieval_eval,

@@ -246,11 +246,20 @@ class BM25Scorer:
         exclude_doc_ids=None,
         include_doc_ids=None,
         min_should_match: int | None = None,
+        synonyms: dict[str, tuple[str, ...]] | None = None,
     ):
         from .state.fsio import exists as fs_exists, glob_parquet, read_bytes
 
         self.cfg = cfg or EngineConfig()
         self.mode = mode
+        # query-time synonym expansion (Elasticsearch synonym-filter
+        # semantics, simple-expand): every query token additionally
+        # contributes its thesaurus entries to the term bag; each
+        # expanded term scores with its OWN idf. The dict ships once
+        # per actor via constructor args (broadcast, never per batch);
+        # expansion happens in query_terms so it composes with every
+        # serving mode unchanged.
+        self._syn = synonyms or None
         # minimum_should_match (Elasticsearch semantics): a doc must
         # contain at least m of the query's distinct indexed terms to
         # be a candidate; scores of surviving docs are the plain BM25
@@ -599,7 +608,11 @@ class BM25Scorer:
         return entry
 
     def query_terms(self, text: str) -> list[str]:
-        return sorted({t for t in tokenize_text(text, self.cfg) if self.has_term(t)})
+        toks = set(tokenize_text(text, self.cfg))
+        if self._syn:
+            for t in tuple(toks):  # expand from RAW tokens (a token absent
+                toks.update(self._syn.get(t, ()))  # from the index may still map)
+        return sorted(t for t in toks if self.has_term(t))
 
     # ---- exact TAAT -----------------------------------------------------
 
@@ -1085,6 +1098,7 @@ def query_index(
     exclude_doc_ids=None,
     include_doc_ids=None,
     min_should_match: int | None = None,
+    synonyms: dict[str, tuple[str, ...]] | None = None,
 ):
     """queries Dataset (query_id, text, k) → results Dataset via the
     scorer actor pool. ``max_loaded_parts`` > 0 serves with the
@@ -1099,13 +1113,15 @@ def query_index(
     ``include_doc_ids`` (uint64 array) restricts candidates to an
     explicit id set (phrase constraints, pre-joined candidates).
     ``min_should_match`` = m keeps only docs matching ≥ m distinct
-    query terms (Elasticsearch minimum_should_match; taat mode only)."""
+    query terms (Elasticsearch minimum_should_match; taat mode only).
+    ``synonyms`` maps query tokens to extra terms (query-time thesaurus
+    expansion; ships once per actor, composes with every mode)."""
     cfg = cfg or EngineConfig()
     return queries.map_batches(
         BM25Scorer,
         fn_constructor_args=(
             index_dir, cfg, mode, False, max_loaded_parts, doc_filter, exclude_terms,
-            exclude_doc_ids, include_doc_ids, min_should_match,
+            exclude_doc_ids, include_doc_ids, min_should_match, synonyms,
         ),
         batch_format="pyarrow",
         batch_size=cfg.query_batch_size,

@@ -368,6 +368,38 @@ def test_min_should_match(built):
             )
 
 
+def test_synonym_expansion(built):
+    """Query-time synonyms: scoring text with a thesaurus equals
+    scoring the manually expanded term bag; entries mapping to terms
+    absent from the index are no-ops; expansion composes with the
+    pruning modes bitwise."""
+    corpus, idx, res = built
+    sc = BM25Scorer(idx, CFG)
+    # pick two real terms from the index vocabulary
+    post = _load_all_postings(idx)
+    vocab = sorted(post["term"].to_pylist())[:50]
+    a, b = vocab[0], vocab[-1]
+    syn = {a: (b,), "absentsrc": (a,)}
+    s_syn = BM25Scorer(idx, CFG, synonyms=syn)
+    d1, s1 = s_syn.score_taat(a, 10)
+    d2, s2 = sc.score_taat(f"{a} {b}", 10)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(s1, s2)
+    # absent-target synonym is a no-op
+    s_noop = BM25Scorer(idx, CFG, synonyms={a: ("zzz_not_in_vocab",)})
+    d3, s3 = s_noop.score_taat(a, 10)
+    np.testing.assert_array_equal(d3, sc.score_taat(a, 10)[0])
+    np.testing.assert_array_equal(s3, sc.score_taat(a, 10)[1])
+    # expansion from a RAW token absent from the index still applies
+    d4, _ = s_syn.score_taat("absentsrc", 10)
+    np.testing.assert_array_equal(d4, sc.score_taat(a, 10)[0])
+    # pruning-mode parity under expansion
+    s_bmw = BM25Scorer(idx, CFG, mode="bmw", synonyms=syn)
+    db, sb = s_bmw.score_bmw(a, 10)
+    np.testing.assert_array_equal(db, d1)
+    np.testing.assert_array_equal(sb, s1)
+
+
 def test_msm_rejects_pruning_modes(built):
     corpus, idx, res = built
     with pytest.raises(ValueError):
