@@ -110,10 +110,21 @@ def cmd_query(args) -> int:
               f"(no corpus_stats.json — run `build` first)", file=sys.stderr)
         return 2
     cfg = EngineConfig(tokenizer=args.tokenizer)
-    scorer = BM25Scorer(
-        args.index_dir, cfg, mode=args.mode,
-        exclude_terms=tuple(args.exclude_term or ()),
-    )
+    synonyms = None
+    if getattr(args, "synonyms", None):
+        # thesaurus file: JSON object {token: [expansion, ...], ...}
+        with open(args.synonyms) as f:
+            synonyms = {k: tuple(v) for k, v in json.load(f).items()}
+    try:
+        scorer = BM25Scorer(
+            args.index_dir, cfg, mode=args.mode,
+            exclude_terms=tuple(args.exclude_term or ()),
+            min_should_match=getattr(args, "min_should_match", None),
+            synonyms=synonyms,
+        )
+    except ValueError as e:  # e.g. --min-should-match with a pruning mode
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     score = {
         "bmw": scorer.score_bmw,
         "maxscore": scorer.score_maxscore,
@@ -551,6 +562,12 @@ def main(argv=None) -> int:
     q.add_argument("--exclude-term", action="append", default=None,
                    help="boolean NOT: drop every doc containing this term "
                         "(repeatable; unknown terms are no-ops)")
+    q.add_argument("--min-should-match", type=int, default=None,
+                   help="keep only docs matching >= M distinct query terms "
+                        "(Elasticsearch minimum_should_match; taat mode only)")
+    q.add_argument("--synonyms", default=None,
+                   help="JSON thesaurus file {token: [expansion, ...]} applied "
+                        "at query time")
     q.add_argument("--out", default=None, help="directory to write results.parquet")
     q.add_argument("--report", default=None, help="path to write a per-query JSON report")
     q.add_argument("--report-html", default=None,

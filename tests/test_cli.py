@@ -308,6 +308,42 @@ def test_cli_validate_positional(ray_session, tmp_path, capsys):
     assert any("non-increasing positions" in p for p in rep["problems"])
 
 
+def test_cli_query_msm_and_synonyms(ray_session, tmp_path, capsys):
+    """--min-should-match drops docs matching < M terms (and rejects
+    pruning modes cleanly); --synonyms expands the query through a JSON
+    thesaurus file."""
+    corpus_path = str(tmp_path / "corpus.parquet")
+    pq.write_table(gen_corpus(120, seed=94), corpus_path)
+    idx = str(tmp_path / "index")
+    assert main(["build", corpus_path, idx, "--fingerprint", "cli-msm"]) == 0
+    capsys.readouterr()
+    q = "public static void"
+    rc = main(["query", idx, q, "-k", "100"])
+    assert rc == 0
+    base = json.loads(capsys.readouterr().out.strip().splitlines()[0])["hits"]
+    rc = main(["query", idx, q, "-k", "100", "--min-should-match", "3"])
+    assert rc == 0
+    msm = json.loads(capsys.readouterr().out.strip().splitlines()[0])["hits"]
+    assert 0 < len(msm) <= len(base)
+    base_by_id = {h["doc_id"]: h["score"] for h in base}
+    assert all(base_by_id[h["doc_id"]] == h["score"] for h in msm)
+    # pruning mode + msm → clean rc=2, not a traceback
+    rc = main(["query", idx, q, "--mode", "maxscore", "--min-should-match", "2"])
+    assert rc == 2
+    capsys.readouterr()
+    # synonyms: 'public' ALSO contributes 'static' → equals the 2-term query
+    syn_path = str(tmp_path / "syn.json")
+    with open(syn_path, "w") as f:
+        json.dump({"public": ["static"]}, f)
+    rc = main(["query", idx, "public", "-k", "10", "--synonyms", syn_path])
+    assert rc == 0
+    syn_hits = json.loads(capsys.readouterr().out.strip().splitlines()[0])["hits"]
+    rc = main(["query", idx, "public static", "-k", "10"])
+    assert rc == 0
+    two_hits = json.loads(capsys.readouterr().out.strip().splitlines()[0])["hits"]
+    assert syn_hits == two_hits
+
+
 def test_cli_query_explain(ray_session, tmp_path, capsys):
     """query --explain-doc prints the per-term breakdown whose total is
     the doc's served score. (Private index: the shared built_cli one is
