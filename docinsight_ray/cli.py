@@ -115,12 +115,22 @@ def cmd_query(args) -> int:
         # thesaurus file: JSON object {token: [expansion, ...], ...}
         with open(args.synonyms) as f:
             synonyms = {k: tuple(v) for k, v in json.load(f).items()}
+    boosts = None
+    if getattr(args, "boost", None):
+        try:
+            boosts = {t: float(w) for t, _, w in
+                      (spec.partition("=") for spec in args.boost)}
+        except ValueError:
+            print(f"error: --boost expects TERM=WEIGHT, got {args.boost!r}",
+                  file=sys.stderr)
+            return 2
     try:
         scorer = BM25Scorer(
             args.index_dir, cfg, mode=args.mode,
             exclude_terms=tuple(args.exclude_term or ()),
             min_should_match=getattr(args, "min_should_match", None),
             synonyms=synonyms,
+            boosts=boosts,
         )
     except ValueError as e:  # e.g. --min-should-match with a pruning mode
         print(f"error: {e}", file=sys.stderr)
@@ -568,6 +578,9 @@ def main(argv=None) -> int:
     q.add_argument("--synonyms", default=None,
                    help="JSON thesaurus file {token: [expansion, ...]} applied "
                         "at query time")
+    q.add_argument("--boost", action="append", default=None, metavar="TERM=W",
+                   help="per-term score multiplier (Lucene term^W; repeatable; "
+                        "taat/maxscore/conjunctive only)")
     q.add_argument("--out", default=None, help="directory to write results.parquet")
     q.add_argument("--report", default=None, help="path to write a per-query JSON report")
     q.add_argument("--report-html", default=None,

@@ -199,6 +199,7 @@ def q_bm25_topk(
     exclude_terms: tuple[str, ...] | None = None,
     min_should_match: int | None = None,
     synonyms: dict[str, tuple[str, ...]] | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> pa.Table:
     """Full engine path END-TO-END: build → Dataset of queries →
     actor-pool scorers (the serving path, not a driver loop) → top-10
@@ -218,7 +219,8 @@ def q_bm25_topk(
         query_index(ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG, mode=mode,
                     concurrency=2, max_loaded_parts=max_loaded_parts,
                     doc_filter=doc_filter, exclude_terms=exclude_terms,
-                    min_should_match=min_should_match, synonyms=synonyms)
+                    min_should_match=min_should_match, synonyms=synonyms,
+                    boosts=boosts)
         .to_pandas()
     )
     qids, ranks, dids, scores = [], [], [], []
@@ -1052,6 +1054,19 @@ SYNONYMS: dict[str, tuple[str, ...]] = {
 }
 
 
+# fixed per-term boost map for the gate (Lucene term^2 semantics):
+# "data" counts double, "table" half, everything else unchanged
+BOOSTS: dict[str, float] = {"data": 2.0, "table": 0.5}
+
+
+def q_bm25_boosted(sf_dir: str) -> pa.Table:
+    """Per-term QUERY BOOSTS (Lucene ``term^2``): each boosted term's
+    BM25 contribution is multiplied by its boost at accumulation;
+    MaxScore upper bounds scale by the same factor, so the pruning
+    path serves boosted queries exactly."""
+    return q_bm25_topk(sf_dir, mode="maxscore", boosts=BOOSTS)
+
+
 def q_bm25_synonyms(sf_dir: str) -> pa.Table:
     """Query-time SYNONYM expansion (Elasticsearch synonym-filter,
     simple-expand semantics): each query token additionally contributes
@@ -1583,6 +1598,47 @@ ORACLE_SQL["bm25_conjunctive"] = _bm25_cte(_BM25_VALUES) + f"""
 SELECT query_id, rank, doc_id, score FROM conj WHERE rank < {TOPK}
 """
 
+ORACLE_SQL["bm25_boosted"] = f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest({SIMPLE_TOK_SQL}) AS t(term)
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM tok)::DOUBLE / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term),
+q(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qt AS (
+  SELECT q.query_id, t.term
+  FROM q, unnest(list_filter(regexp_extract_all(lower(q.qtext), '[a-z0-9]+'), t -> length(t) >= 2)) AS t(term)
+  GROUP BY q.query_id, t.term
+),
+boost(term, b) AS (VALUES {", ".join(f"('{t}', {b!r})" for t, b in sorted(BOOSTS.items()))}),
+scores AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( coalesce(bo.b, 1.0)
+              * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * 2.2
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+  FROM qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df d ON d.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  LEFT JOIN boost bo ON bo.term = qt.term
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(raw, 6) DESC, doc_id ASC) - 1 AS rank,
+         doc_id, round(raw, 6) AS score
+  FROM scores
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}
+"""
+
 ORACLE_SQL["bm25_synonyms"] = _bm25_cte_qt(
     f"""q(query_id, qtext) AS (VALUES {_BM25_VALUES}),
 qt0 AS (
@@ -1955,6 +2011,7 @@ QUERIES = {
     "bm25_conjunctive": q_bm25_conjunctive,
     "bm25_msm": q_bm25_msm,
     "bm25_synonyms": q_bm25_synonyms,
+    "bm25_boosted": q_bm25_boosted,
     "bm25_doc_query": q_bm25_doc_query,
     "exact_dedup": q_exact_dedup,
     "retrieval_eval": q_retrieval_eval,

@@ -247,11 +247,20 @@ class BM25Scorer:
         include_doc_ids=None,
         min_should_match: int | None = None,
         synonyms: dict[str, tuple[str, ...]] | None = None,
+        boosts: dict[str, float] | None = None,
     ):
         from .state.fsio import exists as fs_exists, glob_parquet, read_bytes
 
         self.cfg = cfg or EngineConfig()
         self.mode = mode
+        # per-term query boosts (Lucene ``term^2`` semantics): a term's
+        # BM25 contribution is multiplied by its boost everywhere it
+        # accumulates; MaxScore upper bounds scale by the same factor,
+        # so pruning stays exact. bmw/lmdir reject boosts (stored
+        # block-max metadata and the LM model don't carry them).
+        self._boosts = {k: float(v) for k, v in boosts.items()} if boosts else None
+        if self._boosts and mode in ("bmw", "lmdir"):
+            raise ValueError(f"per-term boosts are not supported in mode={mode!r}")
         # query-time synonym expansion (Elasticsearch synonym-filter
         # semantics, simple-expand): every query token additionally
         # contributes its thesaurus entries to the term bag; each
@@ -620,20 +629,21 @@ class BM25Scorer:
         terms = self.query_terms(text)
         if not terms:
             return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
-        per_term = [self._term_arrays(t)[:2] for t in terms]
-        cand = np.unique(np.concatenate([d for d, _ in per_term]))
+        bst = self._boosts or {}
+        per_term = [(self._term_arrays(t)[:2], bst.get(t, 1.0)) for t in terms]
+        cand = np.unique(np.concatenate([d for (d, _), _ in per_term]))
         acc = np.zeros(cand.size, dtype=np.float64)
         if self.min_should_match > 1:
             cnt = np.zeros(cand.size, dtype=np.int32)
-            for d, c in per_term:  # sorted-term order → deterministic sums
+            for (d, c), b in per_term:  # sorted-term order → deterministic sums
                 idx = np.searchsorted(cand, d)
-                acc[idx] += c
+                acc[idx] += c if b == 1.0 else c * b
                 cnt[idx] += 1
             keep = cnt >= self.min_should_match
             cand, acc = cand[keep], acc[keep]
         else:
-            for d, c in per_term:  # sorted-term order → deterministic float sums
-                acc[np.searchsorted(cand, d)] += c
+            for (d, c), b in per_term:  # sorted-term order → deterministic sums
+                acc[np.searchsorted(cand, d)] += c if b == 1.0 else c * b
         sel = topk_order(cand, acc, k)
         return cand[sel], acc[sel]
 
@@ -758,9 +768,12 @@ class BM25Scorer:
             if cand.size == 0:
                 break
         acc = np.zeros(cand.size, dtype=np.float64)
+        bst = self._boosts or {}
         for t in terms:  # alphabetical — bitwise-identical accumulation
             docs_t, contrib_t = arrays[t][0], arrays[t][1]
-            acc += contrib_t[np.searchsorted(docs_t, cand)]
+            b = bst.get(t, 1.0)
+            c = contrib_t[np.searchsorted(docs_t, cand)]
+            acc += c if b == 1.0 else c * b
         sel = topk_order(cand, acc, k)
         return cand[sel], acc[sel]
 
@@ -787,7 +800,11 @@ class BM25Scorer:
             return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
         k = int(k)
         arrays = {t: self._term_arrays(t) for t in terms}  # sorted-term order
-        ubs = {t: (float(arrays[t][1].max()) if arrays[t][1].size else 0.0) for t in terms}
+        bst = self._boosts or {}
+        ubs = {
+            t: (float(arrays[t][1].max()) * bst.get(t, 1.0) if arrays[t][1].size else 0.0)
+            for t in terms
+        }
         by_ub = sorted(terms, key=lambda t: (-ubs[t], t))
         # rem_ub[i] = max possible score using only lists i+1..m
         rem = np.cumsum([ubs[t] for t in by_ub][::-1])[::-1]
@@ -798,10 +815,12 @@ class BM25Scorer:
                 docs_t, contrib_t = arrays[t][0], arrays[t][1]
                 if docs_t.size == 0:  # doc_filter can empty a list
                     continue
+                b = bst.get(t, 1.0)
                 pos = np.searchsorted(docs_t, cands)
                 pos_c = np.minimum(pos, docs_t.size - 1)
                 hit = docs_t[pos_c] == cands
-                acc[hit] += contrib_t[pos_c[hit]]
+                hit_c = contrib_t[pos_c[hit]]
+                acc[hit] += hit_c if b == 1.0 else hit_c * b
             return acc
 
         cands = np.empty(0, dtype=np.uint64)
@@ -1099,6 +1118,7 @@ def query_index(
     include_doc_ids=None,
     min_should_match: int | None = None,
     synonyms: dict[str, tuple[str, ...]] | None = None,
+    boosts: dict[str, float] | None = None,
 ):
     """queries Dataset (query_id, text, k) → results Dataset via the
     scorer actor pool. ``max_loaded_parts`` > 0 serves with the
@@ -1115,13 +1135,15 @@ def query_index(
     ``min_should_match`` = m keeps only docs matching ≥ m distinct
     query terms (Elasticsearch minimum_should_match; taat mode only).
     ``synonyms`` maps query tokens to extra terms (query-time thesaurus
-    expansion; ships once per actor, composes with every mode)."""
+    expansion; ships once per actor, composes with every mode).
+    ``boosts`` maps terms to score multipliers (Lucene ``term^2``;
+    taat/maxscore/conjunctive only — pruning stays exact)."""
     cfg = cfg or EngineConfig()
     return queries.map_batches(
         BM25Scorer,
         fn_constructor_args=(
             index_dir, cfg, mode, False, max_loaded_parts, doc_filter, exclude_terms,
-            exclude_doc_ids, include_doc_ids, min_should_match, synonyms,
+            exclude_doc_ids, include_doc_ids, min_should_match, synonyms, boosts,
         ),
         batch_format="pyarrow",
         batch_size=cfg.query_batch_size,

@@ -342,6 +342,14 @@ def test_cli_query_msm_and_synonyms(ray_session, tmp_path, capsys):
     assert rc == 0
     two_hits = json.loads(capsys.readouterr().out.strip().splitlines()[0])["hits"]
     assert syn_hits == two_hits
+    # --boost: all-1.0 boost is a no-op; malformed spec → rc=2
+    rc = main(["query", idx, q, "-k", "10", "--boost", "public=1.0"])
+    assert rc == 0
+    boosted = json.loads(capsys.readouterr().out.strip().splitlines()[0])["hits"]
+    assert boosted == base[:10]
+    rc = main(["query", idx, q, "--boost", "public=notanumber"])
+    assert rc == 2
+    capsys.readouterr()
 
 
 def test_cli_query_explain(ray_session, tmp_path, capsys):

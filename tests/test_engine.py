@@ -400,6 +400,38 @@ def test_synonym_expansion(built):
     np.testing.assert_array_equal(sb, s1)
 
 
+def test_query_boosts(built):
+    """Per-term boosts: all-1.0 boosts are bitwise-identical to the
+    unboosted engine; boosted MaxScore (scaled upper bounds) and
+    conjunctive equal boosted TAAT bitwise; bmw/lmdir reject boosts."""
+    corpus, idx, res = built
+    base = BM25Scorer(idx, CFG)
+    post = _load_all_postings(idx)
+    vocab = sorted(post["term"].to_pylist())
+    a, b = vocab[0], vocab[len(vocab) // 2]
+    boosts = {a: 3.0, b: 0.25}
+    for qid, text, k in gen_queries(corpus, n_keyword=15, seed=11):
+        ones = BM25Scorer(idx, CFG, boosts={t: 1.0 for t in base.query_terms(text)})
+        np.testing.assert_array_equal(ones.score_taat(text, k)[1], base.score_taat(text, k)[1])
+        t_sc = BM25Scorer(idx, CFG, boosts=boosts)
+        m_sc = BM25Scorer(idx, CFG, mode="maxscore", boosts=boosts)
+        td, ts = t_sc.score_taat(text, k)
+        md, ms = m_sc.score_maxscore(text, k)
+        np.testing.assert_array_equal(md, td, err_msg=f"boosted maxscore docs q{qid}")
+        np.testing.assert_array_equal(ms, ts, err_msg=f"boosted maxscore scores q{qid}")
+    # conjunctive parity on a query of two boosted terms
+    c_sc = BM25Scorer(idx, CFG, mode="conjunctive", boosts=boosts)
+    t_sc = BM25Scorer(idx, CFG, boosts=boosts)
+    cd, cs = c_sc.score_conjunctive(f"{a} {b}", 10)
+    if cd.size:
+        td, ts = t_sc.score_taat(f"{a} {b}", c_sc.n_docs)
+        pos = {int(d): float(s) for d, s in zip(td, ts)}
+        assert all(pos[int(d)] == float(s) for d, s in zip(cd, cs))
+    for bad in ("bmw", "lmdir"):
+        with pytest.raises(ValueError):
+            BM25Scorer(idx, CFG, mode=bad, boosts=boosts)
+
+
 def test_msm_rejects_pruning_modes(built):
     corpus, idx, res = built
     with pytest.raises(ValueError):
