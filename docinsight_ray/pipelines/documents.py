@@ -1054,6 +1054,106 @@ SYNONYMS: dict[str, tuple[str, ...]] = {
 }
 
 
+_FIELD_INDEX_CACHE: dict[str, str] = {}
+FIELD_WEIGHT = 0.4  # weight of the `source` field relative to content
+FIELDED_QUERIES: list[tuple[int, str]] = [
+    (0, "data query stream src1"),
+    (1, "merge sort join table src3"),
+    (2, "the fast key value src15"),
+    (3, "spark batch window"),  # no field token: pure content ranking
+]
+
+
+def ensure_field_index(sf_dir: str, cfg: EngineConfig = SQL_PARITY_CONFIG) -> str:
+    """Build (or resume) a SECOND index whose "content" is the
+    documents table's ``source`` column — the per-field index of a
+    multi-field (BM25F-style) engine. Same doc_ids as the content
+    index; field stats (df, avgdl, N) are computed within the field,
+    per standard fielded BM25."""
+    key = f"{sf_dir}:{cfg.config_hash()}:field=source"
+    if key in _FIELD_INDEX_CACHE:
+        return _FIELD_INDEX_CACHE[key]
+
+    def to_field_corpus(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        doc_ids = batch["doc_id"]
+        return pa.table(
+            {
+                "repo": batch["source"],
+                "path": pc.binary_join_element_wise(
+                    pa.array(["doc"] * n), pc.cast(doc_ids, pa.string()), "/"
+                ),
+                "commit": pa.array([""] * n),
+                "lang": batch["lang"],
+                "content": batch["source"],  # the field IS the text
+                "doc_id": doc_ids,
+            }
+        )
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet")).map_batches(
+        to_field_corpus, batch_format="pyarrow", zero_copy_batch=True
+    )
+    safe = sf_dir.strip("/").replace("/", "_")
+    index_dir = os.path.join(
+        "/tmp", "docinsight_ray_idx", f"{safe}-{cfg.config_hash()}-fsource"
+    )
+    build_index(ds, index_dir, cfg, fingerprint=f"documents.source:{sf_dir}")
+    _FIELD_INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def q_bm25_fielded(sf_dir: str) -> pa.Table:
+    """FIELDED retrieval (BM25F-style weighted field fusion):
+    score(q, d) = BM25_content(q, d) + FIELD_WEIGHT · BM25_source(q, d),
+    each field scored against its OWN index (field-local df/avgdl/N —
+    the standard per-field BM25 decomposition). Both fields serve
+    through independent actor-pool passes over their indexes; the
+    weighted merge is an outer join on (query_id, doc_id) of two
+    result sets, so a doc matching ONLY in the secondary field still
+    ranks. The Elasticsearch multi_match/fields^w analogue."""
+    idx_c = ensure_index(sf_dir)
+    idx_f = ensure_field_index(sf_dir)
+    n_docs = BM25Scorer(idx_c, SQL_PARITY_CONFIG).n_docs
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q for q, _ in FIELDED_QUERIES], type=pa.int64()),
+            "text": pa.array([t for _, t in FIELDED_QUERIES], type=pa.string()),
+            "k": pa.array([n_docs] * len(FIELDED_QUERIES), type=pa.uint32()),
+        }
+    )
+    res_c = query_index(
+        ray.data.from_arrow(qtbl), idx_c, SQL_PARITY_CONFIG, mode="maxscore", concurrency=2
+    ).to_pandas()
+    res_f = query_index(
+        ray.data.from_arrow(qtbl), idx_f, SQL_PARITY_CONFIG, mode="maxscore", concurrency=2
+    ).to_pandas()
+    merged = res_c.merge(
+        res_f, on=["query_id", "doc_id"], how="outer", suffixes=("_c", "_f")
+    )
+    fused = (
+        merged["score_c"].fillna(0.0) + FIELD_WEIGHT * merged["score_f"].fillna(0.0)
+    ).to_numpy()
+    qids, ranks, dids, scores = [], [], [], []
+    for qid, _text in FIELDED_QUERIES:
+        m = (merged["query_id"] == qid).to_numpy()
+        d = merged["doc_id"].to_numpy()[m].astype(np.uint64)
+        s6 = np.round(fused[m], 6)
+        order = np.lexsort((d, -s6))[:TOPK]
+        d, s6 = d[order], s6[order]
+        qids += [qid] * d.size
+        ranks += list(range(d.size))
+        dids.append(d.astype(np.int64))
+        scores.append(s6)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(dids), type=pa.int64()),
+            "score": pa.array(np.concatenate(scores), type=pa.float64()),
+        }
+    )
+
+
 # fixed per-term boost map for the gate (Lucene term^2 semantics):
 # "data" counts double, "table" half, everything else unchanged
 BOOSTS: dict[str, float] = {"data": 2.0, "table": 0.5}
@@ -1598,6 +1698,76 @@ ORACLE_SQL["bm25_conjunctive"] = _bm25_cte(_BM25_VALUES) + f"""
 SELECT query_id, rank, doc_id, score FROM conj WHERE rank < {TOPK}
 """
 
+_FIELDED_VALUES = ", ".join(f"({q}, '{t}')" for q, t in FIELDED_QUERIES)
+
+ORACLE_SQL["bm25_fielded"] = f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest({SIMPLE_TOK_SQL}) AS t(term)
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM tok)::DOUBLE / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term),
+tokf AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(list_filter(regexp_extract_all(lower(source), '[a-z0-9]+'), t -> length(t) >= 2)) AS t(term)
+),
+tff AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokf GROUP BY doc_id, term),
+dlf AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokf GROUP BY doc_id),
+statsf AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM tokf)::DOUBLE / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dff AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokf GROUP BY term),
+q(query_id, qtext) AS (VALUES {_FIELDED_VALUES}),
+qt AS (
+  SELECT q.query_id, t.term
+  FROM q, unnest(list_filter(regexp_extract_all(lower(q.qtext), '[a-z0-9]+'), t -> length(t) >= 2)) AS t(term)
+  GROUP BY q.query_id, t.term
+),
+scores_c AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * 2.2
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+  FROM qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df d ON d.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+scores_f AS (
+  SELECT qt.query_id, tff.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * 2.2
+              * tff.tf / (tff.tf + 1.2 * (1 - 0.75 + 0.75 * dlf.dl / s.avgdl)) ) AS raw
+  FROM qt
+  JOIN tff ON tff.term = qt.term
+  JOIN dff d ON d.term = qt.term
+  JOIN dlf ON dlf.doc_id = tff.doc_id
+  CROSS JOIN statsf s
+  GROUP BY qt.query_id, tff.doc_id
+),
+fused AS (
+  SELECT coalesce(c.query_id, f.query_id) AS query_id,
+         coalesce(c.doc_id, f.doc_id) AS doc_id,
+         coalesce(c.raw, 0) + {FIELD_WEIGHT!r} * coalesce(f.raw, 0) AS raw
+  FROM scores_c c
+  FULL OUTER JOIN scores_f f
+    ON f.query_id = c.query_id AND f.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(raw, 6) DESC, doc_id ASC) - 1 AS rank,
+         doc_id, round(raw, 6) AS score
+  FROM fused
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}
+"""
+
 ORACLE_SQL["bm25_boosted"] = f"""
 WITH tok AS (
   SELECT doc_id, t.term
@@ -2012,6 +2182,7 @@ QUERIES = {
     "bm25_msm": q_bm25_msm,
     "bm25_synonyms": q_bm25_synonyms,
     "bm25_boosted": q_bm25_boosted,
+    "bm25_fielded": q_bm25_fielded,
     "bm25_doc_query": q_bm25_doc_query,
     "exact_dedup": q_exact_dedup,
     "retrieval_eval": q_retrieval_eval,

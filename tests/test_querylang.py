@@ -249,3 +249,69 @@ def test_bm25_page2_search_after(doc_index):
         want[cols].sort_values(key).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def _gate_vs_oracle(gate_fn, oracle_key):
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.pipelines.documents import ORACLE_SQL
+
+    got = gate_fn(SF).to_pandas()
+    assert len(got) > 0
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    want = con.sql(ORACLE_SQL[oracle_key]).df()
+    cols = sorted(got.columns)
+    key = ["query_id", "rank"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(key).reset_index(drop=True),
+        want[cols].sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+    return got
+
+
+def test_bm25_msm_gate_parity(doc_index):
+    """bm25_msm equals its oracle, and every kept doc scores at least
+    as well in the unrestricted ranking (scores unchanged by the
+    match-count floor)."""
+    from docinsight_ray.pipelines.documents import q_bm25_msm, q_bm25_topk
+
+    got = _gate_vs_oracle(q_bm25_msm, "bm25_msm")
+    base = q_bm25_topk(SF).to_pandas()
+    merged = got.merge(base, on=["query_id", "doc_id"], suffixes=("_m", "_b"))
+    assert (merged["score_m"] == merged["score_b"]).all()
+
+
+def test_bm25_synonyms_gate_parity(doc_index):
+    from docinsight_ray.pipelines.documents import q_bm25_synonyms
+
+    _gate_vs_oracle(q_bm25_synonyms, "bm25_synonyms")
+
+
+def test_bm25_boosted_gate_parity(doc_index):
+    from docinsight_ray.pipelines.documents import q_bm25_boosted
+
+    _gate_vs_oracle(q_bm25_boosted, "bm25_boosted")
+
+
+def test_bm25_fielded_gate_parity(doc_index):
+    """bm25_fielded equals its two-field weighted-fusion oracle, and a
+    query with a field-only token surfaces docs whose CONTENT lacks
+    every query term (the multi-field win)."""
+    import pyarrow.parquet as pq_mod
+
+    from docinsight_ray.pipelines.documents import FIELDED_QUERIES, q_bm25_fielded
+
+    got = _gate_vs_oracle(q_bm25_fielded, "bm25_fielded")
+    docs = pq_mod.read_table(f"{SF}/documents.parquet").to_pandas().set_index("doc_id")
+    qtext = dict(FIELDED_QUERIES)
+    # field influence: for at least one field-token query, a top-10 doc's
+    # source matches a query token (the secondary field contributed)
+    influenced = 0
+    for _, row in got.iterrows():
+        terms = set(qtext[row["query_id"]].lower().split())
+        if docs.loc[row["doc_id"], "source"] in terms:
+            influenced += 1
+    assert influenced > 0
