@@ -8,6 +8,8 @@ inverted-index engine):
     parse_structured_query('data stream -join lang:en,fr "key value"')
 
 - bare words       → BM25-scored positive terms
+- ``word^2.5``     → boosted positive term (Lucene term^W; contribution
+  scaled by W, pruning stays exact)
 - ``-word``        → boolean NOT (docs containing it are excluded)
 - ``col:v1,v2``    → metadata filter on the docs registry (OR within a
   column, AND across columns)
@@ -37,6 +39,9 @@ from .config import EngineConfig
 _TOKEN_RE = re.compile(r'(-?)"([^"]*)"|(\S+)')
 
 
+_BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
+
+
 @dataclass(frozen=True)
 class StructuredQuery:
     terms: str = ""
@@ -44,6 +49,7 @@ class StructuredQuery:
     field_filters: tuple[tuple[str, tuple[str, ...]], ...] = ()
     phrases: tuple[str, ...] = ()
     exclude_phrases: tuple[str, ...] = ()
+    boosts: tuple[tuple[str, float], ...] = ()
 
     @property
     def field_filter(self) -> tuple[str, tuple[str, ...]] | None:
@@ -61,6 +67,7 @@ def parse_structured_query(text: str) -> StructuredQuery:
     filters: dict[str, list[str]] = {}
     phrases: list[str] = []
     neg_phrases: list[str] = []
+    boosts: dict[str, float] = {}
     for m in _TOKEN_RE.finditer(text):
         neg, quoted, bare = m.group(1), m.group(2), m.group(3)
         if quoted is not None:
@@ -73,13 +80,19 @@ def parse_structured_query(text: str) -> StructuredQuery:
             col, _, vals = bare.partition(":")
             filters.setdefault(col, []).extend(v for v in vals.split(",") if v)
         else:
-            terms.append(bare)
+            bm = _BOOST_RE.match(bare)
+            if bm:  # word^2.5 → boosted positive term
+                terms.append(bm.group(1))
+                boosts[bm.group(1).lower()] = float(bm.group(2))
+            else:
+                terms.append(bare)
     return StructuredQuery(
         terms=" ".join(terms),
         exclude_terms=tuple(excludes),
         field_filters=tuple((col, tuple(vals)) for col, vals in filters.items()),
         phrases=tuple(phrases),
         exclude_phrases=tuple(neg_phrases),
+        boosts=tuple(sorted(boosts.items())),
     )
 
 
@@ -164,6 +177,7 @@ def structured_search(
         exclude_terms=sq.exclude_terms or None,
         include_doc_ids=include,
         exclude_doc_ids=exclude,
+        boosts=dict(sq.boosts) or None,
     )
     score = {
         "bmw": sc.score_bmw,

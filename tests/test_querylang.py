@@ -315,3 +315,33 @@ def test_bm25_fielded_gate_parity(doc_index):
         if docs.loc[row["doc_id"], "source"] in terms:
             influenced += 1
     assert influenced > 0
+
+
+def test_parser_boost_syntax():
+    sq = parse_structured_query("data^2.5 stream -join plain^3 lang:en a^b ^2")
+    assert sq.terms == "data stream plain a^b ^2"
+    assert sq.boosts == (("data", 2.5), ("plain", 3.0))
+    assert sq.exclude_terms == ("join",)
+
+
+def test_structured_boost_applies(doc_index):
+    """`term^W` in a structured query scales that term's contribution:
+    equals the scorer with an explicit boosts dict."""
+    import numpy as np
+
+    from docinsight_ray.config import SQL_PARITY_CONFIG
+    from docinsight_ray.pipelines.documents import ensure_index
+    from docinsight_ray.querylang import structured_search
+    from docinsight_ray.scorer import BM25Scorer
+
+    idx = ensure_index(SF)
+    d1, s1 = structured_search("data^2 stream", idx, SQL_PARITY_CONFIG, k=10)
+    sc = BM25Scorer(idx, SQL_PARITY_CONFIG, mode="maxscore", boosts={"data": 2.0})
+    d2, s2 = sc.score_maxscore("data stream", 10)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(s1, s2)
+    # and it differs from the unboosted ranking somewhere
+    d0, s0 = BM25Scorer(idx, SQL_PARITY_CONFIG, mode="maxscore").score_maxscore(
+        "data stream", 10
+    )
+    assert list(map(float, s1)) != list(map(float, s0))
