@@ -566,6 +566,9 @@ def query_windows(
     doc_filter: tuple[str, tuple] | None = None,
     exclude_terms: tuple[str, ...] | None = None,
     include_doc_ids=None,
+    min_should_match: int | None = None,
+    synonyms: dict[str, tuple[str, ...]] | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> "ray.data.Dataset":
     """Fan queries over all window sub-indexes; exact top-k merge
     (same shape as sharded.query_sharded). Docs tombstoned via
@@ -577,7 +580,9 @@ def query_windows(
     single-index semantics window-locally, exactly as
     ``sharded.query_sharded`` does shard-locally: cross-window dedup
     makes windows disjoint and each doc's postings live wholly in its
-    window, so the union of window-local sets is the global set."""
+    window, so the union of window-local sets is the global set; the
+    same disjointness makes ``min_should_match`` / ``synonyms`` /
+    ``boosts`` window-locally exact (see query_sharded)."""
     from ..state.fsio import glob_parquet
 
     cfg = cfg or EngineConfig()
@@ -606,6 +611,9 @@ def query_windows(
                 "doc_filter": doc_filter,
                 "exclude_terms": exclude_terms,
                 "include_doc_ids": include_doc_ids,
+                "min_should_match": min_should_match,
+                "synonyms": synonyms,
+                "boosts": boosts,
             },
             batch_format="pyarrow",
             batch_size=cfg.query_batch_size,

@@ -337,6 +337,9 @@ def query_sharded(
     doc_filter: tuple[str, tuple] | None = None,
     exclude_terms: tuple[str, ...] | None = None,
     include_doc_ids=None,
+    min_should_match: int | None = None,
+    synonyms: dict[str, tuple[str, ...]] | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> "ray.data.Dataset":
     """Fan every query out to all shard scorers, then exact-merge the
     per-shard top-k candidates per query. Hash-empty shards (possible
@@ -349,7 +352,11 @@ def query_sharded(
     include set intersects each shard's disjoint registry slice), and
     the union of shard-local sets is exactly the global set (docs are
     hash-partitioned disjointly), so the merged ranking equals the
-    filtered single-index ranking."""
+    filtered single-index ranking. ``min_should_match`` / ``synonyms``
+    / ``boosts`` are per-doc/per-term properties, so applying them
+    shard-locally is exact too: a doc's postings live WHOLE in its
+    shard (match counts are complete), and boosted/expanded term
+    weights use the distributed global-df stats."""
     from ..state.fsio import read_bytes
 
     cfg = cfg or EngineConfig()
@@ -370,7 +377,12 @@ def query_sharded(
                 BM25Scorer,
                 # emit_k: carry k to the merge
                 fn_constructor_args=(d, cfg, mode, True, None, doc_filter, exclude_terms),
-                fn_constructor_kwargs={"include_doc_ids": include_doc_ids},
+                fn_constructor_kwargs={
+                    "include_doc_ids": include_doc_ids,
+                    "min_should_match": min_should_match,
+                    "synonyms": synonyms,
+                    "boosts": boosts,
+                },
                 batch_format="pyarrow",
                 batch_size=cfg.query_batch_size,
                 concurrency=concurrency_per_shard,

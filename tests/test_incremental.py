@@ -271,3 +271,47 @@ def test_windowed_filters_match_single_index(ray_session, tmp_path):
         np.testing.assert_array_equal(sub.score.to_numpy(), osc)
         checked += 1 if od.size else 0
     assert checked >= 2
+
+
+def test_windowed_msm_synonyms_boosts_match_single_index(ray_session, tmp_path):
+    """min_should_match / synonyms / boosts through the windowed
+    fan-out equal the single-index engine bitwise (windows are
+    doc-disjoint, so match counts and boosted weights are
+    window-locally complete)."""
+    import ray.data
+
+    from docinsight_ray.build import build_index
+    from docinsight_ray.config import EngineConfig
+    from docinsight_ray.pipelines.incremental import append_window, query_windows
+    from docinsight_ray.scorer import BM25Scorer
+
+    cfg = EngineConfig(num_buckets=8)
+    corpus = gen_corpus(200, seed=37)
+    root = str(tmp_path / "windsl")
+    half = corpus.num_rows // 2
+    append_window(ray.data.from_arrow(corpus.slice(0, half)), root, "000", cfg)
+    append_window(ray.data.from_arrow(corpus.slice(half)), root, "001", cfg)
+    single = str(tmp_path / "single-dsl")
+    build_index(ray.data.from_arrow(corpus), single, cfg, fingerprint="windsl-single")
+    queries = [q for q in gen_queries(corpus, n_keyword=8, seed=38)
+               if len(q[1].split()) >= 2]
+    assert len(queries) >= 3
+    t0 = queries[0][1].split()[0]
+    for kwargs in (
+        {"min_should_match": 2},
+        {"synonyms": {t0: (queries[1][1].split()[0],)}},
+        {"boosts": {t0: 0.5}},
+    ):
+        ref = BM25Scorer(single, cfg, mode="taat", **kwargs)
+        qds = ray.data.from_arrow(queries_table(queries))
+        out = query_windows(qds, root, cfg, mode="taat", **kwargs).to_pandas()
+        nonempty = 0
+        for qid, text, k in queries:
+            od, osc = ref.score_taat(text, k)
+            sub = out[out.query_id == qid].sort_values("rank")
+            np.testing.assert_array_equal(
+                sub.doc_id.to_numpy(dtype=np.uint64), od, err_msg=f"{kwargs} q{qid}"
+            )
+            np.testing.assert_array_equal(sub.score.to_numpy(), osc)
+            nonempty += 1 if od.size else 0
+        assert nonempty >= 1, kwargs

@@ -264,3 +264,42 @@ def test_sharded_include_set_matches_single_index(sharded, tmp_path):
         np.testing.assert_array_equal(sub.score.to_numpy(), osc)
         checked += 1 if od.size else 0
     assert checked >= 2
+
+
+def test_sharded_msm_synonyms_boosts_match_single_index(sharded, tmp_path):
+    """min_should_match / synonyms / boosts through the sharded fan-out
+    equal the single-index engine bitwise: postings of a doc live whole
+    in its shard (complete match counts) and term weights use the
+    distributed global stats."""
+    import ray.data
+
+    from docinsight_ray.build import build_index
+    from docinsight_ray.scorer import BM25Scorer
+
+    corpus, idx = sharded
+    single = str(tmp_path / "single-dsl")
+    build_index(ray.data.from_arrow(corpus), single, CFG, fingerprint="sh-single-dsl")
+    queries = [q for q in gen_queries(corpus, n_keyword=8, seed=17)
+               if len(q[1].split()) >= 2]
+    assert len(queries) >= 3
+    vocab_term = queries[0][1].split()[0]
+    syn = {vocab_term: (queries[1][1].split()[0],)}
+    boosts = {vocab_term: 2.5}
+    for kwargs in (
+        {"min_should_match": 2},
+        {"synonyms": syn},
+        {"boosts": boosts},
+    ):
+        ref = BM25Scorer(single, CFG, mode="taat", **kwargs)
+        qds = ray.data.from_arrow(queries_table(queries))
+        out = query_sharded(qds, idx, N_SHARDS, CFG, mode="taat", **kwargs).to_pandas()
+        nonempty = 0
+        for qid, text, k in queries:
+            od, osc = ref.score_taat(text, k)
+            sub = out[out.query_id == qid].sort_values("rank")
+            np.testing.assert_array_equal(
+                sub.doc_id.to_numpy(dtype=np.uint64), od, err_msg=f"{kwargs} q{qid}"
+            )
+            np.testing.assert_array_equal(sub.score.to_numpy(), osc)
+            nonempty += 1 if od.size else 0
+        assert nonempty >= 1, kwargs
