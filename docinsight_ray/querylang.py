@@ -122,6 +122,8 @@ def structured_search(
     k: int = 10,
     mode: str = "maxscore",
     pos_dir: str | None = None,
+    min_should_match: int | None = None,
+    synonyms: dict[str, tuple[str, ...]] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """One-shot structured search (driver-side scorer; for the
     actor-pool serving path pass the same pieces to ``query_index``).
@@ -132,6 +134,8 @@ def structured_search(
     sq = parse_structured_query(text)
     if not sq.terms:
         raise ValueError("structured query needs at least one positive term")
+    if min_should_match and int(min_should_match) > 1:
+        mode = "taat"  # a match-count floor needs the exhaustive path
     include = exclude = None
     if sq.phrases or sq.exclude_phrases:
         if pos_dir is None:
@@ -178,6 +182,8 @@ def structured_search(
         include_doc_ids=include,
         exclude_doc_ids=exclude,
         boosts=dict(sq.boosts) or None,
+        min_should_match=min_should_match,
+        synonyms=synonyms,
     )
     score = {
         "bmw": sc.score_bmw,

@@ -345,3 +345,24 @@ def test_structured_boost_applies(doc_index):
         "data stream", 10
     )
     assert list(map(float, s1)) != list(map(float, s0))
+
+
+def test_structured_msm_and_synonyms(doc_index):
+    """structured_search msm/synonyms pass-throughs: msm auto-selects
+    the exhaustive path and equals the scorer; synonyms expand."""
+    from docinsight_ray.config import SQL_PARITY_CONFIG
+    from docinsight_ray.pipelines.documents import ensure_index
+    from docinsight_ray.scorer import BM25Scorer
+
+    idx = ensure_index(SF)
+    d1, s1 = structured_search("data stream table", idx, SQL_PARITY_CONFIG,
+                               k=20, min_should_match=2)
+    ref = BM25Scorer(idx, SQL_PARITY_CONFIG, min_should_match=2)
+    d2, s2 = ref.score_taat("data stream table", 20)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(s1, s2)
+    d3, _ = structured_search("data", idx, SQL_PARITY_CONFIG, k=20,
+                              synonyms={"data": ("stream",)})
+    ref2 = BM25Scorer(idx, SQL_PARITY_CONFIG, mode="maxscore")
+    d4, _ = ref2.score_maxscore("data stream", 20)
+    np.testing.assert_array_equal(d3, d4)
