@@ -666,6 +666,7 @@ class BM25Scorer:
             self._filter_mask(np.asarray([did], dtype=np.uint64))[0]
         )
         terms = self.query_terms(text)
+        bst = self._boosts or {}
         out_terms = []
         total = np.float64(0.0)
         for t in terms:  # sorted order: score_taat's accumulation order
@@ -675,8 +676,11 @@ class BM25Scorer:
             part, i = self._lookup(t)
             df = int(part.idf_df[i])
             idf = float(idf_fn(df, self.n_docs))
+            b = bst.get(t, 1.0)
             rec = {"term": t, "df": df, "idf": idf, "tf": 0, "weight": 0.0,
                    "contribution": 0.0}
+            if b != 1.0:
+                rec["boost"] = b
             if hit:
                 dr, tfs, _ctf = self._term_raw(t)
                 kr = np.searchsorted(dr, did)
@@ -686,8 +690,10 @@ class BM25Scorer:
                     tf_sat_weight(np.asarray([tf]), np.asarray([dl]),
                                   self.avgdl, self.cfg.k1, self.cfg.b)[0]
                 )
-                rec["contribution"] = float(c[k])
-                total += c[k]
+                # same float64 op order as score_taat's boosted add
+                contrib = c[k] if b == 1.0 else c[k] * np.float64(b)
+                rec["contribution"] = float(contrib)
+                total += contrib
             out_terms.append(rec)
         return {
             "query": text,

@@ -844,3 +844,20 @@ def test_explain_matches_served_score(ray_session, tmp_path):
     assert not ex["in_candidate_set"] and ex["score"] == 0.0
     with pytest.raises(ValueError, match="not in this index"):
         sc.explain(q, 12345)
+
+
+def test_explain_with_boosts(built):
+    """explain() on a boosted scorer reports per-term boost and a total
+    bitwise-equal to the boosted served score."""
+    corpus, idx, res = built
+    post = _load_all_postings(idx)
+    vocab = sorted(post["term"].to_pylist())
+    a, b = vocab[0], vocab[len(vocab) // 3]
+    sc = BM25Scorer(idx, CFG, boosts={a: 2.0})
+    d, s = sc.score_taat(f"{a} {b}", 5)
+    if d.size:
+        ex = sc.explain(f"{a} {b}", int(d[0]))
+        assert ex["score"] == float(s[0])
+        by_term = {t["term"]: t for t in ex["terms"]}
+        assert by_term[a].get("boost") == 2.0
+        assert "boost" not in by_term[b]
