@@ -515,10 +515,16 @@ def cmd_search(args) -> int:
     from .querylang import structured_search
 
     cfg = EngineConfig(tokenizer=args.tokenizer)
+    synonyms = None
+    if getattr(args, "synonyms", None):
+        with open(args.synonyms) as f:
+            synonyms = {k: tuple(v) for k, v in json.load(f).items()}
     try:
         d, s = structured_search(
             args.query, args.index_dir, cfg,
             k=args.k, mode=args.mode, pos_dir=args.pos_dir,
+            min_should_match=getattr(args, "min_should_match", None),
+            synonyms=synonyms,
         )
     except (ValueError, FileNotFoundError) as e:
         print(f"error: {e}", file=sys.stderr)
@@ -667,6 +673,10 @@ def main(argv=None) -> int:
     se.add_argument("--tokenizer", default="code", choices=["code", "simple"])
     se.add_argument("--pos-dir", default=None,
                     help="positional index dir (required for phrase constraints)")
+    se.add_argument("--min-should-match", type=int, default=None,
+                    help="keep only docs matching >= M distinct positive terms")
+    se.add_argument("--synonyms", default=None,
+                    help="JSON thesaurus file {token: [expansion, ...]}")
     se.set_defaults(fn=cmd_search)
 
     be = sub.add_parser("bench", parents=[common], help="run the bench suite")

@@ -262,6 +262,17 @@ def test_cli_search_structured(ray_session, tmp_path, capsys):
     assert out["hits"] == []
     rc = main(["search", idx, 'public "static void"', "-k", "5"])
     assert rc == 2  # phrase needs --pos-dir
+    # --min-should-match through the structured path shrinks-or-keeps
+    rc = main(["search", idx, "public static void", "-k", "100"])
+    assert rc == 0
+    all_hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["hits"]
+    rc = main(["search", idx, "public static void", "-k", "100",
+               "--min-should-match", "3"])
+    assert rc == 0
+    msm_hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["hits"]
+    assert 0 < len(msm_hits) <= len(all_hits)
+    scores = {h["doc_id"]: h["score"] for h in all_hits}
+    assert all(scores[h["doc_id"]] == h["score"] for h in msm_hits)
 
 
 def test_cli_validate_positional(ray_session, tmp_path, capsys):
