@@ -1024,6 +1024,348 @@ def q_bm25_fuzzy(sf_dir: str) -> pa.Table:
     )
 
 
+# RE2 patterns over the driver testdata vocabulary (implicitly
+# anchored, Lucene RegexpQuery semantics): "s[a-z]+" expands to six
+# terms, "[a-z]+e" to five, ".a..e?" exercises '.' and '?'
+REGEX_QUERIES: list[tuple[int, str]] = [
+    (0, "s[a-z]+"),
+    (1, "[a-z]+e"),
+    (2, ".a..e?"),
+]
+
+
+def q_bm25_regex(sf_dir: str) -> pa.Table:
+    """REGEX term retrieval (Lucene RegexpQuery): each query pattern is
+    expanded against the index vocabulary (column-only postings scan
+    through the vectorized RE2 kernel, scorer.expand_regex), then the
+    expansion is scored as a bag-of-terms disjunction through the
+    actor-pool serving path — the regex analogue of the wildcard
+    rewrite (q_bm25_prefix)."""
+    from ..scorer import expand_regex
+
+    idx = ensure_index(sf_dir)
+    n_docs = BM25Scorer(idx, SQL_PARITY_CONFIG).n_docs
+    qids, texts = [], []
+    for qid, pattern in REGEX_QUERIES:
+        terms = expand_regex(idx, pattern)
+        if not terms:
+            continue
+        qids.append(qid)
+        texts.append(" ".join(terms))
+    qtbl = pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "k": pa.array([n_docs] * len(qids), type=pa.uint32()),
+        }
+    )
+    res = (
+        query_index(ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG, mode="maxscore",
+                    concurrency=2)
+        .to_pandas()
+    )
+    out_q, out_r, out_d, out_s = [], [], [], []
+    for qid in qids:
+        g = res[res.query_id == qid]
+        d = g["doc_id"].to_numpy().astype(np.uint64)
+        s6 = np.round(g["score"].to_numpy(), 6)
+        order = np.lexsort((d, -s6))[:TOPK]
+        d, s6 = d[order], s6[order]
+        out_q += [qid] * d.size
+        out_r += list(range(d.size))
+        out_d.append(d.astype(np.int64))
+        out_s.append(s6)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_d) if out_d else [], type=pa.int64()),
+            "score": pa.array(np.concatenate(out_s) if out_s else [], type=pa.float64()),
+        }
+    )
+
+
+def q_bm25_total_hits(sf_dir: str) -> pa.Table:
+    """TOTAL HITS per query (Elasticsearch ``track_total_hits``): the
+    COUNT of documents matching ≥1 query term — the number a search UI
+    prints next to the result list. Served from the same actor-pool
+    candidate stream as ranking (each (query, doc) candidate appears
+    exactly once in the scorer output), reduced by per-batch partial
+    counts + a bounded |queries|-row final sum — the result list is
+    never materialized driver-side."""
+    from ..collect import collect_table
+
+    idx = ensure_index(sf_dir)
+    n_docs = BM25Scorer(idx, SQL_PARITY_CONFIG).n_docs
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q for q, _ in DOC_QUERIES], type=pa.int64()),
+            "text": pa.array([t for _, t in DOC_QUERIES], type=pa.string()),
+            "k": pa.array([n_docs] * len(DOC_QUERIES), type=pa.uint32()),
+        }
+    )
+    res = query_index(
+        ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG, mode="taat", concurrency=2
+    )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch["query_id"].combine_chunks())
+        return pa.table(
+            {
+                "query_id": pc.cast(vc.field("values"), pa.int64()),
+                "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    empty = pa.schema([("query_id", pa.int64()), ("cnt", pa.int64())])
+    parts = collect_table(
+        res.map_batches(partial_counts, batch_format="pyarrow"), empty
+    ).to_pandas()
+    out = (
+        parts.groupby("query_id", as_index=False)["cnt"]
+        .sum()
+        .rename(columns={"cnt": "total_hits"})
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"].astype(np.int64), type=pa.int64()),
+            "total_hits": pa.array(out["total_hits"].astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+DISMAX_TIE = 0.3  # Lucene dis_max tie_breaker
+
+
+def q_bm25_dismax(sf_dir: str) -> pa.Table:
+    """DIS_MAX fielded retrieval (Lucene DisjunctionMaxQuery): per doc
+    the score is the BEST field's score plus ``tie_breaker`` × the
+    other field's — max(c, w·f) + TIE·min(c, w·f) for the two-field
+    case — instead of bm25_fielded's weighted SUM. The fusion that
+    avoids double-counting when fields repeat the same text. Same two
+    independent actor-pool passes + outer merge as bm25_fielded."""
+    idx_c = ensure_index(sf_dir)
+    idx_f = ensure_field_index(sf_dir)
+    n_docs = BM25Scorer(idx_c, SQL_PARITY_CONFIG).n_docs
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q for q, _ in FIELDED_QUERIES], type=pa.int64()),
+            "text": pa.array([t for _, t in FIELDED_QUERIES], type=pa.string()),
+            "k": pa.array([n_docs] * len(FIELDED_QUERIES), type=pa.uint32()),
+        }
+    )
+    res_c = query_index(
+        ray.data.from_arrow(qtbl), idx_c, SQL_PARITY_CONFIG, mode="maxscore", concurrency=2
+    ).to_pandas()
+    res_f = query_index(
+        ray.data.from_arrow(qtbl), idx_f, SQL_PARITY_CONFIG, mode="maxscore", concurrency=2
+    ).to_pandas()
+    merged = res_c.merge(
+        res_f, on=["query_id", "doc_id"], how="outer", suffixes=("_c", "_f")
+    )
+    a = merged["score_c"].fillna(0.0).to_numpy()
+    b = FIELD_WEIGHT * merged["score_f"].fillna(0.0).to_numpy()
+    fused = np.maximum(a, b) + DISMAX_TIE * np.minimum(a, b)
+    qids, ranks, dids, scores = [], [], [], []
+    for qid, _text in FIELDED_QUERIES:
+        m = (merged["query_id"] == qid).to_numpy()
+        d = merged["doc_id"].to_numpy()[m].astype(np.uint64)
+        s6 = np.round(fused[m], 6)
+        order = np.lexsort((d, -s6))[:TOPK]
+        d, s6 = d[order], s6[order]
+        qids += [qid] * d.size
+        ranks += list(range(d.size))
+        dids.append(d.astype(np.int64))
+        scores.append(s6)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(dids) if dids else [], type=pa.int64()),
+            "score": pa.array(np.concatenate(scores) if scores else [], type=pa.float64()),
+        }
+    )
+
+
+LEN_RANGE = (40, 90)  # doc_len BETWEEN lo AND hi (inclusive)
+
+
+def q_bm25_range(sf_dir: str) -> pa.Table:
+    """NUMERIC-RANGE filtered retrieval (Elasticsearch range filter):
+    top-k restricted to docs whose registry doc_len ∈ [lo, hi]. The
+    allowed id set is resolved by ONE column-pruned scan of the index
+    docs registry (doc_id + doc_len only) and folded into the scorer's
+    sorted allowed array (include_doc_ids), so every pruning mode stays
+    exact and BM25 stats stay corpus-global — the numeric-predicate
+    sibling of bm25_filtered's categorical filter."""
+    import pyarrow.parquet as pq
+
+    idx = ensure_index(sf_dir)
+    lo, hi = LEN_RANGE
+    reg = pq.read_table(os.path.join(idx, "docs"), columns=["doc_id", "doc_len"])
+    lens = reg["doc_len"]
+    mask = pc.and_(pc.greater_equal(lens, lo), pc.less_equal(lens, hi))
+    allowed = pc.cast(reg["doc_id"].filter(mask), pa.uint64())
+    n_docs = BM25Scorer(idx, SQL_PARITY_CONFIG).n_docs
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q for q, _ in DOC_QUERIES], type=pa.int64()),
+            "text": pa.array([t for _, t in DOC_QUERIES], type=pa.string()),
+            "k": pa.array([n_docs] * len(DOC_QUERIES), type=pa.uint32()),
+        }
+    )
+    res = (
+        query_index(ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG, mode="maxscore",
+                    concurrency=2, include_doc_ids=allowed)
+        .to_pandas()
+    )
+    qids, ranks, dids, scores = [], [], [], []
+    for qid, _text in DOC_QUERIES:
+        g = res[res.query_id == qid]
+        d = g["doc_id"].to_numpy().astype(np.uint64)
+        s6 = np.round(g["score"].to_numpy(), 6)
+        order = np.lexsort((d, -s6))[:TOPK]
+        d, s6 = d[order], s6[order]
+        qids += [qid] * d.size
+        ranks += list(range(d.size))
+        dids.append(d.astype(np.int64))
+        scores.append(s6)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(dids) if dids else [], type=pa.int64()),
+            "score": pa.array(np.concatenate(scores) if scores else [], type=pa.float64()),
+        }
+    )
+
+
+HIST_BUCKET_W = 16  # doc_len histogram bucket width
+
+
+def q_bm25_length_histogram(sf_dir: str) -> pa.Table:
+    """HISTOGRAM facet (Elasticsearch histogram aggregation): per-query
+    bucketed doc_len counts over the FULL candidate set — bucket =
+    floor(doc_len / W) · W. Same distributed shape as q_bm25_facets:
+    scored candidates → hash JOIN against the registry (both sides
+    partition, nothing broadcasts) → bounded (query × bucket) partial
+    counts."""
+    from ..collect import collect_table
+
+    idx = ensure_index(sf_dir)
+    n_docs = BM25Scorer(idx, SQL_PARITY_CONFIG).n_docs
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q for q, _ in DOC_QUERIES], type=pa.int64()),
+            "text": pa.array([t for _, t in DOC_QUERIES], type=pa.string()),
+            "k": pa.array([n_docs] * len(DOC_QUERIES), type=pa.uint32()),
+        }
+    )
+    res = query_index(
+        ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG, mode="maxscore", concurrency=2
+    )
+
+    def lhs_project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": pc.cast(t["query_id"], pa.int64()),
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            }
+        )
+
+    def rhs_project(t: pa.Table) -> pa.Table:
+        bucket = pc.multiply(
+            pc.floor(pc.divide(pc.cast(t["doc_len"], pa.float64()), HIST_BUCKET_W)),
+            HIST_BUCKET_W,
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "bucket": pc.cast(bucket, pa.int64()),
+            }
+        )
+
+    lhs = res.map_batches(lhs_project, batch_format="pyarrow")
+    rhs = (
+        ray.data.read_parquet(os.path.join(idx, "docs"), columns=["doc_id", "doc_len"])
+        .map_batches(rhs_project, batch_format="pyarrow")
+        .repartition(FACET_PARTITIONS)
+    )
+    joined = lhs.join(
+        rhs, join_type="inner", num_partitions=FACET_PARTITIONS, on=("doc_id",)
+    )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.select(["query_id", "bucket"]).to_pandas()
+        out = df.groupby(["query_id", "bucket"], as_index=False).size()
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"].astype("int64"), type=pa.int64()),
+                "bucket": pa.array(out["bucket"].astype("int64"), type=pa.int64()),
+                "cnt": pa.array(out["size"].astype("int64"), type=pa.int64()),
+            }
+        )
+
+    empty = pa.schema(
+        [("query_id", pa.int64()), ("bucket", pa.int64()), ("cnt", pa.int64())]
+    )
+    parts = collect_table(
+        joined.map_batches(partial_counts, batch_format="pyarrow"), empty
+    ).to_pandas()
+    out = (
+        parts.groupby(["query_id", "bucket"], as_index=False)["cnt"]
+        .sum()
+        .rename(columns={"cnt": "n_matched"})
+        .sort_values(["query_id", "bucket"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"].astype(np.int64), type=pa.int64()),
+            "bucket": pa.array(out["bucket"].astype(np.int64), type=pa.int64()),
+            "n_matched": pa.array(out["n_matched"].astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+def q_index_stats(sf_dir: str) -> pa.Table:
+    """INDEX STATISTICS (the ``_stats`` endpoint / CLI ``validate``
+    surface as a gate): one row of corpus-level invariants — n_docs,
+    vocabulary size, total postings (distinct (term, doc) pairs) and
+    total token count — computed from the BUILT index: a column-pruned
+    (term, df) scan of the postings partitions (no payload decode;
+    Σdf = postings whether or not a term's salted runs were merged,
+    because runs cover disjoint docs) + corpus_stats.json. The exact
+    small-scale parity probe for which distinct_terms_hll is the
+    constant-memory sketch at 100 TB."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from ..state.fsio import glob_parquet, read_bytes
+
+    idx = ensure_index(sf_dir)
+    stats = json.loads(read_bytes(os.path.join(idx, "corpus_stats.json")))
+    vocab: set[str] = set()
+    n_postings = 0
+    for f in glob_parquet(os.path.join(idx, "parts")):
+        t = pq.read_table(f, columns=["term", "df"])
+        vocab.update(t["term"].to_pylist())
+        n_postings += int(pc.sum(t["df"]).as_py() or 0)
+    return pa.table(
+        {
+            "n_docs": pa.array([int(stats["n_docs"])], type=pa.int64()),
+            "vocab_size": pa.array([len(vocab)], type=pa.int64()),
+            "n_postings": pa.array([n_postings], type=pa.int64()),
+            "total_tf": pa.array([int(stats["total_len"])], type=pa.int64()),
+        }
+    )
+
+
 NEG_TERMS = ("slow", "window")
 
 
@@ -1700,7 +2042,11 @@ SELECT query_id, rank, doc_id, score FROM conj WHERE rank < {TOPK}
 
 _FIELDED_VALUES = ", ".join(f"({q}, '{t}')" for q, t in FIELDED_QUERIES)
 
-ORACLE_SQL["bm25_fielded"] = f"""
+def _fielded_oracle(fused_expr: str) -> str:
+    """Two-field BM25 machinery (content + source, field-local stats),
+    parameterized by the fusion expression over the outer-joined
+    per-field raw scores c.raw / f.raw (NULL where a field missed)."""
+    return f"""
 WITH tok AS (
   SELECT doc_id, t.term
   FROM documents, unnest({SIMPLE_TOK_SQL}) AS t(term)
@@ -1754,7 +2100,7 @@ scores_f AS (
 fused AS (
   SELECT coalesce(c.query_id, f.query_id) AS query_id,
          coalesce(c.doc_id, f.doc_id) AS doc_id,
-         coalesce(c.raw, 0) + {FIELD_WEIGHT!r} * coalesce(f.raw, 0) AS raw
+         {fused_expr} AS raw
   FROM scores_c c
   FULL OUTER JOIN scores_f f
     ON f.query_id = c.query_id AND f.doc_id = c.doc_id
@@ -1767,6 +2113,17 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}
 """
+
+
+ORACLE_SQL["bm25_fielded"] = _fielded_oracle(
+    f"coalesce(c.raw, 0) + {FIELD_WEIGHT!r} * coalesce(f.raw, 0)"
+)
+
+# Lucene dis_max with two fields: best field + tie_breaker x the other.
+ORACLE_SQL["bm25_dismax"] = _fielded_oracle(
+    f"greatest(coalesce(c.raw, 0), {FIELD_WEIGHT!r} * coalesce(f.raw, 0))"
+    f" + {DISMAX_TIE!r} * least(coalesce(c.raw, 0), {FIELD_WEIGHT!r} * coalesce(f.raw, 0))"
+)
 
 ORACLE_SQL["bm25_boosted"] = f"""
 WITH tok AS (
@@ -2040,6 +2397,56 @@ qt AS (
 )"""
 ) + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}"
 
+# regex term expansion: DuckDB regexp_full_match is RE2 — the same
+# engine (and thus the same regex language) as the Arrow kernel the
+# scorer's expand_regex uses.
+ORACLE_SQL["bm25_regex"] = _bm25_cte_qt(
+    f"""p(query_id, pattern) AS (VALUES {", ".join(f"({q}, '{t}')" for q, t in REGEX_QUERIES)}),
+qt AS (
+  SELECT p.query_id, v.term
+  FROM p JOIN (SELECT DISTINCT t.term
+               FROM documents, unnest({SIMPLE_TOK_SQL}) AS t(term)) v
+    ON regexp_full_match(v.term, p.pattern)
+)"""
+) + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}"
+
+# total hits = size of the candidate set (docs matching >=1 query term)
+ORACLE_SQL["bm25_total_hits"] = _bm25_cte(_BM25_VALUES) + """
+SELECT query_id, count(*)::BIGINT AS total_hits
+FROM scores GROUP BY query_id
+"""
+
+ORACLE_SQL["bm25_range"] = _bm25_cte(_BM25_VALUES) + f"""
+, kept AS (
+  SELECT s.query_id,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY round(s.raw, 6) DESC, s.doc_id ASC) - 1 AS rank,
+         s.doc_id, round(s.raw, 6) AS score
+  FROM scores s JOIN dl ON dl.doc_id = s.doc_id
+  WHERE dl.dl BETWEEN {LEN_RANGE[0]} AND {LEN_RANGE[1]}
+)
+SELECT query_id, rank, doc_id, score FROM kept WHERE rank < {TOPK}
+"""
+
+ORACLE_SQL["bm25_length_histogram"] = _bm25_cte(_BM25_VALUES) + f"""
+SELECT s.query_id,
+       (floor(dl.dl / {HIST_BUCKET_W}) * {HIST_BUCKET_W})::BIGINT AS bucket,
+       count(*)::BIGINT AS n_matched
+FROM scores s JOIN dl ON dl.doc_id = s.doc_id
+GROUP BY s.query_id, bucket
+"""
+
+ORACLE_SQL["index_stats"] = f"""
+WITH tok AS (
+  SELECT doc_id, t.term FROM documents, unnest({SIMPLE_TOK_SQL}) AS t(term)
+)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       count(DISTINCT term)::BIGINT AS vocab_size,
+       (SELECT count(*) FROM (SELECT DISTINCT term, doc_id FROM tok))::BIGINT AS n_postings,
+       count(*)::BIGINT AS total_tf
+FROM tok
+"""
+
 ORACLE_SQL["bm25_negated"] = _bm25_cte(_BM25_VALUES) + f"""
 , neg AS (
   SELECT DISTINCT doc_id FROM tok WHERE term IN {NEG_TERMS!r}
@@ -2175,6 +2582,12 @@ QUERIES = {
     "bm25_negated": q_bm25_negated,
     "bm25_prefix": q_bm25_prefix,
     "bm25_fuzzy": q_bm25_fuzzy,
+    "bm25_regex": q_bm25_regex,
+    "bm25_total_hits": q_bm25_total_hits,
+    "bm25_dismax": q_bm25_dismax,
+    "bm25_range": q_bm25_range,
+    "bm25_length_histogram": q_bm25_length_histogram,
+    "index_stats": q_index_stats,
     "phrase_index_topk": q_phrase_index_topk,
     "proximity_topk": q_proximity_topk,
     "bm25_more_like_this": q_bm25_more_like_this,

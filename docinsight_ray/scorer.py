@@ -1063,6 +1063,30 @@ def expand_prefix(index_dir: str, prefix: str, limit: int | None = None) -> list
     return terms if limit is None else terms[:limit]
 
 
+def expand_regex(index_dir: str, pattern: str, limit: int | None = None) -> list[str]:
+    """Expand a REGEX term query against the index vocabulary: every
+    indexed term fully matching ``pattern`` (Lucene RegexpQuery
+    semantics — the regex is implicitly anchored at both ends), sorted.
+
+    Same column-only postings scan as ``expand_prefix`` (``term``
+    column only, no payload decode) with the vectorized RE2
+    ``match_substring_regex`` kernel on an explicitly anchored
+    pattern — O(vocabulary) bytes read, independent of postings size.
+    RE2 is also DuckDB's regex engine, so the SQL-parity oracle
+    (``regexp_full_match``) sees the identical language."""
+    import pyarrow.compute as _pc
+
+    from .state.fsio import glob_parquet
+
+    anchored = f"^(?:{pattern})$"
+    out: set[str] = set()
+    for f in glob_parquet(os.path.join(index_dir, "parts")):
+        t = pq.read_table(f, columns=["term"])["term"].combine_chunks()
+        out.update(t.filter(_pc.match_substring_regex(t, pattern=anchored)).to_pylist())
+    terms = sorted(out)
+    return terms if limit is None else terms[:limit]
+
+
 def _edit_leq(a: str, b: str, d: int) -> bool:
     """Levenshtein(a, b) <= d via the two-row DP with early abandon
     (plain edit distance — insert/delete/substitute, no transposition,

@@ -851,3 +851,125 @@ def test_doc_rollup_parity(ray_session):
     subs = got[(got.lang != "ALL") & (got.source == "ALL")]
     total = got[(got.lang == "ALL") & (got.source == "ALL")]
     assert fine["n_docs"].sum() == total["n_docs"].iloc[0] == subs["n_docs"].sum()
+
+
+def _docs_parity(name, q_fn):
+    """Shared DuckDB-oracle parity body for documents-table gates."""
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.pipelines.documents import ORACLE_SQL
+
+    got = q_fn(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    want = con.sql(ORACLE_SQL[name]).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        if a[c].dtype.kind == "f":
+            a[c], b[c] = np.round(a[c], 9), np.round(b[c], 9)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    return got, con
+
+
+def test_bm25_regex_parity_and_expansion():
+    """bm25_regex: full-oracle parity; expand_regex returns the exact
+    anchored-RE2 vocabulary subsets the gate's patterns were chosen
+    for, and an unmatchable pattern expands to nothing."""
+    from docinsight_ray.pipelines.documents import REGEX_QUERIES, ensure_index, q_bm25_regex
+    from docinsight_ray.scorer import expand_regex
+
+    _docs_parity("bm25_regex", q_bm25_regex)
+    idx = ensure_index(SF)
+    exp = {p: expand_regex(idx, p) for _, p in REGEX_QUERIES}
+    assert exp["s[a-z]+"] == ["scan", "slow", "small", "sort", "spark", "stream"]
+    assert "table" in exp["[a-z]+e"] and "stream" not in exp["[a-z]+e"]  # anchored, not substring
+    assert expand_regex(idx, "zz+[0-9]") == []
+    assert expand_regex(idx, "s[a-z]+", limit=2) == ["scan", "slow"]
+
+
+def test_bm25_total_hits_parity_and_bounds():
+    """bm25_total_hits: full-oracle parity; every query's count is at
+    least the number of its top-k results and at most n_docs."""
+    from docinsight_ray.pipelines.documents import (
+        SQL_PARITY_CONFIG,
+        ensure_index,
+        q_bm25_topk,
+        q_bm25_total_hits,
+    )
+    from docinsight_ray.scorer import BM25Scorer
+
+    got, _ = _docs_parity("bm25_total_hits", q_bm25_total_hits)
+    n_docs = BM25Scorer(ensure_index(SF), SQL_PARITY_CONFIG).n_docs
+    topk = q_bm25_topk(SF).to_pandas().groupby("query_id").size()
+    th = got.set_index("query_id")["total_hits"]
+    assert (th <= n_docs).all()
+    assert (th.reindex(topk.index) >= topk).all()
+
+
+def test_bm25_dismax_parity_and_bound():
+    """bm25_dismax: full-oracle parity; with tie_breaker<1 every fused
+    score is <= the bm25_fielded SUM fusion's score for the same
+    (query, doc) that appears in both result lists."""
+    from docinsight_ray.pipelines.documents import q_bm25_dismax, q_bm25_fielded
+
+    got, _ = _docs_parity("bm25_dismax", q_bm25_dismax)
+    summed = q_bm25_fielded(SF).to_pandas().set_index(["query_id", "doc_id"])["score"]
+    dm = got.set_index(["query_id", "doc_id"])["score"]
+    both = dm.index.intersection(summed.index)
+    assert len(both) > 0
+    assert (dm.loc[both] <= summed.loc[both] + 1e-6).all()
+
+
+def test_bm25_range_parity_and_predicate():
+    """bm25_range: full-oracle parity; every returned doc's registry
+    doc_len lies inside LEN_RANGE and some corpus docs fall outside it
+    (the filter is non-trivial)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from docinsight_ray.pipelines.documents import LEN_RANGE, ensure_index, q_bm25_range
+
+    got, _ = _docs_parity("bm25_range", q_bm25_range)
+    reg = pq.read_table(
+        os.path.join(ensure_index(SF), "docs"), columns=["doc_id", "doc_len"]
+    ).to_pandas().set_index("doc_id")["doc_len"]
+    lens = reg.reindex(got["doc_id"].astype("int64"))
+    lo, hi = LEN_RANGE
+    assert ((lens >= lo) & (lens <= hi)).all()
+    assert ((reg < lo) | (reg > hi)).any()
+
+
+def test_bm25_length_histogram_parity_and_totals():
+    """bm25_length_histogram: full-oracle parity; bucket keys are
+    multiples of the width and per-query totals equal total_hits."""
+    from docinsight_ray.pipelines.documents import (
+        HIST_BUCKET_W,
+        q_bm25_length_histogram,
+        q_bm25_total_hits,
+    )
+
+    got, _ = _docs_parity("bm25_length_histogram", q_bm25_length_histogram)
+    assert (got["bucket"] % HIST_BUCKET_W == 0).all()
+    totals = got.groupby("query_id")["n_matched"].sum()
+    th = q_bm25_total_hits(SF).to_pandas().set_index("query_id")["total_hits"]
+    assert (totals == th.reindex(totals.index)).all()
+
+
+def test_index_stats_parity_and_consistency():
+    """index_stats: full-oracle parity; the row agrees with the built
+    index's corpus_stats.json and a vocabulary-scan lower bound."""
+    import json
+    import os
+
+    from docinsight_ray.pipelines.documents import ensure_index, q_index_stats
+
+    got, _ = _docs_parity("index_stats", q_index_stats)
+    with open(os.path.join(ensure_index(SF), "corpus_stats.json")) as f:
+        st = json.load(f)
+    row = got.iloc[0]
+    assert row["n_docs"] == st["n_docs"] and row["total_tf"] == st["total_len"]
+    assert 0 < row["vocab_size"] <= row["n_postings"] <= row["total_tf"]
