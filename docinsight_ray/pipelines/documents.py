@@ -1366,6 +1366,274 @@ def q_index_stats(sf_dir: str) -> pa.Table:
     )
 
 
+SUGGEST_PREFIXES: list[tuple[int, str]] = [(0, "s"), (1, "va"), (2, "b")]
+SUGGEST_N = 5
+
+
+def q_suggest(sf_dir: str) -> pa.Table:
+    """AUTOCOMPLETE suggestions (Elasticsearch completion-suggester
+    shape): for each typed prefix, the top-N vocabulary terms ranked by
+    document frequency (df desc, term asc) — the as-you-type dropdown.
+    Served from a column-pruned (term, df) scan of the postings
+    partitions: no payload decode, O(vocabulary) bytes, independent of
+    postings size. df rows are summed per term so salted hot-term runs
+    (disjoint doc sets) aggregate exactly."""
+    import pyarrow.parquet as pq
+
+    from ..state.fsio import glob_parquet
+
+    idx = ensure_index(sf_dir)
+    agg: dict[str, int] = {}
+    for f in glob_parquet(os.path.join(idx, "parts")):
+        t = pq.read_table(f, columns=["term", "df"])
+        for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+            agg[term] = agg.get(term, 0) + int(df)
+    pids, ranks, terms, dfs = [], [], [], []
+    for pid, pref in SUGGEST_PREFIXES:
+        cands = sorted(
+            ((t, d) for t, d in agg.items() if t.startswith(pref)),
+            key=lambda td: (-td[1], td[0]),
+        )[:SUGGEST_N]
+        for r, (t, d) in enumerate(cands):
+            pids.append(pid)
+            ranks.append(r)
+            terms.append(t)
+            dfs.append(d)
+    return pa.table(
+        {
+            "prefix_id": pa.array(pids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "term": pa.array(terms, type=pa.string()),
+            "df": pa.array(dfs, type=pa.int64()),
+        }
+    )
+
+
+# misspelled query tokens for the did-you-mean gate; "data" is already
+# a vocabulary term (distance-0 self-suggestion), "xyzq" has no
+# vocabulary term within distance 2 (emits no row)
+SPELL_TOKENS: list[tuple[int, str]] = [
+    (0, "tble"),
+    (1, "strem"),
+    (2, "quary"),
+    (3, "data"),
+    (4, "xyzq"),
+]
+SPELL_DIST = 2
+
+
+def q_spellcheck(sf_dir: str) -> pa.Table:
+    """SPELL CORRECTION ("did you mean"): for each query token the best
+    vocabulary term within edit distance SPELL_DIST — nearest distance
+    first, then highest df, then term asc (the Lucene DirectSpellChecker
+    ranking). Tokens with no candidate emit no row. Candidates come from
+    the same column-only vocabulary scan as fuzzy expansion
+    (scorer.expand_fuzzy), ranked with the index's own df."""
+    import pyarrow.parquet as pq
+
+    from ..scorer import _edit_leq, expand_fuzzy
+    from ..state.fsio import glob_parquet
+
+    idx = ensure_index(sf_dir)
+    agg: dict[str, int] = {}
+    for f in glob_parquet(os.path.join(idx, "parts")):
+        t = pq.read_table(f, columns=["term", "df"])
+        for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+            agg[term] = agg.get(term, 0) + int(df)
+    qids, toks, sugg, dists, dfs = [], [], [], [], []
+    for qid, tok in SPELL_TOKENS:
+        best = None
+        for cand in expand_fuzzy(idx, tok, SPELL_DIST):
+            dist = next(d for d in range(SPELL_DIST + 1) if _edit_leq(tok, cand, d))
+            key = (dist, -agg[cand], cand)
+            if best is None or key < best[0]:
+                best = (key, cand, dist)
+        if best is None:
+            continue
+        qids.append(qid)
+        toks.append(tok)
+        sugg.append(best[1])
+        dists.append(best[2])
+        dfs.append(agg[best[1]])
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "token": pa.array(toks, type=pa.string()),
+            "suggestion": pa.array(sugg, type=pa.string()),
+            "dist": pa.array(dists, type=pa.int64()),
+            "df": pa.array(dfs, type=pa.int64()),
+        }
+    )
+
+
+SIGTERMS_MIN_FG = 3  # minimum foreground df for a significant term
+SIGTERMS_K = 10
+
+
+def q_significant_terms(sf_dir: str) -> pa.Table:
+    """SIGNIFICANT TERMS aggregation (Elasticsearch significant_terms):
+    per query, the terms most over-represented in the CANDIDATE set
+    (docs matching ≥1 query term) relative to the whole corpus —
+    score = fg_df / bg_df (the percentage-lift heuristic), query terms
+    themselves excluded, fg_df ≥ SIGTERMS_MIN_FG, top-SIGTERMS_K by
+    (score desc, term asc).
+
+    Distributed shape: scored candidates (query_id, doc_id) hash-JOIN
+    the corpus's distinct (doc_id, term) pairs on doc_id — both sides
+    partition, nothing broadcasts except the bounded vocabulary-df map
+    for the background model — then bounded (query × vocab) partial
+    counts reduce to fg_df."""
+    import pyarrow.parquet as pq
+
+    from ..collect import collect_table
+    from ..state.fsio import glob_parquet
+
+    idx = ensure_index(sf_dir)
+    n_docs = BM25Scorer(idx, SQL_PARITY_CONFIG).n_docs
+    # background model: vocabulary df from the (term, df) column scan
+    bg: dict[str, int] = {}
+    for f in glob_parquet(os.path.join(idx, "parts")):
+        t = pq.read_table(f, columns=["term", "df"])
+        for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+            bg[term] = bg.get(term, 0) + int(df)
+    qterms = {
+        qid: set(tokenize_text(text, SQL_PARITY_CONFIG)) for qid, text in DOC_QUERIES
+    }
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q for q, _ in DOC_QUERIES], type=pa.int64()),
+            "text": pa.array([t for _, t in DOC_QUERIES], type=pa.string()),
+            "k": pa.array([n_docs] * len(DOC_QUERIES), type=pa.uint32()),
+        }
+    )
+    cands = query_index(
+        ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG, mode="taat", concurrency=2
+    )
+
+    def lhs_project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": pc.cast(t["query_id"], pa.int64()),
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            }
+        )
+
+    def doc_terms(batch: pa.Table) -> pa.Table:
+        ids, terms = [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for term in set(tokenize_text(text, SQL_PARITY_CONFIG)):
+                ids.append(doc_id)
+                terms.append(term)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "term": pa.array(terms, type=pa.string()),
+            }
+        )
+
+    lhs = cands.map_batches(lhs_project, batch_format="pyarrow")
+    rhs = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .map_batches(doc_terms, batch_format="pyarrow")
+        .repartition(FACET_PARTITIONS)
+    )
+    joined = lhs.join(
+        rhs, join_type="inner", num_partitions=FACET_PARTITIONS, on=("doc_id",)
+    )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.select(["query_id", "term"]).to_pandas()
+        out = df.groupby(["query_id", "term"], as_index=False).size()
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"].astype("int64"), type=pa.int64()),
+                "term": pa.array(out["term"], type=pa.string()),
+                "cnt": pa.array(out["size"].astype("int64"), type=pa.int64()),
+            }
+        )
+
+    empty = pa.schema(
+        [("query_id", pa.int64()), ("term", pa.string()), ("cnt", pa.int64())]
+    )
+    parts = collect_table(
+        joined.map_batches(partial_counts, batch_format="pyarrow"), empty
+    ).to_pandas()
+    fg = parts.groupby(["query_id", "term"], as_index=False)["cnt"].sum()
+    qids, ranks, terms, fgs, bgs, scores = [], [], [], [], [], []
+    for qid, _text in DOC_QUERIES:
+        g = fg[(fg.query_id == qid) & (fg.cnt >= SIGTERMS_MIN_FG)]
+        g = g[~g.term.isin(qterms[qid])]
+        if not len(g):
+            continue
+        bg_df = g["term"].map(bg).to_numpy(dtype=np.int64)
+        # no rounding: IEEE division of two small ints is exactly
+        # rounded, so both engines compute the identical double
+        score = g["cnt"].to_numpy(dtype=np.float64) / bg_df
+        order = np.lexsort((g["term"].to_numpy(), -score))[:SIGTERMS_K]
+        for r, i in enumerate(order):
+            qids.append(qid)
+            ranks.append(r)
+            terms.append(g["term"].iloc[i])
+            fgs.append(int(g["cnt"].iloc[i]))
+            bgs.append(int(bg_df[i]))
+            scores.append(float(score[i]))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "term": pa.array(terms, type=pa.string()),
+            "fg_df": pa.array(fgs, type=pa.int64()),
+            "bg_df": pa.array(bgs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
+def q_percolate(sf_dir: str) -> pa.Table:
+    """PERCOLATE (reverse search, Elasticsearch percolator): the stored
+    query set is matched against every DOCUMENT — a doc hits a stored
+    query when it contains ALL of the query's indexed terms
+    (conjunctive registration semantics, the alerting/routing
+    primitive for streaming ingest). The stored queries broadcast once
+    per task (they are tiny by construction); documents stream through
+    one vectorized map_batches pass — per batch, distinct (doc, term)
+    pairs → np.isin membership per query → match-count == |q| — and
+    only (query_id, doc_id) hits leave the task."""
+    from ..collect import collect_table
+
+    qsets = [
+        (qid, sorted(set(tokenize_text(text, SQL_PARITY_CONFIG))))
+        for qid, text in DOC_QUERIES
+    ]
+
+    def match(batch: pa.Table) -> pa.Table:
+        out_q, out_d = [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            terms = set(tokenize_text(text, SQL_PARITY_CONFIG))
+            for qid, qt in qsets:
+                if all(t in terms for t in qt):
+                    out_q.append(qid)
+                    out_d.append(doc_id)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(match, batch_format="pyarrow")
+    empty = pa.schema([("query_id", pa.int64()), ("doc_id", pa.int64())])
+    return collect_table(ds, empty)
+
+
 NEG_TERMS = ("slow", "window")
 
 
@@ -2436,6 +2704,80 @@ FROM scores s JOIN dl ON dl.doc_id = s.doc_id
 GROUP BY s.query_id, bucket
 """
 
+ORACLE_SQL["suggest"] = f"""
+WITH tok AS (
+  SELECT doc_id, t.term FROM documents, unnest({SIMPLE_TOK_SQL}) AS t(term)
+),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term),
+p(prefix_id, pref) AS (VALUES {", ".join(f"({i}, '{p}')" for i, p in SUGGEST_PREFIXES)}),
+r AS (
+  SELECT p.prefix_id, d.term, d.df,
+         row_number() OVER (PARTITION BY p.prefix_id
+                            ORDER BY d.df DESC, d.term ASC) - 1 AS rank
+  FROM p JOIN df d ON d.term LIKE p.pref || '%'
+)
+SELECT prefix_id, rank, term, df FROM r WHERE rank < {SUGGEST_N}
+"""
+
+ORACLE_SQL["spellcheck"] = f"""
+WITH tok AS (
+  SELECT doc_id, t.term FROM documents, unnest({SIMPLE_TOK_SQL}) AS t(term)
+),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term),
+q(query_id, token) AS (VALUES {", ".join(f"({i}, '{t}')" for i, t in SPELL_TOKENS)}),
+cand AS (
+  SELECT q.query_id, q.token, d.term,
+         levenshtein(q.token, d.term)::BIGINT AS dist, d.df
+  FROM q JOIN df d ON levenshtein(q.token, d.term) <= {SPELL_DIST}
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist ASC, df DESC, term ASC) AS rn
+  FROM cand
+)
+SELECT query_id, token, term AS suggestion, dist, df FROM best WHERE rn = 1
+"""
+
+ORACLE_SQL["significant_terms"] = _bm25_cte(_BM25_VALUES) + f"""
+, dt AS (SELECT DISTINCT doc_id, term FROM tok),
+dfi AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term),
+fg AS (
+  SELECT s.query_id, dt.term, count(*)::BIGINT AS fg_df
+  FROM scores s JOIN dt ON dt.doc_id = s.doc_id
+  GROUP BY s.query_id, dt.term
+),
+sig AS (
+  SELECT f.query_id, f.term, f.fg_df, d.df AS bg_df,
+         f.fg_df::DOUBLE / d.df AS score
+  FROM fg f
+  JOIN dfi d ON d.term = f.term
+  LEFT JOIN qt ON qt.query_id = f.query_id AND qt.term = f.term
+  WHERE f.fg_df >= {SIGTERMS_MIN_FG} AND qt.term IS NULL
+),
+sigranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, term ASC) - 1 AS rank,
+         term, fg_df, bg_df, score
+  FROM sig
+)
+SELECT query_id, rank, term, fg_df, bg_df, score
+FROM sigranked WHERE rank < {SIGTERMS_K}
+"""
+
+# percolate: conjunctive containment of every stored query's term set
+ORACLE_SQL["percolate"] = _bm25_cte(_BM25_VALUES) + """
+, dt AS (SELECT DISTINCT doc_id, term FROM tok),
+nq AS (SELECT query_id, count(*)::BIGINT AS m FROM qt GROUP BY query_id),
+hit AS (
+  SELECT qt.query_id, dt.doc_id
+  FROM qt JOIN dt ON dt.term = qt.term
+  GROUP BY qt.query_id, dt.doc_id
+  HAVING count(*) = (SELECT m FROM nq WHERE nq.query_id = qt.query_id)
+)
+SELECT query_id, doc_id FROM hit
+"""
+
 ORACLE_SQL["index_stats"] = f"""
 WITH tok AS (
   SELECT doc_id, t.term FROM documents, unnest({SIMPLE_TOK_SQL}) AS t(term)
@@ -2588,6 +2930,10 @@ QUERIES = {
     "bm25_range": q_bm25_range,
     "bm25_length_histogram": q_bm25_length_histogram,
     "index_stats": q_index_stats,
+    "suggest": q_suggest,
+    "spellcheck": q_spellcheck,
+    "significant_terms": q_significant_terms,
+    "percolate": q_percolate,
     "phrase_index_topk": q_phrase_index_topk,
     "proximity_topk": q_proximity_topk,
     "bm25_more_like_this": q_bm25_more_like_this,

@@ -973,3 +973,70 @@ def test_index_stats_parity_and_consistency():
     row = got.iloc[0]
     assert row["n_docs"] == st["n_docs"] and row["total_tf"] == st["total_len"]
     assert 0 < row["vocab_size"] <= row["n_postings"] <= row["total_tf"]
+
+
+def test_suggest_parity_and_ranking():
+    """suggest: full-oracle parity; ranking is (df desc, term asc) and
+    every suggestion extends its prefix."""
+    from docinsight_ray.pipelines.documents import SUGGEST_PREFIXES, q_suggest
+
+    got, _ = _docs_parity("suggest", q_suggest)
+    pref = dict(SUGGEST_PREFIXES)
+    assert all(t.startswith(pref[p]) for p, t in zip(got["prefix_id"], got["term"]))
+    for _, g in got.groupby("prefix_id"):
+        g = g.sort_values("rank")
+        assert (g["df"].diff().dropna() <= 0).all()  # df non-increasing down the list
+
+
+def test_spellcheck_parity_and_semantics():
+    """spellcheck: full-oracle parity; a correctly-spelled token
+    suggests itself at distance 0; the unmatchable token emits no row."""
+    from docinsight_ray.pipelines.documents import q_spellcheck
+
+    got, _ = _docs_parity("spellcheck", q_spellcheck)
+    byq = got.set_index("query_id")
+    assert byq.loc[3, "suggestion"] == "data" and byq.loc[3, "dist"] == 0
+    assert 4 not in byq.index  # "xyzq": nothing within distance 2
+    assert (got["dist"] <= 2).all()
+
+
+def test_significant_terms_parity_and_exclusions():
+    """significant_terms: full-oracle parity; query terms never appear
+    in their own significant list; fg_df <= bg_df; lift <= 1."""
+    from docinsight_ray.pipelines.documents import (
+        DOC_QUERIES,
+        SQL_PARITY_CONFIG,
+        q_significant_terms,
+    )
+    from docinsight_ray.tokenizer import tokenize_text
+
+    got, _ = _docs_parity("significant_terms", q_significant_terms)
+    qterms = {q: set(tokenize_text(t, SQL_PARITY_CONFIG)) for q, t in DOC_QUERIES}
+    assert all(t not in qterms[q] for q, t in zip(got["query_id"], got["term"]))
+    assert (got["fg_df"] <= got["bg_df"]).all()
+    assert (got["score"] <= 1.0).all() and (got["score"] > 0).all()
+
+
+def test_percolate_parity_and_containment():
+    """percolate: full-oracle parity; every hit really contains ALL the
+    stored query's terms (spot-checked against the raw corpus)."""
+    import pyarrow.parquet as pq
+
+    from docinsight_ray.pipelines.documents import (
+        DOC_QUERIES,
+        SQL_PARITY_CONFIG,
+        q_percolate,
+    )
+    from docinsight_ray.tokenizer import tokenize_text
+
+    got, _ = _docs_parity("percolate", q_percolate)
+    texts = (
+        pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+        .set_index("doc_id")["text"]
+    )
+    qsets = {q: set(tokenize_text(t, SQL_PARITY_CONFIG)) for q, t in DOC_QUERIES}
+    sample = got.sample(min(50, len(got)), random_state=0)
+    for q, d in zip(sample["query_id"], sample["doc_id"]):
+        doc_terms = set(tokenize_text(texts.loc[d], SQL_PARITY_CONFIG))
+        assert qsets[q] <= doc_terms
