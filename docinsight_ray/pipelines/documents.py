@@ -1366,6 +1366,53 @@ def q_index_stats(sf_dir: str) -> pa.Table:
     )
 
 
+HL_BEFORE = 20  # chars of context before the first query-term hit
+HL_LEN = 60  # snippet length
+
+
+def q_highlight(sf_dir: str) -> pa.Table:
+    """HIGHLIGHT snippets as a GATE (the deterministic slice of the S8
+    report surface): for each (query, top-k doc), the 1-based position
+    of the EARLIEST occurrence of any query term in the lowercased
+    text, and a fixed-width snippet window starting HL_BEFORE chars
+    before it — the first-hit fragmenter rule every engine's
+    highlighter implements deterministically. Operates on the BOUNDED
+    result set (≤ k × |queries| rows) with one bounded hydration read;
+    report.py's best_snippet remains the richer (distinct-term
+    maximizing) production renderer, pytest-covered."""
+    import pyarrow.parquet as pq
+
+    res = q_bm25_topk(sf_dir).to_pandas()
+    texts = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        .to_pandas()
+        .set_index("doc_id")["text"]
+    )
+    qterms = {
+        qid: sorted(set(tokenize_text(text, SQL_PARITY_CONFIG)))
+        for qid, text in DOC_QUERIES
+    }
+    out_q, out_d, out_p, out_s = [], [], [], []
+    for qid, did in zip(res["query_id"], res["doc_id"]):
+        text = texts.loc[did]
+        lowered = text.lower()
+        hits = [lowered.find(t) + 1 for t in qterms[qid]]
+        pos = min(h for h in hits if h > 0)
+        start = max(1, pos - HL_BEFORE)
+        out_q.append(qid)
+        out_d.append(did)
+        out_p.append(pos)
+        out_s.append(text[start - 1 : start - 1 + HL_LEN])
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "doc_id": pa.array(out_d, type=pa.int64()),
+            "pos": pa.array(out_p, type=pa.int64()),
+            "snippet": pa.array(out_s, type=pa.string()),
+        }
+    )
+
+
 SUGGEST_PREFIXES: list[tuple[int, str]] = [(0, "s"), (1, "va"), (2, "b")]
 SUGGEST_N = 5
 
@@ -2704,6 +2751,25 @@ FROM scores s JOIN dl ON dl.doc_id = s.doc_id
 GROUP BY s.query_id, bucket
 """
 
+# first-hit fragmenter: earliest query-term occurrence in lower(text),
+# snippet from the ORIGINAL text (ASCII corpus: lower() is
+# length-preserving, so positions line up)
+ORACLE_SQL["highlight"] = _bm25_cte(_BM25_VALUES) + f"""
+, hits AS (SELECT query_id, doc_id FROM ranked WHERE rank < {TOPK}),
+pos AS (
+  SELECT h.query_id, h.doc_id,
+         min(CASE WHEN strpos(lower(d.text), qt.term) > 0
+                  THEN strpos(lower(d.text), qt.term) END)::BIGINT AS pos
+  FROM hits h
+  JOIN documents d ON d.doc_id = h.doc_id
+  JOIN qt ON qt.query_id = h.query_id
+  GROUP BY h.query_id, h.doc_id
+)
+SELECT p.query_id, p.doc_id, p.pos,
+       substr(d.text, greatest(1, p.pos - {HL_BEFORE}), {HL_LEN}) AS snippet
+FROM pos p JOIN documents d ON d.doc_id = p.doc_id
+"""
+
 ORACLE_SQL["suggest"] = f"""
 WITH tok AS (
   SELECT doc_id, t.term FROM documents, unnest({SIMPLE_TOK_SQL}) AS t(term)
@@ -2930,6 +2996,7 @@ QUERIES = {
     "bm25_range": q_bm25_range,
     "bm25_length_histogram": q_bm25_length_histogram,
     "index_stats": q_index_stats,
+    "highlight": q_highlight,
     "suggest": q_suggest,
     "spellcheck": q_spellcheck,
     "significant_terms": q_significant_terms,

@@ -1040,3 +1040,25 @@ def test_percolate_parity_and_containment():
     for q, d in zip(sample["query_id"], sample["doc_id"]):
         doc_terms = set(tokenize_text(texts.loc[d], SQL_PARITY_CONFIG))
         assert qsets[q] <= doc_terms
+
+
+def test_highlight_parity_and_window():
+    """highlight: full-oracle parity; the snippet window contains the
+    first-hit term occurrence and respects the configured width."""
+    from docinsight_ray.pipelines.documents import (
+        DOC_QUERIES,
+        HL_LEN,
+        SQL_PARITY_CONFIG,
+        q_highlight,
+    )
+    from docinsight_ray.tokenizer import tokenize_text
+
+    got, _ = _docs_parity("highlight", q_highlight)
+    qterms = {q: set(tokenize_text(t, SQL_PARITY_CONFIG)) for q, t in DOC_QUERIES}
+    assert (got["snippet"].str.len() <= HL_LEN).all()
+    assert (got["pos"] >= 1).all()
+    hit_in_snippet = [
+        any(t in s.lower() for t in qterms[q])
+        for q, s in zip(got["query_id"], got["snippet"])
+    ]
+    assert np.mean(hit_in_snippet) > 0.9  # truncation can clip a term at the edge
