@@ -536,6 +536,48 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_suggest(args) -> int:
+    """Autocomplete: top-n vocabulary completions of a prefix, ranked
+    by document frequency. Pure index-side column scan — no Ray
+    session, no postings decode."""
+    from .scorer import suggest_terms
+
+    try:
+        out = suggest_terms(args.index_dir, args.prefix, n=args.n)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(json.dumps({
+        "prefix": args.prefix,
+        "suggestions": [{"term": t, "df": d} for t, d in out],
+    }))
+    return 0
+
+
+def cmd_spell(args) -> int:
+    """Did-you-mean: best vocabulary correction per query token
+    (edit distance ≤ --max-dist, Lucene DirectSpellChecker ranking)."""
+    from .scorer import spell_suggest
+    from .tokenizer import tokenize_text
+    from .config import EngineConfig
+
+    cfg = EngineConfig(tokenizer=args.tokenizer)
+    out = []
+    try:
+        for tok in tokenize_text(args.text, cfg):
+            best = spell_suggest(args.index_dir, tok, args.max_dist)
+            if best is not None:
+                out.append({
+                    "token": tok, "suggestion": best[0],
+                    "dist": best[1], "df": best[2],
+                })
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(json.dumps({"text": args.text, "corrections": out}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     os.environ.setdefault("RAY_GRAFT_CPUS", str(args.num_cpus or 32))
     sys.argv = ["bench.py"] + (["--scaling"] if args.scaling else [])
@@ -682,6 +724,21 @@ def main(argv=None) -> int:
     be = sub.add_parser("bench", parents=[common], help="run the bench suite")
     be.add_argument("--scaling", action="store_true")
     be.set_defaults(fn=cmd_bench)
+
+    sg = sub.add_parser("suggest", parents=[common],
+                        help="autocomplete a prefix from the index vocabulary")
+    sg.add_argument("index_dir")
+    sg.add_argument("prefix")
+    sg.add_argument("-n", type=int, default=5)
+    sg.set_defaults(fn=cmd_suggest)
+
+    sp = sub.add_parser("spell", parents=[common],
+                        help="did-you-mean corrections for query tokens")
+    sp.add_argument("index_dir")
+    sp.add_argument("text")
+    sp.add_argument("--max-dist", type=int, default=2)
+    sp.add_argument("--tokenizer", default="code", choices=["code", "simple"])
+    sp.set_defaults(fn=cmd_spell)
 
     args = p.parse_args(argv)
     return args.fn(args)

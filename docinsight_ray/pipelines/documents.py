@@ -1425,23 +1425,12 @@ def q_suggest(sf_dir: str) -> pa.Table:
     partitions: no payload decode, O(vocabulary) bytes, independent of
     postings size. df rows are summed per term so salted hot-term runs
     (disjoint doc sets) aggregate exactly."""
-    import pyarrow.parquet as pq
-
-    from ..state.fsio import glob_parquet
+    from ..scorer import suggest_terms
 
     idx = ensure_index(sf_dir)
-    agg: dict[str, int] = {}
-    for f in glob_parquet(os.path.join(idx, "parts")):
-        t = pq.read_table(f, columns=["term", "df"])
-        for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
-            agg[term] = agg.get(term, 0) + int(df)
     pids, ranks, terms, dfs = [], [], [], []
     for pid, pref in SUGGEST_PREFIXES:
-        cands = sorted(
-            ((t, d) for t, d in agg.items() if t.startswith(pref)),
-            key=lambda td: (-td[1], td[0]),
-        )[:SUGGEST_N]
-        for r, (t, d) in enumerate(cands):
+        for r, (t, d) in enumerate(suggest_terms(idx, pref, SUGGEST_N)):
             pids.append(pid)
             ranks.append(r)
             terms.append(t)
@@ -1476,32 +1465,19 @@ def q_spellcheck(sf_dir: str) -> pa.Table:
     ranking). Tokens with no candidate emit no row. Candidates come from
     the same column-only vocabulary scan as fuzzy expansion
     (scorer.expand_fuzzy), ranked with the index's own df."""
-    import pyarrow.parquet as pq
-
-    from ..scorer import _edit_leq, expand_fuzzy
-    from ..state.fsio import glob_parquet
+    from ..scorer import spell_suggest
 
     idx = ensure_index(sf_dir)
-    agg: dict[str, int] = {}
-    for f in glob_parquet(os.path.join(idx, "parts")):
-        t = pq.read_table(f, columns=["term", "df"])
-        for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
-            agg[term] = agg.get(term, 0) + int(df)
     qids, toks, sugg, dists, dfs = [], [], [], [], []
     for qid, tok in SPELL_TOKENS:
-        best = None
-        for cand in expand_fuzzy(idx, tok, SPELL_DIST):
-            dist = next(d for d in range(SPELL_DIST + 1) if _edit_leq(tok, cand, d))
-            key = (dist, -agg[cand], cand)
-            if best is None or key < best[0]:
-                best = (key, cand, dist)
+        best = spell_suggest(idx, tok, SPELL_DIST)
         if best is None:
             continue
         qids.append(qid)
         toks.append(tok)
-        sugg.append(best[1])
-        dists.append(best[2])
-        dfs.append(agg[best[1]])
+        sugg.append(best[0])
+        dists.append(best[1])
+        dfs.append(best[2])
     return pa.table(
         {
             "query_id": pa.array(qids, type=pa.int64()),
@@ -1530,19 +1506,14 @@ def q_significant_terms(sf_dir: str) -> pa.Table:
     partition, nothing broadcasts except the bounded vocabulary-df map
     for the background model — then bounded (query × vocab) partial
     counts reduce to fg_df."""
-    import pyarrow.parquet as pq
-
     from ..collect import collect_table
-    from ..state.fsio import glob_parquet
 
     idx = ensure_index(sf_dir)
     n_docs = BM25Scorer(idx, SQL_PARITY_CONFIG).n_docs
     # background model: vocabulary df from the (term, df) column scan
-    bg: dict[str, int] = {}
-    for f in glob_parquet(os.path.join(idx, "parts")):
-        t = pq.read_table(f, columns=["term", "df"])
-        for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
-            bg[term] = bg.get(term, 0) + int(df)
+    from ..scorer import vocab_df
+
+    bg = vocab_df(idx)
     qterms = {
         qid: set(tokenize_text(text, SQL_PARITY_CONFIG)) for qid, text in DOC_QUERIES
     }

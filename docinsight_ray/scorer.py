@@ -1063,6 +1063,52 @@ def expand_prefix(index_dir: str, prefix: str, limit: int | None = None) -> list
     return terms if limit is None else terms[:limit]
 
 
+def vocab_df(index_dir: str) -> dict[str, int]:
+    """Vocabulary → document frequency from the built index: a
+    column-pruned (term, df) scan of the postings partitions (no
+    payload decode). df rows are SUMMED per term so salted hot-term
+    runs (disjoint doc sets) aggregate exactly. Feeds autocomplete
+    (suggest) and did-you-mean (spellcheck) ranking."""
+    from .state.fsio import glob_parquet
+
+    files = glob_parquet(os.path.join(index_dir, "parts"))
+    if not files:
+        raise FileNotFoundError(f"{index_dir}/parts: not a built index")
+    agg: dict[str, int] = {}
+    for f in files:
+        t = pq.read_table(f, columns=["term", "df"])
+        for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+            agg[term] = agg.get(term, 0) + int(df)
+    return agg
+
+
+def suggest_terms(index_dir: str, prefix: str, n: int = 5) -> list[tuple[str, int]]:
+    """Autocomplete: top-n vocabulary terms starting with ``prefix``,
+    ranked by (df desc, term asc) — the completion-suggester rule."""
+    agg = vocab_df(index_dir)
+    return sorted(
+        ((t, d) for t, d in agg.items() if t.startswith(prefix)),
+        key=lambda td: (-td[1], td[0]),
+    )[:n]
+
+
+def spell_suggest(
+    index_dir: str, token: str, max_dist: int = 2
+) -> tuple[str, int, int] | None:
+    """Did-you-mean: the best vocabulary term within edit distance
+    ``max_dist`` of ``token`` — nearest distance first, then highest
+    df, then term asc (Lucene DirectSpellChecker ranking). Returns
+    (suggestion, distance, df) or None when nothing is close enough."""
+    agg = vocab_df(index_dir)
+    best = None
+    for cand in expand_fuzzy(index_dir, token, max_dist):
+        dist = next(d for d in range(max_dist + 1) if _edit_leq(token, cand, d))
+        key = (dist, -agg[cand], cand)
+        if best is None or key < best[0]:
+            best = (key, cand, dist)
+    return None if best is None else (best[1], best[2], agg[best[1]])
+
+
 def expand_regex(index_dir: str, pattern: str, limit: int | None = None) -> list[str]:
     """Expand a REGEX term query against the index vocabulary: every
     indexed term fully matching ``pattern`` (Lucene RegexpQuery

@@ -382,3 +382,31 @@ def test_cli_query_explain(ray_session, tmp_path, capsys):
     ex = json.loads(capsys.readouterr().out.strip())
     assert round(ex["score"], 6) == hits[0]["score"]
     assert ex["in_candidate_set"] and ex["terms"]
+
+
+def test_cli_suggest_and_spell(built_cli, capsys):
+    """suggest: df-ranked prefix completions; spell: did-you-mean per
+    token with self-suggestion at distance 0; both rc=2 on an unbuilt
+    index path."""
+    corpus_path, idx, root = built_cli
+    rc = main(["suggest", idx, "pub", "-n", "3"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    dfs = [s["df"] for s in out["suggestions"]]
+    assert dfs == sorted(dfs, reverse=True)
+    assert all(s["term"].startswith("pub") for s in out["suggestions"])
+
+    # a known vocabulary word (corpus is java-like) and a typo of it
+    term = out["suggestions"][0]["term"] if out["suggestions"] else "public"
+    typo = term[:-1] + "q"
+    rc = main(["spell", idx, f"{term} {typo}"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    by_tok = {c["token"]: c for c in out["corrections"]}
+    assert by_tok[term]["dist"] == 0 and by_tok[term]["suggestion"] == term
+    assert by_tok[typo]["suggestion"] == term and by_tok[typo]["dist"] == 1
+
+    assert main(["suggest", str(root / "nope"), "x"]) == 2
+    capsys.readouterr()
+    assert main(["spell", str(root / "nope"), "xyz"]) == 2
+    capsys.readouterr()
