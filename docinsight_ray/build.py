@@ -557,7 +557,8 @@ def build_index(
     if "docs" not in done:
         # no resumable state for THIS (input, config) identity → clean slate
         for sub in ("fragments", "fragments-dfstats", "docs", "parts",
-                    "partial", "manifest", "dedup_losers", "merge_stage"):
+                    "partial", "manifest", "dedup_losers", "merge_stage",
+                    "term_dict"):
             fs_rmtree(os.path.join(index_dir, sub))
         if fragments_dir is not None:
             for d in (frag_dir, frag_dir.rstrip("/") + "-dfstats"):
@@ -911,6 +912,44 @@ def build_index(
         })
 
     _stage("hot_merge", t0)
+
+    # ---- Term-dictionary sidecar: globally SORTED (term, df) rows
+    # across all postings partitions. Terms are unique across parts
+    # (hash-bucketed; hot terms merged into parts/hot), so this is a
+    # column-pruned concat + sort — the shuffle moves vocabulary rows
+    # only, orders of magnitude smaller than the postings they index.
+    # Sorted row groups give parquet min/max stats, so prefix lookups
+    # (suggest / wildcard expansion) prune to the touched row groups
+    # instead of scanning every partition's term column; fuzzy/regex
+    # expansion and vocab_df read this one narrow sidecar. Readers
+    # fall back to the parts scan when the sidecar is absent (older
+    # indexes).
+    t0 = time.monotonic()
+    td_dir = os.path.join(index_dir, "term_dict")
+    if "term_dict" not in done:
+        from .state.fsio import glob_parquet as _gp, write_parquet_atomic as _wpa
+
+        fs_rmtree(td_dir)
+        part_files = _gp(os.path.join(index_dir, "parts"))
+        if part_files:
+            fs_makedirs(td_dir)
+            (
+                ray.data.read_parquet(part_files, columns=["term", "df"])
+                .sort("term")
+                .write_parquet(td_dir)
+            )
+        else:
+            fs_makedirs(td_dir)
+            _wpa(
+                pa.table({"term": pa.array([], type=pa.string()),
+                          "df": pa.array([], type=pa.uint64())}),
+                os.path.join(td_dir, "empty.parquet"),
+            )
+        write_manifest(man_dir, "term_dict", {
+            "part_id": "term_dict", "stage": "term_dict", "status": "committed",
+            "fingerprint": fingerprint, "config_hash": cfg.config_hash(),
+        })
+    _stage("term_dict", t0)
 
     # the join-path loser spill has served its purpose (dedup is
     # recomputed from the docs registry on any resume); an EXTERNAL

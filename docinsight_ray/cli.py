@@ -386,6 +386,25 @@ def cmd_validate(args) -> int:
     if total_tf != local_total:
         problems.append(f"Σtf {total_tf} != total_len {local_total}")
 
+    # term_dict sidecar (when present): globally sorted, one row per
+    # term, df totals equal the postings partitions'
+    td_files = sorted(glob.glob(os.path.join(idx, "term_dict", "**", "*.parquet"), recursive=True))
+    if td_files:
+        import pyarrow as pa
+
+        td = pa.concat_tables([pq.read_table(f, columns=["term", "df"]) for f in td_files])
+        td_terms = td["term"].to_pylist()
+        if td.num_rows != n_terms:
+            problems.append(f"term_dict rows {td.num_rows} != postings terms {n_terms}")
+        if td_terms != sorted(td_terms):
+            problems.append("term_dict not globally sorted")
+        parts_df_sum = 0
+        for fpath in glob.glob(os.path.join(idx, "parts", "**", "*.parquet"), recursive=True):
+            parts_df_sum += sum(pq.read_table(fpath, columns=["df"])["df"].to_pylist())
+        td_df_sum = sum(td["df"].to_pylist())
+        if td_df_sum != parts_df_sum:
+            problems.append(f"term_dict Σdf {td_df_sum} != parts Σdf {parts_df_sum}")
+
     if args.corpus:
         _init_ray(args.num_cpus)
         import ray.data

@@ -475,6 +475,13 @@ def distribute_global_stats(sub_dirs: list[str], appended: str | None = None) ->
         atomic_write_bytes(os.path.join(d, "corpus_stats.json"),
                            json.dumps(s, sort_keys=True, indent=1).encode())
 
+    # per-sub-index (term, df) source: the term_dict sidecar when the
+    # build wrote one (narrow, pre-aggregated — no postings payload
+    # columns in the files we open), else the postings partitions
+    def _df_files(d: str) -> list[str]:
+        td = glob_parquet(os.path.join(d, "term_dict"))
+        return td if td else glob_parquet(os.path.join(d, "parts"))
+
     # incremental source selection: prior snapshot + new parts, but only
     # when the snapshot's recorded coverage is exactly the prior set
     files: list[str] | None = None
@@ -483,9 +490,9 @@ def distribute_global_stats(sub_dirs: list[str], appended: str | None = None) ->
         expect = sorted(os.path.basename(d.rstrip("/")) for d in prior)
         snap = os.path.join(prior[0], "global_df.parquet")
         if fs_exists(snap) and pre_covers.get(prior[0]) == expect:
-            files = glob_parquet(snap) + glob_parquet(os.path.join(appended, "parts"))
+            files = glob_parquet(snap) + _df_files(appended)
     if files is None:
-        files = [f for d in sub_dirs for f in glob_parquet(os.path.join(d, "parts"))]
+        files = [f for d in sub_dirs for f in _df_files(d)]
 
     tmp = tempfile.mkdtemp(prefix="global_df-", dir="/tmp")
     if files:

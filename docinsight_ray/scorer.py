@@ -1053,43 +1053,72 @@ def expand_prefix(index_dir: str, prefix: str, limit: int | None = None) -> list
     SQL-parity gate requires)."""
     import pyarrow.compute as _pc
 
-    from .state.fsio import glob_parquet
-
+    files, is_dict = _vocab_sources(index_dir)
+    filters = None
+    if prefix and is_dict:
+        # sorted sidecar: the prefix is a contiguous term range, so the
+        # parquet row-group min/max stats prune the read
+        filters = [("term", ">=", prefix), ("term", "<", prefix + _PREFIX_HI)]
     out: set[str] = set()
-    for f in glob_parquet(os.path.join(index_dir, "parts")):
-        t = pq.read_table(f, columns=["term"])["term"].combine_chunks()
+    for f in files:
+        t = pq.read_table(f, columns=["term"], filters=filters)["term"].combine_chunks()
         out.update(t.filter(_pc.starts_with(t, pattern=prefix)).to_pylist())
     terms = sorted(out)
     return terms if limit is None else terms[:limit]
 
 
-def vocab_df(index_dir: str) -> dict[str, int]:
-    """Vocabulary → document frequency from the built index: a
-    column-pruned (term, df) scan of the postings partitions (no
-    payload decode). df rows are SUMMED per term so salted hot-term
-    runs (disjoint doc sets) aggregate exactly. Feeds autocomplete
-    (suggest) and did-you-mean (spellcheck) ranking."""
+def _vocab_sources(index_dir: str) -> tuple[list[str], bool]:
+    """Vocabulary file set for an index: the ``term_dict`` sidecar when
+    present (globally SORTED narrow (term, df) rows — row-group min/max
+    stats make prefix-range reads prune), else the postings partitions
+    themselves (term/df column scan; pre-sidecar indexes). Raises
+    FileNotFoundError on an unbuilt index."""
     from .state.fsio import glob_parquet
 
+    td = glob_parquet(os.path.join(index_dir, "term_dict"))
+    if td:
+        return td, True
     files = glob_parquet(os.path.join(index_dir, "parts"))
     if not files:
         raise FileNotFoundError(f"{index_dir}/parts: not a built index")
+    return files, False
+
+
+# upper bound for "starts with prefix" as a string range: every term
+# with the prefix sorts in [prefix, prefix + MAX_CODEPOINT)
+_PREFIX_HI = "\U0010ffff"
+
+
+def vocab_df(index_dir: str, prefix: str | None = None) -> dict[str, int]:
+    """Vocabulary → document frequency from the built index — the
+    ``term_dict`` sidecar when present, else a column-pruned (term, df)
+    scan of the postings partitions (no payload decode). df rows are
+    SUMMED per term so salted hot-term runs (disjoint doc sets)
+    aggregate exactly. ``prefix`` restricts the read: against the
+    sorted sidecar it becomes a parquet range filter that prunes to the
+    touched row groups. Feeds autocomplete (suggest) and did-you-mean
+    (spellcheck) ranking."""
+    files, is_dict = _vocab_sources(index_dir)
+    filters = None
+    if prefix and is_dict:
+        filters = [("term", ">=", prefix), ("term", "<", prefix + _PREFIX_HI)]
     agg: dict[str, int] = {}
     for f in files:
-        t = pq.read_table(f, columns=["term", "df"])
+        t = pq.read_table(f, columns=["term", "df"], filters=filters)
         for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+            if prefix and not term.startswith(prefix):
+                continue
             agg[term] = agg.get(term, 0) + int(df)
     return agg
 
 
 def suggest_terms(index_dir: str, prefix: str, n: int = 5) -> list[tuple[str, int]]:
     """Autocomplete: top-n vocabulary terms starting with ``prefix``,
-    ranked by (df desc, term asc) — the completion-suggester rule."""
-    agg = vocab_df(index_dir)
-    return sorted(
-        ((t, d) for t, d in agg.items() if t.startswith(prefix)),
-        key=lambda td: (-td[1], td[0]),
-    )[:n]
+    ranked by (df desc, term asc) — the completion-suggester rule.
+    With a term_dict sidecar only the prefix's row-group range is
+    read."""
+    agg = vocab_df(index_dir, prefix=prefix)
+    return sorted(agg.items(), key=lambda td: (-td[1], td[0]))[:n]
 
 
 def spell_suggest(
@@ -1122,11 +1151,10 @@ def expand_regex(index_dir: str, pattern: str, limit: int | None = None) -> list
     (``regexp_full_match``) sees the identical language."""
     import pyarrow.compute as _pc
 
-    from .state.fsio import glob_parquet
-
     anchored = f"^(?:{pattern})$"
+    files, _ = _vocab_sources(index_dir)
     out: set[str] = set()
-    for f in glob_parquet(os.path.join(index_dir, "parts")):
+    for f in files:
         t = pq.read_table(f, columns=["term"])["term"].combine_chunks()
         out.update(t.filter(_pc.match_substring_regex(t, pattern=anchored)).to_pylist())
     terms = sorted(out)
@@ -1163,10 +1191,9 @@ def expand_fuzzy(
     (FastSS-style) instead of scanning."""
     import pyarrow.compute as _pc
 
-    from .state.fsio import glob_parquet
-
+    files, _ = _vocab_sources(index_dir)
     out: set[str] = set()
-    for f in glob_parquet(os.path.join(index_dir, "parts")):
+    for f in files:
         col = pq.read_table(f, columns=["term"])["term"].combine_chunks()
         # cheap vectorized prefilter: |len(t) - len(term)| <= max_dist
         lens = _pc.utf8_length(col)

@@ -74,16 +74,22 @@ def test_cli_conjunctive_mode(built_cli, capsys):
     assert line["hits"] == []  # unknown term empties a conjunctive query
 
 
-def test_cli_purge_crash_leftovers(built_cli, capsys):
+def test_cli_purge_crash_leftovers(built_cli, capsys, tmp_path):
     """purge removes staging dirs, interrupted-write tmp files and
     stale-fingerprint manifests — and the committed index still serves
-    identically afterwards."""
+    identically afterwards. Runs against a COPY of the shared index:
+    the cascading --all delete at the end must not destroy the
+    module-scoped fixture later tests reuse."""
+    import shutil
+
     import numpy as np
 
     from docinsight_ray.config import EngineConfig
     from docinsight_ray.scorer import BM25Scorer
 
-    corpus_path, idx, root = built_cli
+    corpus_path, shared_idx, root = built_cli
+    idx = str(tmp_path / "purge_index")
+    shutil.copytree(shared_idx, idx)
     cfg = EngineConfig()
     before_d, before_s = BM25Scorer(idx, cfg).score_taat("public static void", 5)
 
@@ -410,3 +416,29 @@ def test_cli_suggest_and_spell(built_cli, capsys):
     capsys.readouterr()
     assert main(["spell", str(root / "nope"), "xyz"]) == 2
     capsys.readouterr()
+
+
+def test_cli_validate_term_dict(built_cli, capsys, tmp_path):
+    """validate checks the term_dict sidecar: a clean index passes; a
+    corrupted sidecar (df bumped) is reported, not crashed on."""
+    import glob as _glob
+    import shutil
+
+    corpus_path, idx, root = built_cli
+    rc = main(["validate", idx])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["ok"]
+
+    bad = str(tmp_path / "bad_td")
+    shutil.copytree(idx, bad)
+    victim = sorted(
+        _glob.glob(os.path.join(bad, "term_dict", "**", "*.parquet"), recursive=True)
+    )[0]
+    import pyarrow as pa
+
+    t = pq.read_table(victim)
+    wrong = pa.array([int(v.as_py()) + 1 for v in t["df"]], type=pa.uint64())
+    pq.write_table(t.set_column(t.column_names.index("df"), "df", wrong), victim)
+    rc = main(["validate", bad])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 1 and any("term_dict" in p for p in out["problems"])

@@ -861,3 +861,49 @@ def test_explain_with_boosts(built):
         by_term = {t["term"]: t for t in ex["terms"]}
         assert by_term[a].get("boost") == 2.0
         assert "boost" not in by_term[b]
+
+
+def test_term_dict_sidecar(built, tmp_path):
+    """The build writes a globally SORTED term_dict sidecar (one (term,
+    df) row per term) whose df totals match the postings partitions,
+    and every vocabulary reader returns identical results from the
+    sidecar and from the parts-scan fallback."""
+    import shutil
+
+    from docinsight_ray.scorer import (
+        expand_fuzzy,
+        expand_prefix,
+        expand_regex,
+        suggest_terms,
+        vocab_df,
+    )
+
+    corpus, idx, res = built
+    td_files = sorted(glob.glob(os.path.join(idx, "term_dict", "**", "*.parquet"), recursive=True))
+    assert td_files, "build must write the term_dict sidecar"
+    td = pa.concat_tables([pq.read_table(f) for f in td_files])
+    terms = td["term"].to_pylist()
+    assert terms == sorted(terms), "sidecar must be globally sorted"
+    assert len(terms) == len(set(terms)), "one row per term"
+    parts = _load_all_postings(idx)
+    assert sum(td["df"].to_pylist()) == sum(parts["df"].to_pylist())
+    assert set(terms) == set(parts["term"].to_pylist())
+
+    # sidecar path == fallback path for every vocabulary reader
+    via_dict = {
+        "prefix": expand_prefix(idx, "s"),
+        "fuzzy": expand_fuzzy(idx, "merg", 1),
+        "regex": expand_regex(idx, "s[a-z]+"),
+        "suggest": suggest_terms(idx, "p", n=4),
+        "vocab": vocab_df(idx),
+    }
+    hidden = str(tmp_path / "term_dict_moved")
+    shutil.move(os.path.join(idx, "term_dict"), hidden)
+    try:
+        assert expand_prefix(idx, "s") == via_dict["prefix"]
+        assert expand_fuzzy(idx, "merg", 1) == via_dict["fuzzy"]
+        assert expand_regex(idx, "s[a-z]+") == via_dict["regex"]
+        assert suggest_terms(idx, "p", n=4) == via_dict["suggest"]
+        assert vocab_df(idx) == via_dict["vocab"]
+    finally:
+        shutil.move(hidden, os.path.join(idx, "term_dict"))
