@@ -265,6 +265,100 @@ def q_bm25_topk_lazy(sf_dir: str) -> pa.Table:
     return q_bm25_topk(sf_dir, mode="maxscore", max_loaded_parts=2)
 
 
+# function_score linear decay on n_chars: factor peaks at 1.0 where
+# n_chars == DECAY_ORIGIN and reaches 0.0 at |n_chars - origin| >=
+# DECAY_SCALE (docs exist on both sides of the clamp in the testdata,
+# so the gate exercises it)
+DECAY_ORIGIN = 300.0
+DECAY_SCALE = 200.0
+
+
+class _DecayRescore:
+    """Actor-pool rescoring stage (Elasticsearch ``function_score``
+    with a ``linear`` decay and ``boost_mode: multiply``): each actor
+    loads the narrow (doc_id, n_chars) columns ONCE in ``__init__`` —
+    the same per-actor memory class as the scorer's own doc_len array
+    (8 bytes/doc) — and ``__call__`` multiplies each hit's BM25 score
+    by max(0, (scale - |n_chars - origin|) / scale), fully vectorized.
+    function_score scores every matched document, so this runs on the
+    full candidate stream, before any top-k truncation."""
+
+    def __init__(self, sf_dir: str, origin: float, scale: float):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+        )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(ids)
+        self._ids = ids[order]
+        self._vals = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)[order]
+        self._origin = float(origin)
+        self._scale = float(scale)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        vals = self._vals[np.searchsorted(self._ids, d)]
+        factor = np.maximum(0.0, (self._scale - np.abs(vals - self._origin)) / self._scale)
+        scores = batch["score"].to_numpy(zero_copy_only=False) * factor
+        return batch.set_column(
+            batch.column_names.index("score"), "score", pa.array(scores, type=pa.float64())
+        )
+
+
+def q_bm25_decay(sf_dir: str) -> pa.Table:
+    """Elasticsearch ``function_score`` retrieval: BM25 relevance ×
+    a LINEAR numeric decay on a document field (n_chars), multiply
+    boost mode — the recency/length-boost pattern. Serving shape:
+    the actor-pool scorer streams full candidate lists per query, a
+    second (small) actor-pool stage rescores every hit against the
+    per-actor field array, and the gate's round-6 re-rank picks the
+    top-k. Exact clamp: factor 0 where the field is ≥ scale away from
+    the origin, so clamped docs rank last at score 0.0 (doc_id ties)."""
+    idx = ensure_index(sf_dir)
+    n_docs = BM25Scorer(idx, SQL_PARITY_CONFIG).n_docs
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q for q, _ in DOC_QUERIES], type=pa.int64()),
+            "text": pa.array([t for _, t in DOC_QUERIES], type=pa.string()),
+            "k": pa.array([n_docs] * len(DOC_QUERIES), type=pa.uint32()),
+        }
+    )
+    res = (
+        query_index(ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG, mode="maxscore",
+                    concurrency=2)
+        .map_batches(
+            _DecayRescore,
+            fn_constructor_args=(sf_dir, DECAY_ORIGIN, DECAY_SCALE),
+            batch_format="pyarrow",
+            concurrency=1,
+            num_cpus=1,
+        )
+        .to_pandas()
+    )
+    qids, ranks, dids, scores = [], [], [], []
+    for qid, _text in DOC_QUERIES:
+        g = res[res.query_id == qid]
+        d = g["doc_id"].to_numpy().astype(np.uint64)
+        s6 = np.round(g["score"].to_numpy(), 6)
+        order = np.lexsort((d, -s6))[:TOPK]
+        d, s6 = d[order], s6[order]
+        qids += [qid] * d.size
+        ranks += list(range(d.size))
+        dids.append(d.astype(np.int64))
+        scores.append(s6)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(dids), type=pa.int64()),
+            "score": pa.array(np.concatenate(scores), type=pa.float64()),
+        }
+    )
+
+
 RRF_C = 60  # the standard reciprocal-rank-fusion constant (Cormack et al.)
 
 
@@ -2098,6 +2192,22 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk": BM25_CTE + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}",
     "bm25_topk_bmw": BM25_CTE + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}",
     "bm25_topk_lazy": BM25_CTE + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}",
+    # function_score: BM25 raw scores × linear n_chars decay (multiply
+    # boost mode), clamped at 0; re-ranked by the round-6 protocol
+    "bm25_decay": BM25_CTE + f"""
+, dec AS (
+  SELECT s.query_id, s.doc_id,
+         s.raw * greatest(0.0, ({DECAY_SCALE!r} - abs(d.n_chars::DOUBLE - {DECAY_ORIGIN!r})) / {DECAY_SCALE!r}) AS raw
+  FROM scores s JOIN documents d USING (doc_id)
+),
+ranked_dec AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(raw, 6) DESC, doc_id ASC) - 1 AS rank,
+         doc_id, round(raw, 6) AS score
+  FROM dec
+)
+SELECT query_id, rank, doc_id, score FROM ranked_dec WHERE rank < {TOPK}
+""",
     # LM Dirichlet query likelihood (sparse rewrite; candidates = docs
     # matching >=1 indexed query term, the convention scorer.score_lmdir
     # documents). MU mirrors EngineConfig.mu.
@@ -2947,6 +3057,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_topk_bmw": q_bm25_topk_bmw,
     "bm25_topk_lazy": q_bm25_topk_lazy,
+    "bm25_decay": q_bm25_decay,
     "lmdir_topk": q_lmdir_topk,
     "rrf_topk": q_rrf_topk,
     "bm25_rm3": q_bm25_rm3,

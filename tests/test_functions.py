@@ -1062,3 +1062,31 @@ def test_highlight_parity_and_window():
         for q, s in zip(got["query_id"], got["snippet"])
     ]
     assert np.mean(hit_in_snippet) > 0.9  # truncation can clip a term at the edge
+
+
+def test_bm25_decay_parity_clamp_and_reorder():
+    """bm25_decay (function_score, linear decay × BM25): full-oracle
+    parity; every returned doc past the clamp radius scores exactly
+    0.0; and the decay actually reorders at least one query's top-k
+    vs plain bm25_topk."""
+    import pandas as pd
+
+    from docinsight_ray.pipelines.documents import (
+        DECAY_ORIGIN,
+        DECAY_SCALE,
+        q_bm25_decay,
+        q_bm25_topk,
+    )
+
+    got, _ = _docs_parity("bm25_decay", q_bm25_decay)
+    meta = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"])
+    n_of = dict(zip(meta["doc_id"], meta["n_chars"]))
+    nv = np.array([n_of[d] for d in got["doc_id"]], dtype=np.float64)
+    fac = np.maximum(0.0, (DECAY_SCALE - np.abs(nv - DECAY_ORIGIN)) / DECAY_SCALE)
+    assert (got.loc[fac == 0.0, "score"] == 0.0).all()
+    assert (got.loc[fac > 0.0, "score"] >= 0.0).all()
+    plain = q_bm25_topk(SF).to_pandas()
+    merged = got.merge(plain, on=["query_id", "rank"], suffixes=("_dec", "_plain"))
+    assert (merged["doc_id_dec"] != merged["doc_id_plain"]).any(), (
+        "decay must reorder some top-k on this corpus"
+    )
