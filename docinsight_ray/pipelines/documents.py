@@ -436,6 +436,131 @@ def q_rrf_topk(sf_dir: str) -> pa.Table:
     )
 
 
+HYBRID_W = 50  # per-retriever fusion window (hybrid-search window_size)
+
+
+class _HybridCosineWindow:
+    """Per-batch partial dense top-(W+margin) against the broadcast
+    seed-query matrix — the brute-force combiner shape of
+    functions/knn.py:CosineTopK, without self-exclusion (the seed doc
+    is a legitimate hybrid hit). Per-batch partials keep the per-query
+    merge bounded regardless of corpus size."""
+
+    def __init__(self, q_ref, w: int):
+        self.qids, Q = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+        self.Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        self.w = w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        X = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        cos = self.Qn @ Xn.T  # (n_queries, batch)
+        margin = self.w + 50  # round-6 boundary-tie safety, as in knn.py
+        out_q, out_v, out_c = [], [], []
+        for qi, qid in enumerate(self.qids):
+            c = cos[qi]
+            take = np.lexsort((vids, -np.round(c, 6)))[:margin]
+            out_q.append(np.full(take.size, qid, dtype=np.int64))
+            out_v.append(vids[take].astype(np.int64))
+            out_c.append(c[take])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "cos": pa.array(np.concatenate(out_c), type=pa.float64()),
+            }
+        )
+
+
+def q_hybrid_rrf(sf_dir: str) -> pa.Table:
+    """TRUE hybrid retrieval: sparse BM25 and DENSE embedding-cosine
+    rankings fused by reciprocal rank over a per-retriever window of
+    ``HYBRID_W`` — the lexical-index + vector-index hybrid-search shape
+    (vec_id == doc_id in the testdata, so the two retrievers rank the
+    same id space). Dense query vectors are the stored embeddings of
+    the query ids (seed-vector convention, like knn_cosine); a doc in
+    only one list contributes only that list's 1/(RRF_C+1+rank) term
+    (RRF over the union of the two windows).
+
+    Scale shape: one actor-pool serving pass (sparse) + one brute-force
+    combiner pass over the embeddings (dense partial top-W per batch
+    against the broadcast seed matrix) + a per-query vectorized fuse;
+    the dense side swaps to the LSH/IVF candidate generators
+    (functions/knn.py) at corpus sizes where brute force stops paying."""
+    import pyarrow.parquet as pq
+
+    idx = ensure_index(sf_dir)
+    n_docs = BM25Scorer(idx, SQL_PARITY_CONFIG).n_docs
+    qids_l = [q for q, _ in DOC_QUERIES]
+    qtbl = pa.table(
+        {
+            "query_id": pa.array(qids_l, type=pa.int64()),
+            "text": pa.array([t for _, t in DOC_QUERIES], type=pa.string()),
+            "k": pa.array([n_docs] * len(qids_l), type=pa.uint32()),
+        }
+    )
+    res_bm = query_index(
+        ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG, mode="maxscore", concurrency=2
+    ).to_pandas()
+
+    # dense seed vectors: the embeddings stored under the query ids
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    vid = t["vec_id"].to_numpy()
+    mask = np.isin(vid, np.array(qids_l, dtype=vid.dtype))
+    seed_ids = vid[mask]
+    Q = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[mask]).astype(np.float64)
+    order = np.argsort(seed_ids)
+    q_ref = ray.put((seed_ids[order].astype(np.int64), Q[order]))
+    dense = (
+        ray.data.read_parquet(emb_path)
+        .map_batches(
+            _HybridCosineWindow,
+            fn_constructor_args=(q_ref, HYBRID_W),
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=2,
+        )
+        .to_pandas()
+    )
+
+    out_q, out_r, out_d, out_s = [], [], [], []
+    for qid in qids_l:
+        d_s, r_s = _rank_full(res_bm[res_bm.query_id == qid])
+        keep = r_s < HYBRID_W
+        sparse_rank = dict(zip((int(x) for x in d_s[keep]), (int(x) for x in r_s[keep])))
+        g = dense[dense.query_id == qid]
+        dv = g["vec_id"].to_numpy().astype(np.int64)
+        c6 = np.round(g["cos"].to_numpy(), 6)
+        o = np.lexsort((dv, -c6))[:HYBRID_W]
+        dense_rank = {int(v): i for i, v in enumerate(dv[o])}
+        union = sorted(set(sparse_rank) | set(dense_rank))
+        rrf = np.array(
+            [
+                (1.0 / (RRF_C + 1 + sparse_rank[u]) if u in sparse_rank else 0.0)
+                + (1.0 / (RRF_C + 1 + dense_rank[u]) if u in dense_rank else 0.0)
+                for u in union
+            ],
+            dtype=np.float64,
+        )
+        rrf6 = np.round(rrf, 6)
+        ua = np.array(union, dtype=np.int64)
+        o2 = np.lexsort((ua, -rrf6))[:TOPK]
+        out_q += [qid] * o2.size
+        out_r += list(range(o2.size))
+        out_d.append(ua[o2])
+        out_s.append(rrf6[o2])
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_d), type=pa.int64()),
+            "rrf": pa.array(np.concatenate(out_s), type=pa.float64()),
+        }
+    )
+
+
 FACET_PARTITIONS = 8
 
 
@@ -2416,6 +2541,43 @@ SELECT query_id, rank, doc_id, rrf,
 FROM final WHERE rank < {TOPK}
 """.replace("{mu}", repr(SQL_PARITY_CONFIG.mu))
 
+# hybrid sparse+dense RRF: the shared BM25 CTE's `ranked` gives sparse
+# ranks; the dense side ranks round-6 cosine of each query id's stored
+# embedding against every vector; windows of HYBRID_W fuse over the
+# union (a doc missing from one list contributes only the other term)
+ORACLE_SQL["hybrid_rrf"] = BM25_CTE + f"""
+, sw AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank < {HYBRID_W}),
+qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       WHERE vec_id IN ({", ".join(str(q) for q, _ in DOC_QUERIES)})),
+dcos AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         round(list_dot_product(qv.qe::DOUBLE[], e.embedding::DOUBLE[])
+               / sqrt(list_dot_product(qv.qe::DOUBLE[], qv.qe::DOUBLE[]))
+               / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6) AS cos
+  FROM qv, embeddings e
+),
+dw AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) - 1 AS rank
+  FROM dcos
+  QUALIFY rank < {HYBRID_W}
+),
+fused_h AS (
+  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+         coalesce(s.doc_id, d.doc_id) AS doc_id,
+         coalesce(1.0 / ({RRF_C + 1} + s.rank), 0.0)
+           + coalesce(1.0 / ({RRF_C + 1} + d.rank), 0.0) AS rrf
+  FROM sw s FULL OUTER JOIN dw d ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+),
+hranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(rrf, 6) DESC, doc_id ASC) - 1 AS rank,
+         doc_id, round(rrf, 6) AS rrf
+  FROM fused_h
+)
+SELECT query_id, rank, doc_id, rrf FROM hranked WHERE rank < {TOPK}
+"""
+
 ORACLE_SQL["bm25_conjunctive"] = _bm25_cte(_BM25_VALUES) + f"""
 , qn AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY query_id)
 , matched AS (
@@ -3060,6 +3222,7 @@ QUERIES = {
     "bm25_decay": q_bm25_decay,
     "lmdir_topk": q_lmdir_topk,
     "rrf_topk": q_rrf_topk,
+    "hybrid_rrf": q_hybrid_rrf,
     "bm25_rm3": q_bm25_rm3,
     "bm25_facets": q_bm25_facets,
     "bm25_hydrated": q_bm25_hydrated,
