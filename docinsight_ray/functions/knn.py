@@ -635,6 +635,169 @@ def q_knn_cosine_ivf(sf_dir: str, n_centroids: int = 8, nprobe: int = 4) -> pa.T
     )
 
 
+KNN_FILTER_LABELS = (2, 5, 9)  # metadata predicate for filtered kNN
+
+
+def q_knn_cosine_filtered(sf_dir: str) -> pa.Table:
+    """Exact cosine top-10 restricted to ``label IN KNN_FILTER_LABELS``
+    — the filtered-kNN shape (ANN with a metadata predicate, e.g.
+    "nearest English docs only"). The predicate is pushed into the
+    parquet read (``read_parquet(filter=...)``) so excluded row groups
+    never leave storage; at 100 TB a label-partitioned layout makes
+    this a partition prune. Query vectors themselves are NOT required
+    to satisfy the predicate (seed-vector convention, as knn_cosine)."""
+    import pyarrow.dataset as pads
+
+    qmat = _query_matrix(sf_dir)
+    q_ref = ray.put(qmat)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        filter=pads.field("label").isin(list(KNN_FILTER_LABELS)),
+    )
+    return _merge_topk(
+        ds.map_batches(
+            CosineTopK,
+            fn_constructor_args=(q_ref, KNN_K),
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=2,
+        )
+    )
+
+
+class _DimRange:
+    """Per-batch partial per-dimension min/max — the tiny first pass of
+    scalar quantization (one 2×dim row per batch reaches the merge)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        return pa.table(
+            {
+                "mn": pa.array([X.min(axis=0)], type=pa.list_(pa.float64())),
+                "mx": pa.array([X.max(axis=0)], type=pa.list_(pa.float64())),
+            }
+        )
+
+
+def _sq8_train(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (min, max) over the embedding table, computed as a
+    distributed partial reduce: each batch emits one min/max vector
+    pair and the driver folds the ≤n_batches tiny rows."""
+    parts = (
+        ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+        .map_batches(_DimRange(), batch_format="pyarrow", batch_size=2048)
+        .to_pandas()
+    )
+    mn = np.min(np.stack(parts["mn"].to_numpy()), axis=0)
+    mx = np.max(np.stack(parts["mx"].to_numpy()), axis=0)
+    return mn, mx
+
+
+class Sq8CosineCandidates:
+    """SQ8 candidate generation: per batch, quantize embeddings to
+    uint8 with the broadcast per-dimension (min, scale), score the
+    DEQUANTIZED vectors against the query matrix, and emit each query's
+    top-``fetch_k`` — the storage model where only the u8 codes (4×
+    smaller, plus one scale vector) are resident at search time. Exact
+    float rescoring happens later on the candidate sliver only."""
+
+    def __init__(self, q_ref, range_ref, fetch_k: int):
+        self.qids, Q = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+        mn, mx = ray.get(range_ref) if isinstance(range_ref, ray.ObjectRef) else range_ref
+        self.mn = mn
+        self.scale = np.where(mx > mn, (mx - mn) / 255.0, 1.0)
+        self.Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        self.fetch_k = fetch_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        X = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        # quantize → u8 codes (what a real index stores), then search
+        # on the dequantized reconstruction
+        codes = np.clip(np.round((X - self.mn) / self.scale), 0, 255).astype(np.uint8)
+        Xq = self.mn + codes.astype(np.float64) * self.scale
+        n = np.linalg.norm(Xq, axis=1, keepdims=True)
+        n[n == 0.0] = 1.0
+        Xqn = Xq / n
+        cos = self.Qn @ Xqn.T
+        out_q, out_v, out_a = [], [], []
+        for qi, qid in enumerate(self.qids):
+            idx = np.flatnonzero(vids != qid)
+            take = idx[np.argsort(-cos[qi][idx], kind="stable")[: self.fetch_k]]
+            out_q.append(np.full(take.size, qid, dtype=np.int64))
+            out_v.append(vids[take].astype(np.int64))
+            out_a.append(cos[qi][take])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "acos": pa.array(np.concatenate(out_a), type=pa.float64()),
+            }
+        )
+
+
+def q_knn_cosine_sq8(sf_dir: str, fetch_k: int | None = None) -> pa.Table:
+    """Scalar-quantized (int8) approximate kNN with exact rescoring —
+    the memory-scale path: u8 codes are 4× smaller than float32
+    embeddings, so a 100 TB embedding corpus serves from 25 TB of
+    resident codes; candidates (fetch_k per query per batch) are then
+    rescored from the EXACT float embeddings, hydrated by a pushed-down
+    ``vec_id IN (...)`` parquet read of only the candidate sliver.
+
+    Rows-only gate (quantization error can drop a true neighbor from
+    the candidate set); pytest + RECALL.json record measured recall vs
+    q_knn_cosine."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq  # noqa: F401  (parity with module style)
+
+    fetch_k = fetch_k or (3 * KNN_K)
+    qids, Q = _query_matrix(sf_dir)
+    q_ref = ray.put((qids, Q))
+    range_ref = ray.put(_sq8_train(sf_dir))
+    cands = (
+        _read_embeddings(sf_dir)
+        .map_batches(
+            Sq8CosineCandidates,
+            fn_constructor_args=(q_ref, range_ref, fetch_k),
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=2,
+        )
+        .to_pandas()
+    )
+    # exact rescore: hydrate ONLY candidate vectors (predicate-pushdown
+    # read), then exact float64 cosine + the gate's (round6, vec_id) order
+    uniq = np.unique(cands["vec_id"].to_numpy()).tolist()
+    t = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id").isin(uniq),
+    ).to_pandas()
+    cvid = t["vec_id"].to_numpy().astype(np.int64)
+    CX = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    CXn = CX / np.linalg.norm(CX, axis=1, keepdims=True)
+    pos = {int(v): i for i, v in enumerate(cvid)}
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    out_q, out_r, out_v, out_c = [], [], [], []
+    for qi, qid in enumerate(qids):
+        vs = np.unique(cands.loc[cands.query_id == qid, "vec_id"].to_numpy()).astype(np.int64)
+        rows = np.array([pos[int(v)] for v in vs], dtype=np.int64)
+        cos6 = np.round(CXn[rows] @ Qn[qi], 6)
+        order = np.lexsort((vs, -cos6))[:KNN_K]
+        out_q += [int(qid)] * order.size
+        out_r += list(range(order.size))
+        out_v.append(vs[order])
+        out_c.append(cos6[order])
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+            "cos": pa.array(np.concatenate(out_c), type=pa.float64()),
+        }
+    )
+
+
 ORACLE_SQL = {
     "embedding_near_dup": f"""
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -665,10 +828,32 @@ ORACLE_SQL = {
         SELECT query_id, rank, vec_id, cos FROM r WHERE rank < {KNN_K}
     """,
     # knn_cosine_lsh: approximate → rows-only check
+    "knn_cosine_filtered": f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+        s AS (
+          SELECT q.qid AS query_id, e.vec_id,
+                 round(
+                   list_dot_product(q.qe::DOUBLE[], e.embedding::DOUBLE[])
+                   / sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))
+                   / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6) AS cos
+          FROM q, embeddings e
+          WHERE e.vec_id != q.qid AND e.label IN ({", ".join(str(x) for x in KNN_FILTER_LABELS)})
+        ),
+        r AS (
+          SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) - 1 AS rank
+          FROM s
+        )
+        SELECT query_id, rank, vec_id, cos FROM r WHERE rank < {KNN_K}
+    """,
+    # knn_cosine_sq8: approximate candidates → rows-only check (recall
+    # measured in RECALL.json and floored in pytest)
 }
 
 QUERIES = {
     "knn_cosine": q_knn_cosine,
+    "knn_cosine_filtered": q_knn_cosine_filtered,
+    "knn_cosine_sq8": q_knn_cosine_sq8,
     "knn_cosine_lsh": q_knn_cosine_lsh,
     "knn_cosine_ivf": q_knn_cosine_ivf,
     "embedding_near_dup": q_embedding_near_dup,

@@ -40,13 +40,18 @@ def main() -> int:
         q_knn_cosine,
         q_knn_cosine_ivf,
         q_knn_cosine_lsh,
+        q_knn_cosine_sq8,
     )
 
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out: dict = {"sf_dir": sf}
 
     exact = q_knn_cosine(sf).to_pandas()
-    for name, fn in [("knn_cosine_lsh", q_knn_cosine_lsh), ("knn_cosine_ivf", q_knn_cosine_ivf)]:
+    for name, fn in [
+        ("knn_cosine_lsh", q_knn_cosine_lsh),
+        ("knn_cosine_ivf", q_knn_cosine_ivf),
+        ("knn_cosine_sq8", q_knn_cosine_sq8),
+    ]:
         approx = fn(sf).to_pandas()
         recalls = []
         for qid, e in exact.groupby("query_id"):
@@ -60,6 +65,12 @@ def main() -> int:
             "recall": round(sum(recalls) / len(recalls), 4),
             "per_query": [round(r, 4) for r in recalls],
         }
+        if name == "knn_cosine_sq8":
+            out[name]["note"] = (
+                "uint8 scalar quantization selects candidates (3k per "
+                "query per batch); survivors are rescored with exact "
+                "float64 cosine, so overlap scores equal brute force"
+            )
         if name == "knn_cosine_ivf":
             # context for the number: the synthetic embeddings are
             # isotropic (no cluster structure), the IVF worst case —

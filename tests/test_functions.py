@@ -83,6 +83,60 @@ def test_knn_lsh_recall():
     assert np.mean(recalls) >= 0.5, f"LSH recall too low: {recalls}"
 
 
+def test_knn_filtered_predicate_and_subset():
+    """Filtered kNN returns only allowed-label vectors, and every
+    result is the true nearest among that subset (spot-checked against
+    a driver brute force on the small fixture)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from docinsight_ray.functions.knn import (
+        KNN_FILTER_LABELS,
+        KNN_K,
+        N_QUERIES,
+        q_knn_cosine_filtered,
+    )
+
+    res = q_knn_cosine_filtered(SF).to_pandas()
+    t = pq.read_table(os.path.join(SF, "embeddings.parquet")).to_pandas()
+    labels = dict(zip(t["vec_id"].astype(int), t["label"].astype(int)))
+    assert set(labels[int(v)] for v in res["vec_id"]) <= set(KNN_FILTER_LABELS)
+    # brute-force check for query 0
+    import numpy as np
+
+    X = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    vid = t["vec_id"].to_numpy().astype(np.int64)
+    q0 = Xn[vid == 0][0]
+    ok = np.isin(t["label"].to_numpy(), KNN_FILTER_LABELS) & (vid != 0)
+    cos6 = np.round(Xn[ok] @ q0, 6)
+    vs = vid[ok]
+    order = np.lexsort((vs, -cos6))[:KNN_K]
+    got = res[res.query_id == 0]
+    assert list(got["vec_id"]) == list(vs[order])
+    assert np.allclose(got["cos"].to_numpy(), cos6[order])
+    assert res.groupby("query_id").size().eq(KNN_K).all() and res["query_id"].nunique() == N_QUERIES
+
+
+def test_knn_sq8_recall():
+    """SQ8 + exact rescore: high recall vs brute force (quantization
+    only affects CANDIDATE selection; scores of survivors are exact)."""
+    from docinsight_ray.functions.knn import q_knn_cosine, q_knn_cosine_sq8
+
+    exact = q_knn_cosine(SF).to_pandas()
+    approx = q_knn_cosine_sq8(SF).to_pandas()
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = exact[exact.query_id == qid].set_index("vec_id")["cos"]
+        a = approx[approx.query_id == qid].set_index("vec_id")["cos"]
+        hit = e.index.intersection(a.index)
+        recalls.append(len(hit) / len(e))
+        # rescored scores are EXACT — equal to brute force on the overlap
+        assert np.allclose(e.loc[hit].to_numpy(), a.loc[hit].to_numpy())
+    assert np.mean(recalls) >= 0.8, f"SQ8 recall too low: {recalls}"
+
+
 def test_embedding_near_dup_no_full_broadcast_and_lsh_recall():
     """The exact near-dup pipeline (tile-pair decomposition) matches a
     driver-computed brute force, and the LSH-bucketed + exact-verify
