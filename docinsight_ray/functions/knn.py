@@ -135,6 +135,103 @@ def q_knn_cosine(sf_dir: str) -> pa.Table:
     )
 
 
+MMR_LAMBDA = 0.7
+MMR_W = 30  # exact-relevance candidate window fed to the greedy selector
+
+
+def q_knn_mmr(sf_dir: str) -> pa.Table:
+    """Diversified top-k — Maximal Marginal Relevance (Carbonell &
+    Goldstein 1998): ``mmr(d) = λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s)``
+    greedily over an exact cosine top-``MMR_W`` candidate window.
+
+    Scale shape: candidate generation is the distributed brute-force
+    stage (partial top-W per batch, per-query shuffle merge — swap in
+    the LSH/IVF generators at sizes where brute force stops paying);
+    the inherently-sequential greedy loop then runs on a driver-held
+    sliver of W rows per query whose embeddings hydrate via a
+    ``vec_id IN (...)`` pushdown read. Rows-only gate (greedy
+    selection is not SQL-expressible); pytest proves equality with an
+    independent reference implementation."""
+    import pyarrow.dataset as pads
+
+    qids, Q = _query_matrix(sf_dir)
+    q_ref = ray.put((qids, Q))
+
+    def head_w(g: pa.Table) -> pa.Table:
+        cos6 = np.round(g["cos"].to_numpy(zero_copy_only=False), 6)
+        vids = g["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vids, -cos6))[:MMR_W]
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    np.full(order.size, g["query_id"][0].as_py(), dtype=np.int64),
+                    type=pa.int64(),
+                ),
+                "vec_id": pa.array(vids[order].astype(np.int64), type=pa.int64()),
+                "cos": pa.array(cos6[order], type=pa.float64()),
+            }
+        )
+
+    head_w.__name__ = "head_w"
+    cands = (
+        _read_embeddings(sf_dir)
+        .map_batches(
+            CosineTopK,
+            fn_constructor_args=(q_ref, MMR_W),
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=2,
+        )
+        .groupby("query_id")
+        .map_groups(head_w, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+    need = sorted(set(cands["vec_id"].astype(int)))
+    t = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id").isin(need),
+    ).to_pandas()
+    vid = t["vec_id"].to_numpy().astype(np.int64)
+    X = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    pos = {int(v): i for i, v in enumerate(vid)}
+
+    out_q, out_r, out_v, out_m, out_c = [], [], [], [], []
+    for qid in (int(q) for q in qids):
+        g = cands[cands.query_id == qid]
+        cv = g["vec_id"].to_numpy().astype(np.int64)
+        rel = g["cos"].to_numpy().astype(np.float64)  # already round-6
+        E = Xn[np.array([pos[int(v)] for v in cv], dtype=np.int64)]
+        sim = E @ E.T  # (W, W) pairwise candidate similarity
+        sel: list[int] = []
+        max_sim = np.zeros(cv.size, dtype=np.float64)
+        picked = np.zeros(cv.size, dtype=bool)
+        for r in range(min(KNN_K, cv.size)):
+            mmr6 = np.round(MMR_LAMBDA * rel - (1.0 - MMR_LAMBDA) * max_sim, 6)
+            mmr6[picked] = -np.inf
+            order = np.lexsort((cv, -mmr6))
+            i = int(order[0])
+            picked[i] = True
+            sel.append(i)
+            out_q.append(qid)
+            out_r.append(r)
+            out_v.append(int(cv[i]))
+            out_m.append(float(mmr6[i]))
+            out_c.append(float(rel[i]))
+            max_sim = np.maximum(max_sim, sim[:, i])
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int64()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+            "mmr": pa.array(out_m, type=pa.float64()),
+            "cos": pa.array(out_c, type=pa.float64()),
+        }
+    )
+
+
 class LshBucketCosine:
     """Approximate variant: multi-table random-hyperplane LSH.
     ``n_tables`` independent sign-hash tables of ``n_bits`` planes;
@@ -852,6 +949,7 @@ ORACLE_SQL = {
 
 QUERIES = {
     "knn_cosine": q_knn_cosine,
+    "knn_mmr": q_knn_mmr,
     "knn_cosine_filtered": q_knn_cosine_filtered,
     "knn_cosine_sq8": q_knn_cosine_sq8,
     "knn_cosine_lsh": q_knn_cosine_lsh,

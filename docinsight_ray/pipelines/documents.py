@@ -561,6 +561,90 @@ def q_hybrid_rrf(sf_dir: str) -> pa.Table:
     )
 
 
+RERANK_W = 50  # lexical candidate window handed to the semantic reranker
+
+
+def q_bm25_rerank(sf_dir: str) -> pa.Table:
+    """Two-stage retrieve-then-rerank — the reference's core serving
+    shape (lexical candidate generation → semantic re-scoring; see
+    /root/reference/scoring.py SBERT rerank over candidate sets),
+    re-expressed as BM25 candidates re-scored by stored-embedding
+    cosine:
+
+    1. BM25 serves the full candidate ranking through the actor-pool
+       scorer; the top-``RERANK_W`` per query (round-6 protocol)
+       become the rerank window.
+    2. The window is re-scored by cosine(candidate embedding, QUERY
+       embedding) (seed-vector convention: the query's embedding is
+       the one stored under vec_id == query_id; vec_id == doc_id in
+       the testdata). Both sides hydrate via a ``vec_id IN (...)``
+       predicate-pushdown parquet read of ONLY the candidate ∪ seed
+       sliver — the full embedding table is never scanned.
+    3. Final rank = (round(cos,6) DESC, doc_id ASC), top-``TOPK``.
+
+    Scale shape: stage 1 is the plain serving path; stage 2 touches
+    |queries| × W embedding rows through pushdown (at 100 TB: a
+    bucket-pruned read keyed by vec_id) and computes one tiny matmul
+    per query on the driver-held sliver. No shuffle, no full scan."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    idx = ensure_index(sf_dir)
+    n_docs = BM25Scorer(idx, SQL_PARITY_CONFIG).n_docs
+    qids_l = [q for q, _ in DOC_QUERIES]
+    qtbl = pa.table(
+        {
+            "query_id": pa.array(qids_l, type=pa.int64()),
+            "text": pa.array([t for _, t in DOC_QUERIES], type=pa.string()),
+            "k": pa.array([n_docs] * len(qids_l), type=pa.uint32()),
+        }
+    )
+    res = query_index(
+        ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG, mode="maxscore", concurrency=2
+    ).to_pandas()
+
+    windows: dict[int, np.ndarray] = {}
+    need: set[int] = set(qids_l)
+    for qid in qids_l:
+        d, r = _rank_full(res[res.query_id == qid])
+        w = d[r < RERANK_W].astype(np.int64)
+        windows[qid] = w
+        need.update(int(x) for x in w)
+
+    # hydrate ONLY the candidate ∪ seed sliver (predicate pushdown)
+    t = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id").isin(sorted(need)),
+    ).to_pandas()
+    vid = t["vec_id"].to_numpy().astype(np.int64)
+    X = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    pos = {int(v): i for i, v in enumerate(vid)}
+
+    out_q, out_r, out_d, out_c = [], [], [], []
+    for qid in qids_l:
+        if qid not in pos:
+            continue
+        # inner-join semantics: candidates without a stored embedding drop
+        cand = np.array([d for d in windows[qid] if int(d) in pos], dtype=np.int64)
+        rows = np.array([pos[int(d)] for d in cand], dtype=np.int64)
+        cos6 = np.round(Xn[rows] @ Xn[pos[qid]], 6)
+        order = np.lexsort((cand, -cos6))[:TOPK]
+        out_q += [qid] * order.size
+        out_r += list(range(order.size))
+        out_d.append(cand[order])
+        out_c.append(cos6[order])
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_d), type=pa.int64()),
+            "cos": pa.array(np.concatenate(out_c), type=pa.float64()),
+        }
+    )
+
+
 FACET_PARTITIONS = 8
 
 
@@ -2578,6 +2662,28 @@ hranked AS (
 SELECT query_id, rank, doc_id, rrf FROM hranked WHERE rank < {TOPK}
 """
 
+# bm25_rerank: BM25 top-W lexical window re-scored by cosine between
+# the candidate's stored embedding and the query's stored embedding
+# (vec_id == query_id), inner-join semantics, round-6 re-rank
+ORACLE_SQL["bm25_rerank"] = BM25_CTE + f"""
+, win AS (SELECT query_id, doc_id FROM ranked WHERE rank < {RERANK_W}),
+rcos AS (
+  SELECT w.query_id, w.doc_id,
+         round(list_dot_product(qe.embedding::DOUBLE[], de.embedding::DOUBLE[])
+               / sqrt(list_dot_product(qe.embedding::DOUBLE[], qe.embedding::DOUBLE[]))
+               / sqrt(list_dot_product(de.embedding::DOUBLE[], de.embedding::DOUBLE[])), 6) AS cos
+  FROM win w
+  JOIN embeddings qe ON qe.vec_id = w.query_id
+  JOIN embeddings de ON de.vec_id = w.doc_id
+),
+rrank AS (
+  SELECT query_id, doc_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) - 1 AS rank
+  FROM rcos
+)
+SELECT query_id, rank, doc_id, cos FROM rrank WHERE rank < {TOPK}
+"""
+
 ORACLE_SQL["bm25_conjunctive"] = _bm25_cte(_BM25_VALUES) + f"""
 , qn AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY query_id)
 , matched AS (
@@ -3223,6 +3329,7 @@ QUERIES = {
     "lmdir_topk": q_lmdir_topk,
     "rrf_topk": q_rrf_topk,
     "hybrid_rrf": q_hybrid_rrf,
+    "bm25_rerank": q_bm25_rerank,
     "bm25_rm3": q_bm25_rm3,
     "bm25_facets": q_bm25_facets,
     "bm25_hydrated": q_bm25_hydrated,

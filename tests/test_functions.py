@@ -1144,3 +1144,51 @@ def test_bm25_decay_parity_clamp_and_reorder():
     assert (merged["doc_id_dec"] != merged["doc_id_plain"]).any(), (
         "decay must reorder some top-k on this corpus"
     )
+
+
+def test_knn_mmr_matches_reference_greedy():
+    """MMR equals an independent greedy reference (raw parquet, no
+    shared code), its first pick is the relevance top-1, and every
+    later pick maximizes the round-6 MMR objective at its step."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from docinsight_ray.functions.knn import (
+        KNN_K,
+        MMR_LAMBDA,
+        MMR_W,
+        N_QUERIES,
+        q_knn_mmr,
+    )
+
+    res = q_knn_mmr(SF).to_pandas()
+    t = pq.read_table(os.path.join(SF, "embeddings.parquet")).to_pandas()
+    vid = t["vec_id"].to_numpy().astype(np.int64)
+    X = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for qid in range(N_QUERIES):
+        qv = Xn[vid == qid][0]
+        cos6 = np.round(Xn @ qv, 6)
+        mask = vid != qid
+        order = np.lexsort((vid[mask], -cos6[mask]))[:MMR_W]
+        cv, rel = vid[mask][order], cos6[mask][order]
+        pos = {int(v): i for i, v in enumerate(vid)}
+        E = Xn[np.array([pos[int(v)] for v in cv])]
+        sim = E @ E.T
+        picked = np.zeros(cv.size, dtype=bool)
+        max_sim = np.zeros(cv.size)
+        want = []
+        for _ in range(KNN_K):
+            mmr6 = np.round(MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * max_sim, 6)
+            mmr6[picked] = -np.inf
+            i = int(np.lexsort((cv, -mmr6))[0])
+            picked[i] = True
+            want.append((int(cv[i]), float(mmr6[i])))
+            max_sim = np.maximum(max_sim, sim[:, i])
+        got = res[res.query_id == qid].sort_values("rank")
+        assert list(got["vec_id"]) == [w[0] for w in want], f"q{qid} selection differs"
+        assert np.allclose(got["mmr"].to_numpy(), [w[1] for w in want])
+        # rank-0 is the plain relevance top-1
+        assert int(got.iloc[0]["vec_id"]) == int(cv[0])
