@@ -55,12 +55,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docinsight_ray.functions.semistruct import QUERIES as SEMI_Q
     from docinsight_ray.functions.sketches import QUERIES as SKETCH_Q
     from docinsight_ray.pipelines.prepare import QUERIES as PREP_Q
+    from docinsight_ray.functions.bpe import QUERIES as BPE_Q
 
     from docinsight_ray.pipelines.conformance import q_reference_topk
 
     out: dict[str, Callable[[str], Any]] = {}
     for d in (DOC_Q, TEXT_Q, DEDUP_Q, KNN_Q, WIN_Q, MM_Q, CHUNK_Q, REL_Q, CORPUS_Q, SEMI_Q,
-              SKETCH_Q, PREP_Q):
+              SKETCH_Q, PREP_Q, BPE_Q):
         out.update(d)
     # the reference query set on the REAL reference corpus (ignores
     # sf_dir; no SQL oracle — rank-identity + plagiarism conformance
