@@ -1,0 +1,113 @@
+"""NB quality classifier + DSIR importance-resampling tests (sf0.001)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def _docs() -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+def test_nb_classify_oracle_exact():
+    """Bitwise equality with the DuckDB oracle (the gate contract)."""
+    import duckdb
+
+    from docinsight_ray.functions.classify import ORACLE_SQL, q_nb_classify
+
+    mine = (
+        q_nb_classify(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = (
+        con.sql(ORACLE_SQL["nb_classify"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[mine.columns]
+    )
+    pd.testing.assert_frame_equal(mine, want, check_dtype=False)
+
+
+def test_nb_classify_separates_seed_sources():
+    """The classifier must score its own positive class higher on
+    average — the smoke property a quality classifier exists for."""
+    from docinsight_ray.functions.classify import NB_SEED_SOURCES, q_nb_classify
+
+    scores = q_nb_classify(SF).to_pandas()
+    docs = _docs()[["doc_id", "source"]]
+    m = scores.merge(docs, on="doc_id")
+    pos = m[m["source"].isin(NB_SEED_SOURCES)]["logodds_micro"]
+    neg = m[~m["source"].isin(NB_SEED_SOURCES)]["logodds_micro"]
+    assert len(pos) > 0 and len(neg) > 0
+    assert pos.mean() > neg.mean()
+
+
+def test_dsir_oracle_exact():
+    import duckdb
+
+    from docinsight_ray.functions.classify import ORACLE_SQL, q_dsir_weights
+
+    mine = (
+        q_dsir_weights(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = (
+        con.sql(ORACLE_SQL["dsir_weights"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[mine.columns]
+    )
+    pd.testing.assert_frame_equal(mine, want, check_dtype=False)
+
+
+def test_dsir_keep_set_semantics():
+    """kept = exactly ceil(frac·n_scored) docs, and every kept doc's
+    per-token rate is >= every dropped (token-bearing) doc's rate
+    (modulo the doc_id tie-break at the boundary)."""
+    from docinsight_ray.functions.classify import DSIR_KEEP_FRAC, q_dsir_weights
+
+    t = q_dsir_weights(SF).to_pandas()
+    scored = t[t["n_tokens"] > 0].copy()
+    assert int(t["kept"].sum()) == math.ceil(DSIR_KEEP_FRAC * len(scored))
+    assert t.loc[t["n_tokens"] == 0, "kept"].eq(0).all()
+    scored["rate"] = scored["dsir_micro"] / scored["n_tokens"]
+    kept_min = scored.loc[scored["kept"] == 1, "rate"].min()
+    drop_max = scored.loc[scored["kept"] == 0, "rate"].max()
+    assert kept_min >= drop_max or np.isclose(kept_min, drop_max)
+
+
+def test_dsir_bucket_matches_sql_hash():
+    """The Python sha256-prefix bucket must equal DuckDB's expression
+    term-for-term — the cross-engine contract the oracle rides on."""
+    import duckdb
+
+    from docinsight_ray.functions.classify import DSIR_BUCKETS, _dsir_bucket
+
+    terms = ["the", "data", "stream", "zz9", "a0", "hash"]
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT t, (('0x' || substr(sha256(t), 1, 8))::UBIGINT % "
+        f"{DSIR_BUCKETS})::BIGINT FROM (SELECT unnest(?) AS t)",
+        params=[terms],
+    ).fetchall()
+    for term, bk in rows:
+        assert _dsir_bucket(term) == bk
