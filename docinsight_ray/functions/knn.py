@@ -895,6 +895,104 @@ def q_knn_cosine_sq8(sf_dir: str, fetch_k: int | None = None) -> pa.Table:
     )
 
 
+# ---- SemDeDup: cluster-then-dedup semantic deduplication -------------------
+
+SEM_MAX_CLUSTER = 4096  # per-cluster pairwise cap (MAX_BUCKET discipline)
+
+
+class _SemDedupCluster:
+    """map_groups worker for one k-means cluster: greedy keep-first
+    (vec_id asc) cosine dedup — SemDeDup (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication") with this repo's exact-near-dup keeper convention
+    (lowest vec_id survives its duplicate group). Clusters above
+    ``SEM_MAX_CLUSTER`` degrade predictably: every member is kept and
+    a WARNING fires (the stop-bucket discipline of
+    ``_bucket_candidates`` / dedup.py's MAX_GROUP) — at true scale
+    such a cluster gets the tile-pair decomposition of
+    ``q_embedding_near_dup`` instead of silent loss."""
+
+    def __init__(self, eps: float):
+        self.eps = float(eps)
+        self.__name__ = "_SemDedupCluster"  # map_groups reads __name__
+
+    def __call__(self, g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        n = len(g)
+        kept = np.ones(n, dtype=bool)
+        if n > SEM_MAX_CLUSTER:
+            import warnings
+
+            warnings.warn(
+                f"semdedup: cluster of {n} vectors exceeds "
+                f"SEM_MAX_CLUSTER={SEM_MAX_CLUSTER}; keeping all members "
+                f"(near-dups inside it are NOT removed) — raise the cap or "
+                f"route the cluster through the tile-pair exact path",
+                stacklevel=2,
+            )
+        elif n > 1:
+            X = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            S = Xn @ Xn.T
+            # greedy scan in vec_id order: drop i iff an already-kept
+            # earlier member is within eps (sequential by construction;
+            # the inner comparison is a vectorized row slice)
+            for i in range(1, n):
+                prior = kept[:i]
+                if prior.any() and (S[i, :i][prior] >= self.eps).any():
+                    kept[i] = False
+        return pd.DataFrame(
+            {
+                "vec_id": g["vec_id"].astype("int64"),
+                "cluster": g["cluster"].astype("int64"),
+                "kept": kept.astype(np.int64),
+            }
+        )
+
+
+def q_semdedup(
+    sf_dir: str, n_clusters: int = 8, eps: float = COS_DUP_T
+) -> pa.Table:
+    """SemDeDup semantic deduplication: seeded k-means clusters over
+    the embedding column (``train_centroids`` — bounded sample, never
+    a full driver read), nearest-centroid assignment as a shuffle-free
+    broadcast scan, then ONE groupby(cluster) shuffle with exact
+    greedy cosine dedup inside each bounded cluster. Sub-quadratic by
+    construction: pairwise work is Σ c_i² over cluster sizes, not N².
+
+    Rows-only gate (iterative k-means is not SQL-expressible); pytest
+    proves n_clusters=1 equals a brute-force greedy reference, the
+    kept/dropped partition, and determinism. Cross-cluster near-dups
+    are the approximation loss, exactly as in the paper — measured in
+    RECALL.json against the exact near-dup pair set."""
+    C = train_centroids(sf_dir, n_centroids=n_clusters)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    c_ref = ray.put(Cn)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cn = ray.get(c_ref)
+        X = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        return batch.append_column(
+            "cluster", pa.array(np.argmax(Xn @ cn.T, axis=1), type=pa.int64())
+        )
+
+    out = (
+        _read_embeddings(sf_dir)
+        .map_batches(assign, batch_format="pyarrow", batch_size=1024)
+        .groupby("cluster")
+        .map_groups(_SemDedupCluster(eps), batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("vec_id").reset_index(drop=True), preserve_index=False
+    )
+
+
 ORACLE_SQL = {
     "embedding_near_dup": f"""
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -956,4 +1054,5 @@ QUERIES = {
     "knn_cosine_ivf": q_knn_cosine_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "semdedup": q_semdedup,
 }

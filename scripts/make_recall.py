@@ -94,6 +94,31 @@ def main() -> int:
         "precision": round(len(tset & aset) / len(aset), 4) if aset else None,
     }
 
+    # semdedup: fraction of exact near-dup pairs RESOLVED (at least one
+    # member dropped) — the paper's deduplication effectiveness; the
+    # loss mode is a dup pair split across k-means clusters.
+    from docinsight_ray.functions.knn import q_semdedup
+
+    sd = q_semdedup(sf).to_pandas()
+    kept = dict(zip(sd.vec_id.astype(int), sd.kept.astype(int)))
+    resolved = sum(1 for a, b in tset if kept[a] == 0 or kept[b] == 0)
+    out["semdedup"] = {
+        "metric": "exact near-dup pairs resolved (one member dropped)",
+        "true_pairs": len(tset),
+        "resolved_pairs": resolved,
+        "resolved_frac": round(resolved / len(tset), 4) if tset else None,
+        "n_dropped": int((sd.kept == 0).sum()),
+        "n_vectors": len(sd),
+        "note": (
+            "isotropic test embeddings + the low COS_DUP_T=0.4 threshold "
+            "are SemDeDup's worst case: moderate-similarity pairs often "
+            "straddle k-means cluster boundaries; at the paper's "
+            "eps≈0.95 regime near-identical vectors co-cluster and the "
+            "resolved fraction approaches 1 (n_clusters=1 equals exact "
+            "greedy dedup — proven in tests/test_classify.py)"
+        ),
+    }
+
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "RECALL.json")
     with open(path, "w") as f:

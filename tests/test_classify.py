@@ -111,3 +111,78 @@ def test_dsir_bucket_matches_sql_hash():
     ).fetchall()
     for term, bk in rows:
         assert _dsir_bucket(term) == bk
+
+
+# ---- SemDeDup ---------------------------------------------------------------
+
+
+def _greedy_reference(eps: float) -> dict[int, int]:
+    """Brute-force greedy keep-first dedup over ALL vectors (the
+    n_clusters=1 ground truth)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas().sort_values("vec_id")
+    X = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    ids = t["vec_id"].to_numpy()
+    kept_idx: list[int] = []
+    out = {}
+    for i in range(len(ids)):
+        dup = bool(kept_idx) and float(np.max(Xn[kept_idx] @ Xn[i])) >= eps
+        out[int(ids[i])] = 0 if dup else 1
+        if not dup:
+            kept_idx.append(i)
+    return out
+
+
+def test_semdedup_single_cluster_equals_reference():
+    from docinsight_ray.functions.knn import COS_DUP_T, q_semdedup
+
+    got = q_semdedup(SF, n_clusters=1).to_pandas()
+    want = _greedy_reference(COS_DUP_T)
+    assert (got["cluster"] == 0).all()
+    assert {int(v): int(k) for v, k in zip(got["vec_id"], got["kept"])} == want
+
+
+def test_semdedup_partition_and_determinism():
+    import pyarrow.parquet as pq
+
+    from docinsight_ray.functions.knn import q_semdedup
+
+    a = q_semdedup(SF).to_pandas()
+    b = q_semdedup(SF).to_pandas()
+    assert a.values.tolist() == b.values.tolist()
+    all_ids = set(pq.read_table(f"{SF}/embeddings.parquet")["vec_id"].to_pylist())
+    assert set(a["vec_id"]) == all_ids and a["vec_id"].is_unique
+    assert set(a["kept"].unique()) <= {0, 1}
+    # every dropped vector has a kept near-dup (>= eps) SOMEWHERE —
+    # weaker than in-cluster truth but cluster-assignment independent
+    from docinsight_ray.functions.knn import COS_DUP_T
+
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    X = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    pos = {int(v): i for i, v in enumerate(t["vec_id"])}
+    kept_rows = [pos[int(v)] for v in a.loc[a["kept"] == 1, "vec_id"]]
+    for v in a.loc[a["kept"] == 0, "vec_id"]:
+        assert float(np.max(Xn[kept_rows] @ Xn[pos[int(v)]])) >= COS_DUP_T
+
+
+def test_semdedup_oversize_cluster_warns_and_keeps():
+    import pandas as pd
+
+    from docinsight_ray.functions.knn import SEM_MAX_CLUSTER, _SemDedupCluster
+    import pytest as _pytest
+
+    n = SEM_MAX_CLUSTER + 1
+    rng = np.random.default_rng(0)
+    g = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "cluster": np.zeros(n, dtype=np.int64),
+            "embedding": list(rng.normal(size=(n, 4))),
+        }
+    )
+    with _pytest.warns(UserWarning, match="SEM_MAX_CLUSTER"):
+        out = _SemDedupCluster(0.4)(g)
+    assert out["kept"].eq(1).all()
