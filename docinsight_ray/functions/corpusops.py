@@ -1143,6 +1143,159 @@ ORACLE_SQL["unigram_surprisal"] = f"""
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
+# ---- duplicated-substring coverage (exact substring dedup) ----------------
+
+DUP_K = 5  # token window: a K-gram shared by >=2 docs marks its span
+DUP_NBUCKETS = 64  # gram-hash buckets bounding shuffle group count
+
+
+def _merge_cover(pos: np.ndarray, k: int) -> tuple[int, int]:
+    """Union length + maximal-run count of intervals [p, p+k) over
+    sorted unique start positions — vectorized interval merge."""
+    if pos.size == 0:
+        return 0, 0
+    s = np.sort(pos)
+    e = s + k
+    run_end = np.maximum.accumulate(e)
+    new_span = np.concatenate(([True], s[1:] > run_end[:-1]))
+    starts = s[new_span]
+    # each merged span ends at the running max just before the next span
+    ends = np.concatenate((run_end[:-1][new_span[1:]], [int(run_end[-1])]))
+    return int((ends - starts).sum()), int(new_span.sum())
+
+
+def q_dup_spans(sf_dir: str) -> pa.Table:
+    """Exact duplicated-substring coverage per document — the
+    computation behind substring-level training-data dedup (Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): every ``DUP_K``-token window shared by ≥2 DISTINCT
+    documents marks its token span; a doc's output is the UNION
+    coverage of all marked spans (``n_dup_positions``) and the number
+    of maximal spans (``n_spans``) — the spans a removal pass would
+    cut. Full SQL oracle.
+
+    Scale shape (vs a true suffix array): (1) explode (gram, doc_id,
+    pos) with grams HASH-BUCKETED so the wide shuffle has ≤
+    ``DUP_NBUCKETS`` groups, each reduced by a vectorized in-bucket
+    pandas pass (the dedup.py bucketed-shingle discipline); (2) the
+    surviving (doc_id, pos) rows — proportional to actual duplication,
+    not corpus size — shuffle once by doc-bucket for the per-doc
+    interval union; (3) n_tokens rides a stateless scan, merged on the
+    bounded per-doc table. Raw gram strings shuffle here for oracle
+    exactness; at 100 TB the gram key is a 64-bit hash (collisions
+    only over-mark, as in the paper) and step 2's output is the only
+    data-sized exchange.
+    """
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(_TOK2_RE)
+        d_ids, grams, poss = [], [], []
+        for did, ts in zip(batch["doc_id"].astype("int64"), toks):
+            n = len(ts) - DUP_K + 1
+            if n <= 0:
+                continue
+            d_ids.extend([did] * n)
+            grams.extend(" ".join(ts[i : i + DUP_K]) for i in range(n))
+            poss.extend(range(n))
+        g = pd.DataFrame(
+            {
+                "doc_id": np.array(d_ids, dtype=np.int64),
+                "gram": grams,
+                "pos": np.array(poss, dtype=np.int64),
+            }
+        )
+        g["bucket"] = pd.util.hash_pandas_object(g["gram"], index=False).to_numpy() % DUP_NBUCKETS
+        return g
+
+    def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
+        # grams present in >= 2 distinct docs, vectorized in-bucket
+        nd = g.drop_duplicates(["gram", "doc_id"]).groupby("gram").size()
+        dup = set(nd[nd >= 2].index)
+        hit = g[g["gram"].isin(dup)]
+        return hit[["doc_id", "pos"]].reset_index(drop=True)
+
+    def cover(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, sub in g.groupby("doc_id"):
+            n_cov, n_spans = _merge_cover(sub["pos"].to_numpy(np.int64), DUP_K)
+            rows.append((int(did), n_cov, n_spans))
+        return pd.DataFrame(
+            rows, columns=["doc_id", "n_dup_positions", "n_spans"]
+        ).astype("int64")
+
+    dup_positions.__name__ = "dup_positions"
+    cover.__name__ = "cover"
+
+    exploded = _read(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pandas"
+    )
+    hits = exploded.groupby("bucket").map_groups(
+        dup_positions, batch_format="pandas"
+    )
+    hits = hits.add_column(
+        "dbucket", lambda b: b["doc_id"] % DUP_NBUCKETS, batch_format="pandas"
+    )
+    cov_empty = pa.schema(
+        [("doc_id", pa.int64()), ("n_dup_positions", pa.int64()), ("n_spans", pa.int64())]
+    )
+    cov = collect_table(
+        hits.groupby("dbucket").map_groups(cover, batch_format="pandas"), cov_empty
+    ).to_pandas()
+
+    def ntok(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "n_tokens": batch["text"]
+                .str.lower()
+                .str.findall(_TOK2_RE)
+                .str.len()
+                .astype("int64"),
+            }
+        )
+
+    nt_empty = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64())])
+    nt = collect_table(
+        _read(sf_dir, ["doc_id", "text"]).map_batches(ntok, batch_format="pandas"),
+        nt_empty,
+    ).to_pandas()
+    out = nt.merge(cov, on="doc_id", how="left").fillna(0).astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+_DUP_CONCAT = " || ' ' || ".join(f"toks[i + {j}]" for j in range(DUP_K))
+
+ORACLE_SQL["dup_spans"] = f"""
+WITH d AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+g AS (
+  SELECT doc_id, i.i - 1 AS pos, {_DUP_CONCAT} AS gram
+  FROM d, unnest(generate_series(1, greatest(len(toks) - {DUP_K - 1}, 0))) AS i(i)
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT o.doc_id, p.p AS cpos
+  FROM g o JOIN dup USING (gram),
+       unnest(generate_series(o.pos, o.pos + {DUP_K - 1})) AS p(p)
+),
+runs AS (
+  SELECT doc_id, cpos,
+         lag(cpos) OVER (PARTITION BY doc_id ORDER BY cpos) AS prev
+  FROM cov
+),
+spans AS (
+  SELECT doc_id, count(*)::BIGINT AS n_spans
+  FROM runs WHERE prev IS NULL OR cpos > prev + 1 GROUP BY doc_id
+),
+ncov AS (SELECT doc_id, count(*)::BIGINT AS n_dup_positions FROM cov GROUP BY doc_id),
+nt AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM d)
+SELECT nt.doc_id, nt.n_tokens,
+       coalesce(ncov.n_dup_positions, 0)::BIGINT AS n_dup_positions,
+       coalesce(spans.n_spans, 0)::BIGINT AS n_spans
+FROM nt LEFT JOIN ncov USING (doc_id) LEFT JOIN spans USING (doc_id)
+"""
+
 ORACLE_SQL["mixture_sample"] = f"""
 WITH c AS (SELECT lang, count(*)::DOUBLE AS c FROM documents GROUP BY lang),
 m AS (SELECT min(c) AS cmin FROM c),
@@ -1169,4 +1322,5 @@ QUERIES = {
     "hot_ngram_coverage": q_hot_ngram_coverage,
     "mixture_sample": q_mixture_sample,
     "unigram_surprisal": q_unigram_surprisal,
+    "dup_spans": q_dup_spans,
 }

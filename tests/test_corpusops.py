@@ -232,3 +232,39 @@ def test_unigram_surprisal_semantics(ray_session):
     # rarer vocab term → strictly higher per-token cost
     costs_by_tf = sorted(((c, cmap[t]) for t, c in top), key=lambda x: x[0])
     assert all(a[1] >= b[1] for a, b in zip(costs_by_tf, costs_by_tf[1:]))
+
+
+def test_merge_cover_interval_union():
+    import numpy as np
+
+    from docinsight_ray.functions.corpusops import _merge_cover
+
+    # empty / single / overlapping / touching / disjoint
+    assert _merge_cover(np.array([], dtype=np.int64), 5) == (0, 0)
+    assert _merge_cover(np.array([3]), 5) == (5, 1)
+    assert _merge_cover(np.array([0, 2]), 5) == (7, 1)       # overlap
+    assert _merge_cover(np.array([0, 5]), 5) == (10, 1)      # touching
+    assert _merge_cover(np.array([0, 10]), 5) == (10, 2)     # disjoint
+    assert _merge_cover(np.array([0, 2, 10, 11, 30]), 5) == (7 + 6 + 5, 3)
+
+
+def test_dup_spans_oracle_exact():
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.functions.corpusops import ORACLE_SQL, q_dup_spans
+
+    mine = q_dup_spans(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = (
+        con.sql(ORACLE_SQL["dup_spans"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[mine.columns]
+    )
+    pd.testing.assert_frame_equal(mine, want, check_dtype=False)
+    # fixture sanity: the driver corpus injects exact duplicates, so
+    # cross-doc duplicated spans must exist and coverage is bounded
+    assert (mine["n_dup_positions"] > 0).any()
+    assert (mine["n_dup_positions"] <= mine["n_tokens"]).all()
