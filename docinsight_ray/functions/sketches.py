@@ -223,9 +223,222 @@ def q_heavy_hitters_cms(sf_dir: str) -> pa.Table:
     )
 
 
+# ---- MRL quantile sketch over events.value ---------------------------------
+
+QSK_K = 256  # per-level buffer capacity
+QSK_QS = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+class MRLSketch:
+    """Deterministic MRL-family mergeable quantile sketch (Manku,
+    Rajagopalan & Lindsay 1998): levels of ≤k sorted buffers; a full
+    buffer compacts by keeping alternate elements (offset alternates
+    per level-compaction — deterministic, no coin flips) and promoting
+    them with doubled weight. Rank error is O(levels/k)·n; with
+    k=256 over sf0.1-scale streams measured error is well under 1 %.
+    Merge = concatenate levels, recompact — associative enough that
+    per-batch partial sketches combine on the driver, the
+    HLL/CMS-style constant-size-summary discipline (no sort shuffle
+    for a quantile, ever)."""
+
+    def __init__(self, k: int = QSK_K):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self._parity: list[int] = [0]
+
+    def _ensure(self, lvl: int) -> None:
+        while len(self.levels) <= lvl:
+            self.levels.append(np.empty(0, dtype=np.float64))
+            self._parity.append(0)
+
+    def _compact_level(self, lvl: int) -> None:
+        buf = np.sort(self.levels[lvl])
+        off = self._parity[lvl]
+        self._parity[lvl] ^= 1
+        promoted = buf[off::2]
+        self.levels[lvl] = np.empty(0, dtype=np.float64)
+        self._ensure(lvl + 1)
+        self.levels[lvl + 1] = np.concatenate((self.levels[lvl + 1], promoted))
+        if self.levels[lvl + 1].size > self.k:
+            self._compact_level(lvl + 1)
+
+    def add(self, values: np.ndarray) -> None:
+        values = np.asarray(values, dtype=np.float64)
+        # chunked insertion keeps level-0 at ≤k between compactions
+        i = 0
+        while i < values.size:
+            room = self.k - self.levels[0].size
+            take = values[i : i + max(room, 1)]
+            self.levels[0] = np.concatenate((self.levels[0], take))
+            i += take.size
+            if self.levels[0].size >= self.k:
+                self._compact_level(0)
+
+    def merge_rows(self, lvls: np.ndarray, vals: np.ndarray) -> None:
+        for lvl in np.unique(lvls):
+            self._ensure(int(lvl))
+            self.levels[int(lvl)] = np.concatenate(
+                (self.levels[int(lvl)], vals[lvls == lvl])
+            )
+        for lvl in range(len(self.levels)):
+            if self.levels[lvl].size > self.k:
+                self._compact_level(lvl)
+
+    def rows(self) -> tuple[np.ndarray, np.ndarray]:
+        lv = np.concatenate(
+            [np.full(b.size, i, dtype=np.int64) for i, b in enumerate(self.levels)]
+        ) if any(b.size for b in self.levels) else np.empty(0, dtype=np.int64)
+        va = np.concatenate(self.levels) if any(b.size for b in self.levels) else np.empty(0)
+        return lv, va
+
+    def query(self, qs: tuple[float, ...]) -> np.ndarray:
+        lv, va = self.rows()
+        if va.size == 0:
+            return np.full(len(qs), np.nan)
+        w = (np.int64(1) << lv.astype(np.int64)).astype(np.float64)
+        order = np.argsort(va, kind="mergesort")
+        va, w = va[order], w[order]
+        cw = np.cumsum(w)
+        total = cw[-1]
+        out = np.empty(len(qs))
+        for i, q in enumerate(qs):
+            t = q * total
+            out[i] = va[int(np.searchsorted(cw, t, side="left"))]
+        return out
+
+
+def _qsk_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    sk = MRLSketch()
+    sk.add(batch["value"].to_numpy(dtype=np.float64))
+    lv, va = sk.rows()
+    blob_l, blob_v = lv.tobytes(), va.tobytes()
+    return pd.DataFrame(
+        {
+            "lvls": [blob_l],
+            "vals": [blob_v],
+            "checksum": [hashlib.sha256(blob_l + blob_v).hexdigest()[:16]],
+        }
+    )
+
+
+def q_value_quantiles_sketch(sf_dir: str) -> pa.Table:
+    """Approximate quantiles of ``events.value`` via per-batch MRL
+    partial sketches merged on the driver — the bounded-memory,
+    shuffle-free alternative to a distributed sort when the value
+    column has unbounded cardinality (``corpusops.length_quantiles``
+    is the exact-histogram path for bounded-cardinality ints).
+    Rows-only gate (approximate by design); pytest asserts rank error
+    vs the exact empirical quantiles and determinism."""
+    empty = pa.schema(
+        [("lvls", pa.binary()), ("vals", pa.binary()), ("checksum", pa.string())]
+    )
+    parts = collect_table(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["value"]
+        ).map_batches(_qsk_partial, batch_format="pandas", batch_size=4096),
+        empty,
+    )
+    sk = MRLSketch()
+    for bl, bv, chk in zip(
+        parts["lvls"].to_pylist(), parts["vals"].to_pylist(), parts["checksum"].to_pylist()
+    ):
+        assert hashlib.sha256(bl + bv).hexdigest()[:16] == chk  # transport integrity
+        sk.merge_rows(np.frombuffer(bl, dtype=np.int64), np.frombuffer(bv, dtype=np.float64))
+    est = sk.query(QSK_QS)
+    return pa.table(
+        {
+            "q": pa.array(np.array(QSK_QS, dtype=np.float64), type=pa.float64()),
+            "est": pa.array(np.round(est, 9), type=pa.float64()),
+        }
+    )
+
+
+# ---- terms aggregation with per-shard error bounds --------------------------
+
+TA_SHARDS = 16  # deterministic doc_id shards (partitioning-independent)
+TA_M = 32  # per-shard reported top-M
+TA_TOPN = 20
+
+
+def _ta_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch partial (shard, term, cnt) — bounded by batch vocab."""
+    shards = (batch["doc_id"].to_numpy(dtype=np.int64) % TA_SHARDS)
+    cnt: dict[tuple[int, str], int] = {}
+    for sh, ts in zip(shards, _tokens_of(batch)):
+        for t in ts:
+            key = (int(sh), t)
+            cnt[key] = cnt.get(key, 0) + 1
+    keys = sorted(cnt)
+    return pd.DataFrame(
+        {
+            "shard": np.array([k[0] for k in keys], dtype=np.int64),
+            "term": [k[1] for k in keys],
+            "cnt": np.array([cnt[k] for k in keys], dtype=np.int64),
+        }
+    )
+
+
+def _ta_shard_top(g: pd.DataFrame) -> pd.DataFrame:
+    """One shard's exact counts → its reported top-M plus the M-th
+    count (the shard's contribution to every unreported term's error
+    bound — Elasticsearch's ``doc_count_error_upper_bound`` rule)."""
+    agg = g.groupby("term", as_index=False)["cnt"].sum()
+    agg = agg.sort_values(["cnt", "term"], ascending=[False, True]).head(TA_M)
+    kth = int(agg["cnt"].min()) if len(agg) >= TA_M else 0
+    agg["shard"] = int(g["shard"].iloc[0])
+    agg["kth"] = np.int64(kth)
+    return agg[["shard", "term", "cnt", "kth"]].reset_index(drop=True)
+
+
+_ta_shard_top.__name__ = "_ta_shard_top"
+
+
+def q_terms_agg_approx(sf_dir: str) -> pa.Table:
+    """Distributed approximate top-``TA_TOPN`` terms with the
+    Elasticsearch error-bound contract: each deterministic doc_id
+    shard reports only its local top-``TA_M`` (term, count); the
+    merged estimate is the sum of reported counts (est ≤ true), and
+    ``err_bound`` sums the M-th local count of every shard that did
+    NOT report the term — so true ∈ [est, est + err_bound], pytest-
+    asserted against the exact counts. The scale win: per-shard
+    reports are M rows regardless of vocabulary size, so the final
+    merge is TA_SHARDS × TA_M rows instead of a full vocabulary
+    shuffle."""
+    empty = pa.schema(
+        [
+            ("shard", pa.int64()),
+            ("term", pa.string()),
+            ("cnt", pa.int64()),
+            ("kth", pa.int64()),
+        ]
+    )
+    reports = collect_table(
+        _read(sf_dir, ["doc_id", "text"])
+        .map_batches(_ta_partial, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(_ta_shard_top, batch_format="pandas"),
+        empty,
+    ).to_pandas()
+    kth_by_shard = reports.groupby("shard")["kth"].first()
+    total_kth = int(kth_by_shard.sum())
+    est = reports.groupby("term")["cnt"].sum()
+    reported_kth = reports.groupby("term")["kth"].sum()
+    bound = total_kth - reported_kth  # shards missing the term
+    df = pd.DataFrame(
+        {"term": est.index, "est_tf": est.to_numpy(dtype=np.int64),
+         "err_bound": bound.reindex(est.index).to_numpy(dtype=np.int64)}
+    )
+    order = np.lexsort((df["term"].to_numpy(dtype=object), -df["est_tf"].to_numpy()))
+    df = df.iloc[order[:TA_TOPN]].reset_index(drop=True)
+    df["rank"] = np.arange(len(df), dtype=np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 QUERIES = {
     "distinct_terms_hll": q_distinct_terms_hll,
     "heavy_hitters_cms": q_heavy_hitters_cms,
+    "value_quantiles_sketch": q_value_quantiles_sketch,
+    "terms_agg_approx": q_terms_agg_approx,
 }
 
 # approximate by design → rows-only gate entries; accuracy bounds are

@@ -62,3 +62,68 @@ def test_cms_heavy_hitters_one_sided_and_topk():
     assert len(set(t["term"]) & true_top) >= int(0.9 * k)
     # the very top of the distribution is exact
     assert list(t["term"].head(3)) == list(exact["term"].head(3))
+
+
+def test_mrl_sketch_rank_error():
+    """Sketch quantiles within 2% rank error of exact; deterministic."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from docinsight_ray.functions.sketches import QSK_QS, q_value_quantiles_sketch
+
+    a = q_value_quantiles_sketch(SF).to_pandas()
+    b = q_value_quantiles_sketch(SF).to_pandas()
+    assert a.values.tolist() == b.values.tolist()  # determinism
+    vals = np.sort(
+        pq.read_table(f"{SF}/events.parquet", columns=["value"])["value"].to_numpy()
+    )
+    n = vals.size
+    for q, est in zip(a["q"], a["est"]):
+        # rank of the estimate in the exact sorted data
+        r = np.searchsorted(vals, est, side="left") / n
+        assert abs(r - q) <= 0.02, f"q={q}: est rank {r:.4f}"
+
+
+def test_mrl_sketch_unit_exactness_below_k():
+    """With fewer than k values, the sketch is exact (level-0 only)."""
+    import numpy as np
+
+    from docinsight_ray.functions.sketches import MRLSketch
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=200)
+    sk = MRLSketch(k=256)
+    sk.add(x)
+    xs = np.sort(x)
+    got = sk.query((0.5,))[0]
+    # lower-quantile convention: element at ceil(q*n)-ish rank
+    assert got in xs
+    assert abs(np.searchsorted(xs, got) / 200 - 0.5) <= 0.0051
+
+
+def test_terms_agg_error_bound_contract():
+    """est <= true <= est + err_bound for every reported term, and the
+    zero-bound head matches the exact ranking."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from docinsight_ray.functions.sketches import q_terms_agg_approx
+
+    got = q_terms_agg_approx(SF).to_pandas()
+    rx = re.compile(r"[a-z0-9]{2,}")
+    true = Counter()
+    for t in pq.read_table(f"{SF}/documents.parquet", columns=["text"])["text"].to_pylist():
+        true.update(rx.findall(t.lower()))
+    for _, row in got.iterrows():
+        tf = true[row["term"]]
+        assert row["est_tf"] <= tf <= row["est_tf"] + row["err_bound"], row["term"]
+    # exact-head agreement: terms with bound 0 have exact counts
+    zb = got[got["err_bound"] == 0]
+    for _, row in zb.iterrows():
+        assert row["est_tf"] == true[row["term"]]
+    # the true global top term must be reported (it is a local top
+    # in at least one shard by pigeonhole)
+    top_term = max(true.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    assert top_term in set(got["term"])
