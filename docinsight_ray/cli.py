@@ -488,6 +488,39 @@ def cmd_purge(args) -> int:
     return 0
 
 
+def cmd_snapshot(args) -> int:
+    """Snapshot an index tree into a repository dir/URI (per-file
+    sha256 manifest written last); ``--verify`` re-hashes after the
+    copy. No Ray session needed."""
+    from .state.snapshot import snapshot_index, verify_snapshot
+
+    m = snapshot_index(args.index_dir, args.dest)
+    out = {"ok": True, "n_files": m["n_files"], "fingerprint": m["fingerprint"]}
+    if args.verify:
+        v = verify_snapshot(args.dest)
+        out["verified"] = v["ok"]
+        if not v["ok"]:
+            print(json.dumps({**out, **v}, indent=1), file=sys.stderr)
+            return 1
+    print(json.dumps(out, indent=1))
+    return 0
+
+
+def cmd_restore(args) -> int:
+    """Verified restore of a snapshot repository into an index path —
+    every file is hash-checked against SNAPSHOT.json before promotion;
+    a corrupt repository aborts with the offending file named."""
+    from .state.snapshot import restore_index
+
+    try:
+        out = restore_index(args.snapshot, args.dest)
+    except (IOError, FileNotFoundError) as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+    print(json.dumps(out, indent=1))
+    return 0
+
+
 def cmd_run(args) -> int:
     """Run ANY registered pipeline op from the contract registry over a
     table directory — the operational front door to the full operator
@@ -693,6 +726,20 @@ def main(argv=None) -> int:
     g.add_argument("--dry-run", action="store_true",
                    help="report what would be removed without removing")
     g.set_defaults(fn=cmd_purge)
+
+    sn = sub.add_parser("snapshot", parents=[common],
+                        help="copy an index tree into a snapshot repository (path or URI)")
+    sn.add_argument("index_dir")
+    sn.add_argument("dest")
+    sn.add_argument("--verify", action="store_true",
+                    help="re-hash the repository after the copy")
+    sn.set_defaults(fn=cmd_snapshot)
+
+    rs = sub.add_parser("restore", parents=[common],
+                        help="verified restore of a snapshot into an index path")
+    rs.add_argument("snapshot")
+    rs.add_argument("dest")
+    rs.set_defaults(fn=cmd_restore)
 
     pb = sub.add_parser("posbuild", parents=[common],
                         help="build a positional index from a corpus parquet path")

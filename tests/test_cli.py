@@ -442,3 +442,71 @@ def test_cli_validate_term_dict(built_cli, capsys, tmp_path):
     rc = main(["validate", bad])
     out = json.loads(capsys.readouterr().out)
     assert rc == 1 and any("term_dict" in p for p in out["problems"])
+
+
+def test_cli_snapshot_restore_roundtrip(built_cli, capsys, tmp_path):
+    """snapshot → delete index → restore → bitwise-identical serving;
+    corrupt repository aborts restore naming the file; file:// URI
+    repository round-trips too."""
+    import shutil
+
+    corpus_path, idx, root = built_cli
+    # build a PRIVATE index (the shared one is purged by the GC test)
+    priv = str(tmp_path / "idx")
+    assert main(["build", corpus_path, priv, "--fingerprint", "snap-test"]) == 0
+    import ray
+    import ray.data
+
+    from docinsight_ray import EngineConfig
+    from docinsight_ray.fixtures import gen_queries, queries_table
+    from docinsight_ray.scorer import query_index
+
+    qds_tbl = queries_table(gen_queries(gen_corpus(150, seed=71), 4, seed=5))
+    cfg = EngineConfig()
+
+    def serve(index_dir):
+        return (
+            query_index(ray.data.from_arrow(qds_tbl), index_dir, cfg, mode="maxscore")
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+
+    before = serve(priv)
+    snap = str(tmp_path / "repo")
+    capsys.readouterr()  # drain build/serve output
+    assert main(["snapshot", priv, snap, "--verify"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["ok"] and out["verified"] and out["fingerprint"].startswith("snap-test")
+    shutil.rmtree(priv)
+    assert main(["restore", snap, priv]) == 0
+    capsys.readouterr()
+    after = serve(priv)
+    assert before.equals(after)
+
+    # corrupt one repository file → restore aborts, names the file
+    victim = None
+    for dirpath, _d, files in os.walk(snap):
+        for f in files:
+            if f.endswith(".parquet"):
+                victim = os.path.join(dirpath, f)
+                break
+        if victim:
+            break
+    with open(victim, "r+b") as fh:
+        fh.seek(0)
+        fh.write(b"\x00corrupt\x00")
+    dest2 = str(tmp_path / "idx2")
+    assert main(["restore", snap, dest2]) == 1
+    err = capsys.readouterr().err
+    assert "corrupt" in err and os.path.basename(victim) in err
+    assert not os.path.exists(dest2)  # nothing promoted
+
+    # file:// URI repository round-trip
+    snap_uri = "file://" + str(tmp_path / "repo_uri")
+    assert main(["snapshot", priv, snap_uri, "--verify"]) == 0
+    capsys.readouterr()
+    dest3 = str(tmp_path / "idx3")
+    assert main(["restore", snap_uri, dest3]) == 0
+    capsys.readouterr()
+    assert before.equals(serve(dest3))
