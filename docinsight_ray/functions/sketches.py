@@ -353,6 +353,62 @@ def q_value_quantiles_sketch(sf_dir: str) -> pa.Table:
     )
 
 
+def _qsk_group_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch per-group MRL partials — one constant-size sketch row
+    per (batch, event_type); group count is bounded (event types), so
+    the driver merge is |types| × blocks rows."""
+    rows = []
+    for et, sub in batch.groupby("event_type"):
+        sk = MRLSketch()
+        sk.add(sub["value"].to_numpy(dtype=np.float64))
+        lv, va = sk.rows()
+        bl, bv = lv.tobytes(), va.tobytes()
+        rows.append((str(et), bl, bv, hashlib.sha256(bl + bv).hexdigest()[:16]))
+    return pd.DataFrame(rows, columns=["event_type", "lvls", "vals", "checksum"])
+
+
+def q_value_quantiles_by_type(sf_dir: str) -> pa.Table:
+    """Per-event-type approximate quantiles (the Elasticsearch
+    percentiles-aggregation shape): per-batch per-group MRL partials
+    merged on the driver — grouped quantiles with NO sort and no
+    per-value shuffle, only |types| × blocks constant-size sketch
+    rows. Rows-only gate; pytest asserts per-group rank error."""
+    empty = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("lvls", pa.binary()),
+            ("vals", pa.binary()),
+            ("checksum", pa.string()),
+        ]
+    )
+    parts = collect_table(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+        ).map_batches(_qsk_group_partial, batch_format="pandas", batch_size=4096),
+        empty,
+    ).to_pandas()
+    out_t, out_q, out_e = [], [], []
+    for et in sorted(parts["event_type"].unique()):
+        sk = MRLSketch()
+        sub = parts[parts["event_type"] == et]
+        for bl, bv, chk in zip(sub["lvls"], sub["vals"], sub["checksum"]):
+            assert hashlib.sha256(bl + bv).hexdigest()[:16] == chk
+            sk.merge_rows(
+                np.frombuffer(bl, dtype=np.int64), np.frombuffer(bv, dtype=np.float64)
+            )
+        est = sk.query(QSK_QS)
+        out_t.extend([et] * len(QSK_QS))
+        out_q.extend(QSK_QS)
+        out_e.extend(np.round(est, 9).tolist())
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, type=pa.string()),
+            "q": pa.array(np.array(out_q, dtype=np.float64), type=pa.float64()),
+            "est": pa.array(out_e, type=pa.float64()),
+        }
+    )
+
+
 # ---- terms aggregation with per-shard error bounds --------------------------
 
 TA_SHARDS = 16  # deterministic doc_id shards (partitioning-independent)
@@ -438,6 +494,7 @@ QUERIES = {
     "distinct_terms_hll": q_distinct_terms_hll,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "value_quantiles_sketch": q_value_quantiles_sketch,
+    "value_quantiles_by_type": q_value_quantiles_by_type,
     "terms_agg_approx": q_terms_agg_approx,
 }
 

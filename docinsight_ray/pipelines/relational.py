@@ -343,6 +343,96 @@ def q_top_unshipped_orders(sf_dir: str) -> pa.Table:
     )
 
 
+Q10_START = "1997-01-01"
+Q10_END = "1997-04-01"
+Q10_K = 20
+
+
+def q_returned_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H-Q10-shaped: top-``Q10_K`` customers by revenue lost to
+    returned items (``l_returnflag = 'R'``) for orders placed in one
+    quarter — the churn-analysis join.
+
+    Scale shape: lineitem(filtered R) ⨝ orders(filtered quarter) is
+    the DISTRIBUTED hash join on l_orderkey (both fact tables);
+    groupby(o_custkey).sum is one bounded row per customer; each batch
+    then emits only its LOCAL top-K so the driver merges
+    O(blocks · K) rows, and the final ≤K winners hydrate name /
+    acctbal / nation from the broadcast-scale dimension tables —
+    hydration AFTER the top-k, never before (no wide row ever rides
+    the shuffle). Revenue uses the module's integer 10⁻⁴-dollar
+    discipline so aggregation order cannot perturb the gate hash."""
+    from ..collect import collect_table
+
+    start_us = int(np.datetime64(Q10_START, "us").astype(np.int64))
+    end_us = int(np.datetime64(Q10_END, "us").astype(np.int64))
+
+    def li_project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        price_c = np.floor(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        disc_c = np.floor(t["l_discount"].to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "rev_e4": pa.array(price_c * (100 - disc_c), type=pa.int64()),
+            }
+        )
+
+    def ord_project(t: pa.Table) -> pa.Table:
+        date_us = pc.cast(t["o_orderdate"], pa.int64())
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(date_us, pa.scalar(start_us, type=pa.int64())),
+                pc.less(date_us, pa.scalar(end_us, type=pa.int64())),
+            )
+        )
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]).map_batches(
+        li_project, batch_format="pyarrow", zero_copy_batch=True
+    )
+    orders = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(ord_project, batch_format="pyarrow")
+        .repartition(REV_PARTITIONS)  # Ray 2.49 empty-block join hazard (joins.py)
+    )
+    joined = li.join(orders, join_type="inner", num_partitions=REV_PARTITIONS, on=("l_orderkey",))
+    agg = joined.groupby("o_custkey").aggregate(Sum("rev_e4", alias_name="revenue_e4"))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["revenue_e4", "o_custkey"], ascending=[False, True]
+        ).head(Q10_K)
+
+    empty = pa.schema([("o_custkey", pa.int64()), ("revenue_e4", pa.int64())])
+    parts = collect_table(agg.map_batches(local_topk, batch_format="pandas"), empty)
+    top = (
+        parts.to_pandas()
+        .sort_values(["revenue_e4", "o_custkey"], ascending=[False, True])
+        .head(Q10_K)
+        .reset_index(drop=True)
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust["c_acctbal_c"] = np.floor(cust["c_acctbal"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    top = (
+        top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    )
+    top = top.sort_values(["revenue_e4", "o_custkey"], ascending=[False, True]).reset_index(drop=True)
+    top["rank"] = np.arange(len(top), dtype=np.int64)
+    out = top[["c_custkey", "c_name", "revenue_e4", "c_acctbal_c", "n_name", "rank"]].copy()
+    for c in ("c_custkey", "revenue_e4", "c_acctbal_c", "rank"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 LAPSED_CUTOFF = "2001-01-01"
 ANTI_PARTITIONS = 8
 
@@ -552,6 +642,31 @@ ORACLE_SQL = {
         SELECT p_partkey, p_name, p_size
         FROM part ORDER BY p_size DESC, p_partkey ASC LIMIT 25
     """,
+    "returned_revenue": f"""
+        WITH agg AS (
+          SELECT o.o_custkey,
+                 sum(floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+                     * (100 - floor(l.l_discount * 100 + 0.5)::BIGINT))::BIGINT AS revenue_e4
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          WHERE l.l_returnflag = 'R'
+            AND o.o_orderdate >= TIMESTAMP '{Q10_START}'
+            AND o.o_orderdate < TIMESTAMP '{Q10_END}'
+          GROUP BY o.o_custkey
+        ),
+        ranked AS (
+          SELECT o_custkey, revenue_e4,
+                 row_number() OVER (ORDER BY revenue_e4 DESC, o_custkey ASC) - 1 AS rank
+          FROM agg
+        )
+        SELECT c.c_custkey, c.c_name, r.revenue_e4,
+               floor(c.c_acctbal * 100 + 0.5)::BIGINT AS c_acctbal_c,
+               n.n_name, r.rank
+        FROM ranked r
+        JOIN customer c ON c.c_custkey = r.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE r.rank < {Q10_K}
+    """,
 }
 
 QUERIES = {
@@ -564,4 +679,5 @@ QUERIES = {
     "lapsed_customers": q_lapsed_customers,
     "event_pivot": q_event_pivot,
     "doc_rollup": q_doc_rollup,
+    "returned_revenue": q_returned_revenue,
 }

@@ -127,3 +127,22 @@ def test_terms_agg_error_bound_contract():
     # in at least one shard by pigeonhole)
     top_term = max(true.items(), key=lambda kv: (kv[1], kv[0]))[0]
     assert top_term in set(got["term"])
+
+
+def test_grouped_quantiles_rank_error():
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from docinsight_ray.functions.sketches import q_value_quantiles_by_type
+
+    got = q_value_quantiles_by_type(SF).to_pandas()
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_type", "value"]
+    ).to_pandas()
+    assert set(got["event_type"]) == set(ev["event_type"])
+    for et, sub in got.groupby("event_type"):
+        vals = np.sort(ev.loc[ev["event_type"] == et, "value"].to_numpy())
+        n = vals.size
+        for q, est in zip(sub["q"], sub["est"]):
+            r = np.searchsorted(vals, est, side="left") / n
+            assert abs(r - q) <= 0.03, f"{et} q={q}: rank {r:.4f}"
