@@ -164,6 +164,24 @@ def _nb_model(sf_dir: str) -> tuple[dict[str, int], int, int]:
     return wmap, w_oov, w0
 
 
+def _nb_score_texts(
+    wm: dict[str, int], w_oov: int, w0: int, texts: pd.Series
+) -> tuple[np.ndarray, np.ndarray]:
+    """(n_tokens, logodds_micro) per text — the shared vectorized
+    scoring kernel of q_nb_classify and q_nb_pr_curve."""
+    toks = texts.str.lower().str.findall(_TOK2_RE)
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    flat = list(itertools.chain.from_iterable(toks))
+    ws = np.fromiter(
+        (wm.get(t, w_oov) for t in flat), dtype=np.int64, count=len(flat)
+    )
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    wsum = np.where(
+        lens > 0, np.add.reduceat(np.concatenate((ws, [0])), starts), 0
+    ).astype(np.int64)
+    return lens, w0 + wsum
+
+
 def q_nb_classify(sf_dir: str) -> pa.Table:
     """Naive-Bayes quality score for every document: int64 micro
     log-odds (prior + Σ per-token class-likelihood ratio) and the
@@ -173,17 +191,7 @@ def q_nb_classify(sf_dir: str) -> pa.Table:
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         wm: dict[str, int] = ray.get(w_ref)
-        toks = batch["text"].str.lower().str.findall(_TOK2_RE)
-        lens = toks.str.len().to_numpy(dtype=np.int64)
-        flat = list(itertools.chain.from_iterable(toks))
-        ws = np.fromiter(
-            (wm.get(t, w_oov) for t in flat), dtype=np.int64, count=len(flat)
-        )
-        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        wsum = np.where(
-            lens > 0, np.add.reduceat(np.concatenate((ws, [0])), starts), 0
-        ).astype(np.int64)
-        logodds = w0 + wsum
+        lens, logodds = _nb_score_texts(wm, w_oov, w0, batch["text"])
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].astype("int64"),
@@ -205,6 +213,94 @@ def q_nb_classify(sf_dir: str) -> pa.Table:
         _read(sf_dir, ["doc_id", "text"]).map_batches(score, batch_format="pandas"),
         empty,
     )
+
+
+PR_DECILES = 10  # thresholds: exact score deciles (i = 0..9)
+
+
+def q_nb_pr_curve(sf_dir: str) -> pa.Table:
+    """Classifier evaluation: exact confusion counts (tp/fp/fn/tn) at
+    the ``PR_DECILES`` exact decile thresholds of the score
+    distribution — the precision/recall sweep a pipeline runs before
+    picking the quality-filter cutoff (FineWeb-edu's threshold
+    selection step). Full SQL oracle; all-int64 output.
+
+    Two distributed passes: pass A is the scoring scan (per-doc
+    logodds — the bounded per-doc table every gate collects), from
+    which the driver takes the 10 exact decile VALUES (at 10^12 docs
+    the thresholds come from the MRL quantile sketch instead —
+    functions/sketches.py — rank error there shifts a cutpoint, never
+    a count); pass B broadcasts (model, thresholds) and reduces
+    constant-size per-batch confusion partials (10×4 ints)."""
+    wmap, w_oov, w0 = _nb_model(sf_dir)
+
+    # pass A: score distribution → exact decile thresholds
+    w_ref = ray.put(wmap)
+
+    def score_only(batch: pd.DataFrame) -> pd.DataFrame:
+        wm = ray.get(w_ref)
+        _, lo = _nb_score_texts(wm, w_oov, w0, batch["text"])
+        return pd.DataFrame({"lo": lo})
+
+    lo_empty = pa.schema([("lo", pa.int64())])
+    lo = np.sort(
+        collect_table(
+            _read(sf_dir, ["text"]).map_batches(score_only, batch_format="pandas"),
+            lo_empty,
+        )["lo"].to_numpy()
+    )
+    n = lo.size
+    idx = [max(int(math.ceil(i * n / PR_DECILES)), 1) - 1 for i in range(PR_DECILES)]
+    thrs = lo[idx].astype(np.int64)
+
+    # pass B: broadcast thresholds, constant-size confusion partials
+    t_ref = ray.put(thrs)
+
+    def confusion(batch: pd.DataFrame) -> pd.DataFrame:
+        wm = ray.get(w_ref)
+        ts = ray.get(t_ref)
+        _, lo_b = _nb_score_texts(wm, w_oov, w0, batch["text"])
+        pos = batch["source"].isin(NB_SEED_SOURCES).to_numpy()
+        pred = lo_b[None, :] >= ts[:, None]  # (deciles, batch)
+        tp = (pred & pos[None, :]).sum(axis=1)
+        fp = (pred & ~pos[None, :]).sum(axis=1)
+        fn = (~pred & pos[None, :]).sum(axis=1)
+        tn = (~pred & ~pos[None, :]).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "decile": np.arange(PR_DECILES, dtype=np.int64),
+                "thr_micro": ts.astype(np.int64),
+                "tp": tp.astype(np.int64),
+                "fp": fp.astype(np.int64),
+                "fn": fn.astype(np.int64),
+                "tn": tn.astype(np.int64),
+            }
+        )
+
+    c_empty = pa.schema(
+        [
+            ("decile", pa.int64()),
+            ("thr_micro", pa.int64()),
+            ("tp", pa.int64()),
+            ("fp", pa.int64()),
+            ("fn", pa.int64()),
+            ("tn", pa.int64()),
+        ]
+    )
+    out = (
+        collect_table(
+            _read(sf_dir, ["text", "source"]).map_batches(
+                confusion, batch_format="pandas"
+            ),
+            c_empty,
+        )
+        .to_pandas()
+        .groupby(["decile", "thr_micro"], as_index=False)[["tp", "fp", "fn", "tn"]]
+        .sum()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out.astype("int64"), preserve_index=False)
 
 
 # ---- DSIR hashed-ngram importance weights ----------------------------------
@@ -396,6 +492,70 @@ SELECT d.doc_id,
        (((SELECT w0 FROM prior) + coalesce(p.sw, 0)) >= 0)::BIGINT AS pred
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """,
+    "nb_pr_curve": f"""
+WITH lab AS (
+  SELECT doc_id, text, (source IN {_SEED_SQL})::INT AS pos FROM documents
+),
+tok AS (
+  SELECT doc_id, pos, t.term FROM lab, unnest({_TOK_SQL}) AS t(term)
+),
+tf AS (
+  SELECT term, sum(pos)::BIGINT AS tfp, sum(1 - pos)::BIGINT AS tfn
+  FROM tok GROUP BY term
+),
+tot AS (SELECT sum(tfp)::BIGINT AS tp, sum(tfn)::BIGINT AS tn FROM tf),
+ranked AS (
+  SELECT term, tfp, tfn,
+         row_number() OVER (ORDER BY (tfp + tfn) DESC, term ASC) AS r
+  FROM tf
+),
+w AS (
+  SELECT term,
+         round(ln(((tfp + 1) * (tn + {_NB_V1}))::DOUBLE
+                / ((tfn + 1) * (tp + {_NB_V1}))) * 1000000)::BIGINT AS w
+  FROM ranked CROSS JOIN tot WHERE r <= {NB_VOCAB}
+),
+oovw AS (
+  SELECT round(ln((tn + {_NB_V1})::DOUBLE / (tp + {_NB_V1})) * 1000000)::BIGINT AS w
+  FROM tot
+),
+prior AS (
+  SELECT round(ln(greatest(sum(pos), 1)::DOUBLE
+             / greatest(sum(1 - pos), 1)) * 1000000)::BIGINT AS w0
+  FROM lab
+),
+scored AS (
+  SELECT t.doc_id, coalesce(w.w, (SELECT w FROM oovw)) AS w
+  FROM tok t LEFT JOIN w USING (term)
+),
+per_doc AS (
+  SELECT doc_id, sum(w)::BIGINT AS sw FROM scored GROUP BY doc_id
+),
+scores AS (
+  SELECT l.doc_id, l.pos,
+         ((SELECT w0 FROM prior) + coalesce(p.sw, 0))::BIGINT AS lo
+  FROM lab l LEFT JOIN per_doc p USING (doc_id)
+),
+nn AS (SELECT count(*)::BIGINT AS n FROM scores),
+sranked AS (
+  SELECT lo, row_number() OVER (ORDER BY lo ASC, doc_id ASC) AS r FROM scores
+),
+dec AS (SELECT unnest(generate_series(0, {PR_DECILES - 1}))::BIGINT AS decile),
+thr AS (
+  SELECT d.decile, s.lo AS thr_micro
+  FROM dec d, nn, sranked s
+  WHERE s.r = greatest(ceil(d.decile * nn.n / {PR_DECILES}.0)::BIGINT, 1)
+),
+cnt AS (
+  SELECT t.decile, t.thr_micro,
+         sum(CASE WHEN s.lo >= t.thr_micro AND s.pos = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+         sum(CASE WHEN s.lo >= t.thr_micro AND s.pos = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+         sum(CASE WHEN s.lo <  t.thr_micro AND s.pos = 1 THEN 1 ELSE 0 END)::BIGINT AS fn,
+         sum(CASE WHEN s.lo <  t.thr_micro AND s.pos = 0 THEN 1 ELSE 0 END)::BIGINT AS tn
+  FROM thr t CROSS JOIN scores s GROUP BY t.decile, t.thr_micro
+)
+SELECT decile, thr_micro, tp, fp, fn, tn FROM cnt
+""",
     "dsir_weights": f"""
 WITH tok AS (
   SELECT doc_id, (source IN {_SEED_SQL}) AS pos, t.term
@@ -446,5 +606,6 @@ LEFT JOIN rk USING (doc_id)
 
 QUERIES = {
     "nb_classify": q_nb_classify,
+    "nb_pr_curve": q_nb_pr_curve,
     "dsir_weights": q_dsir_weights,
 }

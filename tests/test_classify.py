@@ -186,3 +186,26 @@ def test_semdedup_oversize_cluster_warns_and_keeps():
     with _pytest.warns(UserWarning, match="SEM_MAX_CLUSTER"):
         out = _SemDedupCluster(0.4)(g)
     assert out["kept"].eq(1).all()
+
+
+def test_nb_pr_curve_oracle_and_monotonicity():
+    import duckdb
+
+    from docinsight_ray.functions.classify import ORACLE_SQL, q_nb_pr_curve
+
+    mine = q_nb_pr_curve(SF).to_pandas().sort_values("decile").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = (
+        con.sql(ORACLE_SQL["nb_pr_curve"])
+        .df()
+        .sort_values("decile")
+        .reset_index(drop=True)[mine.columns]
+    )
+    pd.testing.assert_frame_equal(mine, want, check_dtype=False)
+    n = int(mine.iloc[0][["tp", "fp", "fn", "tn"]].sum())
+    assert (mine[["tp", "fp", "fn", "tn"]].sum(axis=1) == n).all()
+    # raising the threshold can only shrink the predicted-positive set
+    assert mine["thr_micro"].is_monotonic_increasing
+    assert (mine["tp"].diff().dropna() <= 0).all()
+    assert (mine["fp"].diff().dropna() <= 0).all()
