@@ -1143,6 +1143,108 @@ ORACLE_SQL["unigram_surprisal"] = f"""
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
+# ---- corpus data card -------------------------------------------------------
+
+
+def q_corpus_report(sf_dir: str) -> pa.Table:
+    """The corpus DATA CARD: one (metric, value) table summarizing the
+    ingest — doc/lang/source counts, token and char totals, exact-dup
+    count, empty-doc count, token-length extremes. The single-pass
+    summary a training-data pipeline publishes next to the corpus.
+
+    Scale shape: ONE scan emits constant-size per-batch partials
+    (counts, sums, maxima, the bounded lang/source sets) plus the
+    batch's content sha256 digests; the driver folds partials and
+    counts distinct hashes. At 10^12 docs the sha-distinct fold swaps
+    to the exact ``groupby(sha).count`` the dedup pass already runs
+    (or the HLL sketch when ±1.6 % suffices) — every other metric
+    stays a constant-size combiner. Full SQL oracle."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(_TOK2_RE)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        # full digests: a truncated prefix could collide and disagree
+        # with the oracle's count(DISTINCT sha256(text))
+        shas = sha256_hex(batch["text"].tolist())
+        return pd.DataFrame(
+            {
+                "n_docs": np.array([len(batch)], dtype=np.int64),
+                "total_tokens": np.array([int(lens.sum())], dtype=np.int64),
+                "total_chars": np.array(
+                    [int(batch["n_chars"].to_numpy(dtype=np.int64).sum())], dtype=np.int64
+                ),
+                "n_empty": np.array([int((lens == 0).sum())], dtype=np.int64),
+                "max_tokens": np.array([int(lens.max()) if lens.size else 0], dtype=np.int64),
+                "min_tokens": np.array(
+                    [int(lens.min()) if lens.size else 0], dtype=np.int64
+                ),
+                "langs": [" ".join(sorted(set(batch["lang"])))],
+                "sources": [" ".join(sorted(set(batch["source"])))],
+                "shas": [" ".join(shas)],
+            }
+        )
+
+    empty = pa.schema(
+        [
+            ("n_docs", pa.int64()),
+            ("total_tokens", pa.int64()),
+            ("total_chars", pa.int64()),
+            ("n_empty", pa.int64()),
+            ("max_tokens", pa.int64()),
+            ("min_tokens", pa.int64()),
+            ("langs", pa.string()),
+            ("sources", pa.string()),
+            ("shas", pa.string()),
+        ]
+    )
+    parts = collect_table(
+        _read(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        empty,
+    ).to_pandas()
+    langs: set[str] = set()
+    sources: set[str] = set()
+    shas: set[str] = set()
+    for ls, ss, hs in zip(parts["langs"], parts["sources"], parts["shas"]):
+        langs.update(ls.split())
+        sources.update(ss.split())
+        shas.update(hs.split())
+    n_docs = int(parts["n_docs"].sum())
+    metrics = [
+        ("max_tokens", int(parts["max_tokens"].max()) if len(parts) else 0),
+        ("min_tokens", int(parts["min_tokens"].min()) if len(parts) else 0),
+        ("n_docs", n_docs),
+        ("n_dup_docs", n_docs - len(shas)),
+        ("n_empty", int(parts["n_empty"].sum())),
+        ("n_langs", len(langs)),
+        ("n_sources", len(sources)),
+        ("total_chars", int(parts["total_chars"].sum())),
+        ("total_tokens", int(parts["total_tokens"].sum())),
+    ]
+    return pa.table(
+        {
+            "metric": pa.array([m for m, _ in metrics], type=pa.string()),
+            "value": pa.array([v for _, v in metrics], type=pa.int64()),
+        }
+    )
+
+
+ORACLE_SQL["corpus_report"] = f"""
+WITH t AS (SELECT doc_id, lang, source, n_chars, {_TOK_SQL} AS toks, sha256(text) AS sha
+           FROM documents)
+SELECT 'max_tokens' AS metric, coalesce(max(len(toks)), 0)::BIGINT AS value FROM t
+UNION ALL SELECT 'min_tokens', coalesce(min(len(toks)), 0)::BIGINT FROM t
+UNION ALL SELECT 'n_docs', count(*)::BIGINT FROM t
+UNION ALL SELECT 'n_dup_docs', (count(*) - count(DISTINCT sha))::BIGINT FROM t
+UNION ALL SELECT 'n_empty', sum(CASE WHEN len(toks) = 0 THEN 1 ELSE 0 END)::BIGINT FROM t
+UNION ALL SELECT 'n_langs', count(DISTINCT lang)::BIGINT FROM t
+UNION ALL SELECT 'n_sources', count(DISTINCT source)::BIGINT FROM t
+UNION ALL SELECT 'total_chars', sum(n_chars)::BIGINT FROM t
+UNION ALL SELECT 'total_tokens', sum(len(toks))::BIGINT FROM t
+"""
+
+
 # ---- duplicated-substring coverage (exact substring dedup) ----------------
 
 DUP_K = 5  # token window: a K-gram shared by >=2 docs marks its span
@@ -1323,4 +1425,5 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "unigram_surprisal": q_unigram_surprisal,
     "dup_spans": q_dup_spans,
+    "corpus_report": q_corpus_report,
 }

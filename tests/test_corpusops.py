@@ -268,3 +268,24 @@ def test_dup_spans_oracle_exact():
     # cross-doc duplicated spans must exist and coverage is bounded
     assert (mine["n_dup_positions"] > 0).any()
     assert (mine["n_dup_positions"] <= mine["n_tokens"]).all()
+
+
+def test_corpus_report_oracle_exact():
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.functions.corpusops import ORACLE_SQL, q_corpus_report
+
+    mine = q_corpus_report(SF).to_pandas().sort_values("metric").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = (
+        con.sql(ORACLE_SQL["corpus_report"])
+        .df()
+        .sort_values("metric")
+        .reset_index(drop=True)[mine.columns]
+    )
+    pd.testing.assert_frame_equal(mine, want, check_dtype=False)
+    m = dict(zip(mine["metric"], mine["value"]))
+    assert m["n_docs"] > 0 and m["total_tokens"] > 0
+    assert 0 <= m["n_dup_docs"] < m["n_docs"]
