@@ -844,9 +844,6 @@ def q_knn_cosine_sq8(sf_dir: str, fetch_k: int | None = None) -> pa.Table:
     Rows-only gate (quantization error can drop a true neighbor from
     the candidate set); pytest + RECALL.json record measured recall vs
     q_knn_cosine."""
-    import pyarrow.dataset as pads
-    import pyarrow.parquet as _pq  # noqa: F401  (parity with module style)
-
     fetch_k = fetch_k or (3 * KNN_K)
     qids, Q = _query_matrix(sf_dir)
     q_ref = ray.put((qids, Q))
@@ -862,8 +859,18 @@ def q_knn_cosine_sq8(sf_dir: str, fetch_k: int | None = None) -> pa.Table:
         )
         .to_pandas()
     )
-    # exact rescore: hydrate ONLY candidate vectors (predicate-pushdown
-    # read), then exact float64 cosine + the gate's (round6, vec_id) order
+    return _exact_rescore(sf_dir, cands, qids, Q)
+
+
+def _exact_rescore(sf_dir: str, cands, qids: np.ndarray, Q: np.ndarray) -> pa.Table:
+    """Exact rescore of a candidate sliver: hydrate ONLY the candidate
+    vectors (predicate-pushdown ``vec_id IN (...)`` parquet read), then
+    exact float64 cosine + the gate's (round6 desc, vec_id asc) top-k
+    order. Shared by the quantized-candidate paths (SQ8, PQ): the
+    quantizer only affects WHICH candidates survive; the scores of the
+    survivors are exact."""
+    import pyarrow.dataset as pads
+
     uniq = np.unique(cands["vec_id"].to_numpy()).tolist()
     t = ray.data.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"),
@@ -893,6 +900,143 @@ def q_knn_cosine_sq8(sf_dir: str, fetch_k: int | None = None) -> pa.Table:
             "cos": pa.array(np.concatenate(out_c), type=pa.float64()),
         }
     )
+
+
+# ---- Product quantization (PQ) with ADC scoring ----------------------------
+
+PQ_M = 8       # subspaces (dim 64 → 8 dims each)
+PQ_KS = 32     # centroids per subspace (5-bit codes)
+
+
+def _pq_train(
+    sf_dir: str,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    iters: int = 8,
+    seed: int = 42,
+    max_train: int = 65536,
+) -> np.ndarray:
+    """Train PQ sub-codebooks (Jégou et al. 2011): split the NORMALIZED
+    embedding space into ``m`` contiguous subspaces and run a seeded
+    k-means in each. Training uses the same bounded seeded-sample
+    discipline as :func:`train_centroids` — only ≤``max_train`` rows
+    ever reach the driver, so codebook training cost is independent of
+    corpus size. Returns ``(m, ks, dsub)`` float64 codebooks."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    n = ds.count()
+    if n > max_train:
+        ds = ds.random_sample(min(1.0, 1.1 * max_train / n), seed=seed).limit(max_train)
+    X = np.stack(ds.to_pandas()["embedding"].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    dim = Xn.shape[1]
+    if dim % m:
+        raise ValueError(f"PQ: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        S = Xn[:, j * dsub : (j + 1) * dsub]
+        C = S[rng.choice(len(S), size=min(ks, len(S)), replace=False)]
+        if len(C) < ks:  # tiny-corpus degenerate case: pad by repetition
+            C = np.concatenate([C, C[np.zeros(ks - len(C), dtype=np.int64)]])
+        for _ in range(iters):
+            # L2 assignment via the expanded form (‖s‖² is rank-constant)
+            d = -2.0 * (S @ C.T) + (C * C).sum(axis=1)
+            assign = np.argmin(d, axis=1)
+            for c in range(ks):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j] = C
+    return books
+
+
+class PqAdcCandidates:
+    """PQ candidate generation with asymmetric-distance (ADC) scoring:
+    per batch, encode each normalized vector to ``m`` sub-codebook ids
+    (the ``m × log2(ks)``-bit code a real PQ index stores — 64 float32
+    dims → 5 B/vector here, a 51× compression), then score candidates
+    as ``q · x̂ / ‖x̂‖`` where both the dot product and the
+    reconstruction norm are TABLE LOOKUPS: per-query LUTs
+    ``lut[m, ks] = q_sub · codebook`` and per-code sub-norms are
+    precomputed once in ``__init__``, so scoring a vector is ``m``
+    gathers + a sum, never a float matmul over the raw matrix."""
+
+    def __init__(self, q_ref, books_ref, fetch_k: int):
+        self.qids, Q = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+        books = ray.get(books_ref) if isinstance(books_ref, ray.ObjectRef) else books_ref
+        self.books = books  # (m, ks, dsub)
+        m, ks, dsub = books.shape
+        self.m, self.dsub = m, dsub
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        # luts[q, j, c] = Qn[q, sub_j] · books[j, c]
+        self.luts = np.einsum("qjd,jcd->qjc", Qn.reshape(len(Qn), m, dsub), books)
+        self.cnorm2 = (books * books).sum(axis=2)  # (m, ks) sub-norm²
+        self.fetch_k = fetch_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        X = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        n = len(Xn)
+        codes = np.empty((n, self.m), dtype=np.int64)
+        for j in range(self.m):
+            S = Xn[:, j * self.dsub : (j + 1) * self.dsub]
+            C = self.books[j]
+            codes[:, j] = np.argmin(-2.0 * (S @ C.T) + (C * C).sum(axis=1), axis=1)
+        # reconstruction norm from the code sub-norms (subspaces are
+        # orthogonal coordinate slices, so norms² add)
+        rnorm = np.sqrt(self.cnorm2[np.arange(self.m), codes].sum(axis=1))
+        rnorm[rnorm == 0.0] = 1.0
+        out_q, out_v, out_a = [], [], []
+        for qi, qid in enumerate(self.qids):
+            adot = self.luts[qi][np.arange(self.m), codes].sum(axis=1)  # (n,)
+            acos = adot / rnorm
+            idx = np.flatnonzero(vids != qid)
+            take = idx[np.argsort(-acos[idx], kind="stable")[: self.fetch_k]]
+            out_q.append(np.full(take.size, qid, dtype=np.int64))
+            out_v.append(vids[take].astype(np.int64))
+            out_a.append(acos[take])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "acos": pa.array(np.concatenate(out_a), type=pa.float64()),
+            }
+        )
+
+
+def q_knn_cosine_pq(sf_dir: str, fetch_k: int | None = None) -> pa.Table:
+    """Product-quantized approximate kNN with exact rescoring — the
+    extreme-compression scale path beyond SQ8: vectors are stored as
+    ``m`` sub-codebook ids (here 8×5 bits ≈ 5 B vs 256 B float32, 51×)
+    and scored by ADC table lookups; the quantizer replaces the FAISS
+    ``IndexPQ``/``IndexIVFPQ`` storage model the reference's FAISS
+    backend would use at scale (/root/reference/index/faiss_index.py).
+    Candidates (``fetch_k`` per query per batch) are rescored from the
+    exact float embeddings via the shared pushdown-hydration rescorer.
+
+    Rows-only gate (coarse 5-bit codes can drop a true neighbor from
+    the candidate set); pytest + RECALL.json record measured recall vs
+    q_knn_cosine."""
+    fetch_k = fetch_k or (5 * KNN_K)
+    qids, Q = _query_matrix(sf_dir)
+    q_ref = ray.put((qids, Q))
+    books_ref = ray.put(_pq_train(sf_dir))
+    cands = (
+        _read_embeddings(sf_dir)
+        .map_batches(
+            PqAdcCandidates,
+            fn_constructor_args=(q_ref, books_ref, fetch_k),
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=2,
+        )
+        .to_pandas()
+    )
+    return _exact_rescore(sf_dir, cands, qids, Q)
 
 
 # ---- SemDeDup: cluster-then-dedup semantic deduplication -------------------
@@ -1041,8 +1185,9 @@ ORACLE_SQL = {
         )
         SELECT query_id, rank, vec_id, cos FROM r WHERE rank < {KNN_K}
     """,
-    # knn_cosine_sq8: approximate candidates → rows-only check (recall
-    # measured in RECALL.json and floored in pytest)
+    # knn_cosine_sq8 / knn_cosine_pq: approximate candidates →
+    # rows-only check (recall measured in RECALL.json and floored in
+    # pytest; overlap scores exact by the shared rescorer)
 }
 
 QUERIES = {
@@ -1050,6 +1195,7 @@ QUERIES = {
     "knn_mmr": q_knn_mmr,
     "knn_cosine_filtered": q_knn_cosine_filtered,
     "knn_cosine_sq8": q_knn_cosine_sq8,
+    "knn_cosine_pq": q_knn_cosine_pq,
     "knn_cosine_lsh": q_knn_cosine_lsh,
     "knn_cosine_ivf": q_knn_cosine_ivf,
     "embedding_near_dup": q_embedding_near_dup,

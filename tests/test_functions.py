@@ -137,6 +137,36 @@ def test_knn_sq8_recall():
     assert np.mean(recalls) >= 0.8, f"SQ8 recall too low: {recalls}"
 
 
+def test_knn_pq_recall_and_code_size():
+    """PQ + exact rescore: usable recall on isotropic inputs (PQ's
+    worst case), exact scores on the overlap, and the codebook shape
+    that gives the 51x compression claim (m × 5-bit codes)."""
+    from docinsight_ray.functions.knn import (
+        PQ_KS,
+        PQ_M,
+        _pq_train,
+        q_knn_cosine,
+        q_knn_cosine_pq,
+    )
+
+    books = _pq_train(SF)
+    assert books.shape == (PQ_M, PQ_KS, 64 // PQ_M)
+    # deterministic training: same seed → identical codebooks
+    assert np.array_equal(books, _pq_train(SF))
+
+    exact = q_knn_cosine(SF).to_pandas()
+    approx = q_knn_cosine_pq(SF).to_pandas()
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = exact[exact.query_id == qid].set_index("vec_id")["cos"]
+        a = approx[approx.query_id == qid].set_index("vec_id")["cos"]
+        hit = e.index.intersection(a.index)
+        recalls.append(len(hit) / len(e))
+        # rescored scores are EXACT — equal to brute force on the overlap
+        assert np.allclose(e.loc[hit].to_numpy(), a.loc[hit].to_numpy())
+    assert np.mean(recalls) >= 0.6, f"PQ recall too low: {recalls}"
+
+
 def test_embedding_near_dup_no_full_broadcast_and_lsh_recall():
     """The exact near-dup pipeline (tile-pair decomposition) matches a
     driver-computed brute force, and the LSH-bucketed + exact-verify
