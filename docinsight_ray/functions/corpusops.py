@@ -927,6 +927,93 @@ def q_mixture_sample(sf_dir: str) -> pa.Table:
     )
 
 
+# ---- token-budget data selection ------------------------------------------
+
+BUDGET_NUM, BUDGET_DEN = 2, 5  # keep the best 40% of corpus tokens
+BUDGET_SCORE_W = 1024          # score-range width per selection bucket
+
+
+def q_budget_select(sf_dir: str) -> pa.Table:
+    """Quality-ordered data selection under a global TOKEN BUDGET: rank
+    every document by an integer quality score (token density,
+    micro-tokens-per-char — deterministic, engine-portable) and keep
+    the maximal prefix of the (score desc, doc_id asc) ordering whose
+    cumulative token count fits ``2/5`` of the corpus's total tokens.
+    This is the "spend my training budget on the best data" selection
+    pass (e.g. phi-style quality-first curation) that follows scoring.
+
+    Scale shape — the same two-phase distributed ordered scan as
+    ``sequence_pack``, but ordered by SCORE instead of doc_id:
+      1. one corpus pass emits (doc_id, n_tokens, score, sbucket =
+         score // W); a tiny groupby(sbucket).sum gives per-bucket
+         token totals,
+      2. the driver cumsums the BUCKET table in descending-score order
+         only (|score range|/W rows) and broadcasts (offsets, budget),
+      3. each bucket group sorts locally by (score desc, doc_id),
+         adds its global offset, and cuts at the budget; buckets whose
+         offset already exceeds the budget emit nothing (pruned).
+    No row-level data reaches the driver; the cut lands mid-bucket
+    without any global sort or shuffle of the rows themselves."""
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_id = batch["doc_id"].astype("int64")
+        toks = (
+            batch["text"].str.lower().str.findall(_TOK2_RE).str.len().astype("int64")
+        )
+        nch = batch["n_chars"].astype("int64").clip(lower=1)
+        score = (toks * 1_000_000) // nch
+        return pd.DataFrame(
+            {
+                "doc_id": doc_id,
+                "n_tokens": toks,
+                "score": score,
+                "sbucket": (score // BUDGET_SCORE_W).astype("int64"),
+            }
+        )
+
+    scored = _read(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
+        stats, batch_format="pandas"
+    ).materialize()
+
+    sums = scored.groupby("sbucket").sum("n_tokens").to_pandas()
+    sums = sums.sort_values("sbucket", ascending=False).reset_index(drop=True)
+    tot = sums["sum(n_tokens)"].to_numpy(dtype=np.int64)
+    budget = int(tot.sum()) * BUDGET_NUM // BUDGET_DEN
+    offsets = dict(
+        zip(
+            sums["sbucket"].astype(np.int64),
+            np.concatenate([[0], np.cumsum(tot)[:-1]]),
+        )
+    )
+    ctx_ref = ray.put((offsets, budget))
+
+    def bucket_cut(g: pd.DataFrame) -> pd.DataFrame:
+        offs, bud = ray.get(ctx_ref)
+        start = int(offs[int(g["sbucket"].iloc[0])])
+        cols = ["doc_id", "n_tokens", "score"]
+        if start >= bud:  # bucket entirely past the budget cut
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols + ["cum_tokens"]})
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+        cum = start + np.cumsum(g["n_tokens"].to_numpy(dtype=np.int64))
+        keep = cum <= bud
+        out = g.loc[keep, cols].copy()
+        out["cum_tokens"] = cum[keep]
+        return out
+
+    empty = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("score", pa.int64()),
+            ("cum_tokens", pa.int64()),
+        ]
+    )
+    return collect_table(
+        scored.groupby("sbucket").map_groups(bucket_cut, batch_format="pandas"),
+        empty,
+    )
+
+
 # ---- registration --------------------------------------------------------
 
 # SIMPLE_TOK_SQL is re-declared here (not imported) to avoid a cycle
@@ -955,6 +1042,22 @@ ORACLE_SQL = {
         SELECT doc_id, n_tokens, start_token,
                (start_token // {PACK_BUDGET})::BIGINT AS pack_id
         FROM s
+    """,
+    "budget_select": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 len({_TOK_SQL})::BIGINT AS n_tokens,
+                 ((len({_TOK_SQL})::BIGINT * 1000000) // greatest(n_chars, 1))::BIGINT AS score
+          FROM documents
+        ), b AS (
+          SELECT (SELECT sum(n_tokens) FROM t) * {BUDGET_NUM} // {BUDGET_DEN} AS budget
+        ), c AS (
+          SELECT doc_id, n_tokens, score,
+                 sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+          FROM t
+        )
+        SELECT doc_id, n_tokens, score, cum_tokens FROM c, b WHERE cum_tokens <= budget
     """,
     "length_quantiles": f"""
         SELECT lang, count(*)::BIGINT AS n,
@@ -1414,6 +1517,7 @@ FROM h JOIN t USING (lang)
 QUERIES = {
     "dataset_split": q_dataset_split,
     "sequence_pack": q_sequence_pack,
+    "budget_select": q_budget_select,
     "length_quantiles": q_length_quantiles,
     "tfidf_top_terms": q_tfidf_top_terms,
     "decontaminate": q_decontaminate,

@@ -47,6 +47,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "hot_ngrams",
         "hot_ngram_coverage",
         "mixture_sample",
+        "budget_select",
     ],
 )
 def test_sql_parity(name):
@@ -55,6 +56,46 @@ def test_sql_parity(name):
     got = _canon(QUERIES[name](SF).to_pandas())
     want = _canon(_oracle(name))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_budget_select_maximal_quality_prefix():
+    """The kept set is the MAXIMAL (score desc, doc_id asc) prefix
+    under the token budget: total kept tokens ≤ budget, the next doc
+    in that ordering would overflow it, and no excluded doc outranks
+    a kept one."""
+    from docinsight_ray.functions.corpusops import (
+        BUDGET_DEN,
+        BUDGET_NUM,
+        q_budget_select,
+    )
+
+    kept = q_budget_select(SF).to_pandas().sort_values("cum_tokens").reset_index(drop=True)
+    # independently recompute every doc's (score, n_tokens) via the oracle CTE
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    tok = "list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> length(t) >= 2)"
+    allx = con.sql(
+        f"""SELECT doc_id, len({tok})::BIGINT AS n_tokens,
+                   ((len({tok})::BIGINT * 1000000) // greatest(n_chars, 1))::BIGINT AS score
+            FROM documents"""
+    ).df().sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    budget = int(allx["n_tokens"].sum()) * BUDGET_NUM // BUDGET_DEN
+
+    assert int(kept["n_tokens"].sum()) <= budget
+    # cum_tokens is a real prefix sum in selection order
+    assert np.array_equal(kept["cum_tokens"].to_numpy(),
+                          np.cumsum(kept["n_tokens"].to_numpy()))
+    # kept == the first len(kept) rows of the global quality ordering
+    n = len(kept)
+    assert set(kept["doc_id"]) == set(allx["doc_id"].iloc[:n])
+    # maximality: the next-ranked doc would overflow the budget
+    if n < len(allx):
+        assert int(kept["n_tokens"].sum()) + int(allx["n_tokens"].iloc[n]) > budget
+    # determinism
+    again = q_budget_select(SF).to_pandas().sort_values("cum_tokens").reset_index(drop=True)
+    pd.testing.assert_frame_equal(kept, again)
 
 
 def test_dataset_split_fractions_and_determinism():
