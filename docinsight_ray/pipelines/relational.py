@@ -478,6 +478,76 @@ def q_lapsed_customers(sf_dir: str) -> pa.Table:
     )
 
 
+Q13_EXCLUDE = "1-URGENT"  # the Q13 "special orders" exclusion analogue
+
+
+def q_custdist(sf_dir: str) -> pa.Table:
+    """TPC-H-Q13-shaped customer distribution: how many customers
+    placed exactly N (non-excluded) orders — INCLUDING zero-order
+    customers, the left-outer-join semantics.
+
+    Ray-Data shape: the LEFT OUTER JOIN + GROUP BY is re-expressed as
+    a union of contributions — each customer emits (c_custkey, 0) and
+    each qualifying order batch emits per-batch PARTIAL (c_custkey,
+    count) rows — followed by one groupby(c_custkey).sum. No join at
+    all: the only shuffle carries ≤ |customers| + |order batches ×
+    distinct customers per batch| narrow rows, and zero-order
+    customers fall out naturally from their 0 contribution. A second
+    combiner pass (per-batch count by order-count, then a tiny
+    groupby) yields the distribution without the per-customer table
+    ever reaching the driver."""
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["o_orderpriority"], pa.scalar(Q13_EXCLUDE)))
+        g = t.group_by("o_custkey").aggregate([("o_orderkey", "count")])
+        return pa.table(
+            {
+                "c_custkey": pc.cast(g["o_custkey"], pa.int64()),
+                "n": pc.cast(g["o_orderkey_count"], pa.int64()),
+            }
+        )
+
+    def cust_zero(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "n": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        )
+
+    contrib = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        cust_zero, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderpriority"]).map_batches(
+            order_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    per_cust = contrib.groupby("c_custkey").sum("n")
+
+    def dist_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("sum(n)").aggregate([("c_custkey", "count")])
+        return pa.table(
+            {
+                "c_count": pc.cast(g["sum(n)"], pa.int64()),
+                "part": pc.cast(g["c_custkey_count"], pa.int64()),
+            }
+        )
+
+    out = (
+        per_cust.map_batches(dist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_count")
+        .sum("part")
+        .to_pandas()
+    )
+    out = out.rename(columns={"sum(part)": "custdist"})
+    out["c_count"] = out["c_count"].astype("int64")
+    out["custdist"] = out["custdist"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values(["custdist", "c_count"], ascending=False).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 PIVOT_BUCKETS = 64
 
@@ -576,6 +646,17 @@ ORACLE_SQL = {
         SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
                count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
         FROM documents GROUP BY GROUPING SETS ((lang, source), (lang), ())
+    """,
+    "custdist": f"""
+        WITH per_cust AS (
+          SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+          FROM customer c
+          LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '{Q13_EXCLUDE}'
+          GROUP BY c.c_custkey
+        )
+        SELECT c_count, count(*)::BIGINT AS custdist
+        FROM per_cust GROUP BY c_count
     """,
     "lapsed_customers": f"""
         SELECT c.c_custkey, c.c_name, c.c_mktsegment
@@ -677,6 +758,7 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "top_unshipped_orders": q_top_unshipped_orders,
     "lapsed_customers": q_lapsed_customers,
+    "custdist": q_custdist,
     "event_pivot": q_event_pivot,
     "doc_rollup": q_doc_rollup,
     "returned_revenue": q_returned_revenue,

@@ -783,6 +783,70 @@ def test_top_unshipped_orders_parity(ray_session):
     assert seg_ok == Q3_K
 
 
+def test_custdist_left_outer_semantics(ray_session):
+    """custdist (TPC-H Q13 shape): parity with the LEFT OUTER JOIN
+    oracle, plus the two conservation laws that prove the no-join
+    union-of-contributions rewrite — customers partition across the
+    histogram, and weighted counts recover the qualifying order total
+    (so zero-order customers are really present, not dropped)."""
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.pipelines.relational import ORACLE_SQL, Q13_EXCLUDE, q_custdist
+
+    got = q_custdist(SF).to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    want = con.sql(ORACLE_SQL["custdist"]).df()
+    cols = sorted(got.columns)
+    key = ["custdist", "c_count"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(key, ascending=False).reset_index(drop=True),
+        want[cols].sort_values(key, ascending=False).reset_index(drop=True),
+        check_dtype=False,
+    )
+    n_cust = con.sql("SELECT count(*) FROM customer").fetchone()[0]
+    n_orders = con.sql(
+        f"""SELECT count(*) FROM orders o
+            WHERE o.o_orderpriority <> '{Q13_EXCLUDE}'
+              AND o.o_custkey IN (SELECT c_custkey FROM customer)"""
+    ).fetchone()[0]
+    assert int(got["custdist"].sum()) == n_cust
+    assert int((got["c_count"] * got["custdist"]).sum()) == n_orders
+
+
+def test_custdist_keeps_zero_order_customers(ray_session, tmp_path):
+    """The left-outer semantics on a fixture where they bite: a
+    customer with no orders at all and one whose only order is
+    excluded by the priority filter must both land in the c_count=0
+    bucket (sf data has no zero-order customers, so this is the only
+    real exercise of the outer edge)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docinsight_ray.pipelines.relational import Q13_EXCLUDE, q_custdist
+
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2, 3, 4], type=pa.int64())}),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([10, 11, 12], type=pa.int64()),
+                "o_custkey": pa.array([1, 1, 3], type=pa.int64()),
+                # customer 3's only order carries the excluded priority
+                "o_orderpriority": pa.array(["2-HIGH", "2-HIGH", Q13_EXCLUDE]),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    got = q_custdist(str(tmp_path)).to_pandas().set_index("c_count")["custdist"]
+    # cust 1 → 2 orders; cust 2, 3, 4 → 0 (no orders / excluded-only)
+    assert got.to_dict() == {0: 3, 2: 1}
+
+
 def test_lapsed_customers_anti_join_parity(ray_session):
     """lapsed_customers: the hash-partitioned anti-join gate equals the
     DuckDB NOT EXISTS oracle at sf0.001, is non-trivial (some but not
