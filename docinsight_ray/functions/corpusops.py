@@ -869,6 +869,159 @@ def q_unigram_surprisal(sf_dir: str) -> pa.Table:
     )
 
 
+BG_VOCAB = 256  # kept bigrams (bc desc, pair asc); the rest back off
+BG_INV_ALPHA = 2.5  # stupid-backoff 1/α (α = 0.4, Brants et al. 2007)
+LM_OOV = "<oov>"
+
+
+def q_bigram_surprisal(sf_dir: str) -> pa.Table:
+    """Bigram-LM quality scoring with STUPID BACKOFF (Brants et al.
+    2007, "Large Language Models in Machine Translation") — the step
+    past :func:`q_unigram_surprisal` that a KenLM-style perplexity
+    filter actually runs: tokens fold into the same top-``LM_VOCAB``
+    + OOV alphabet, a bigram table over the folded alphabet keeps the
+    top ``BG_VOCAB`` pairs, and each token costs
+      - pos 0:            ln(total / tf(cur))          (unigram start)
+      - kept bigram:      ln(tf(prev) / bc(prev,cur))  (conditional)
+      - otherwise:        ln((1/α) · total / tf(cur))  (backoff)
+    in integer micro-nats, so per-doc sums are order-independent
+    int64s and the only float op per DISTINCT symbol/pair is one ln —
+    the same exactness discipline as the unigram gate.
+
+    Scale shape: pass 1 merges vocab-bounded per-batch tf partials;
+    pass 2 merges per-batch bigram partials BOUNDED BY THE FOLDED
+    ALPHABET (≤ (LM_VOCAB+1)² pairs per batch, no raw-vocabulary
+    blowup — folding happens before counting); pass 3 broadcasts the
+    three bounded cost maps once and streams the corpus shuffle-free.
+    At web scale passes 1-2 swap their driver merges for the same
+    ``groupby().sum`` the build's global-df pass uses; truncation
+    semantics unchanged."""
+
+    # pass 1: unigram tf → vocab + folded counts (total stays exact)
+    def tf_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cnt: dict[str, int] = {}
+        for ts in batch["text"].str.lower().str.findall(_TOK2_RE):
+            for t in ts:
+                cnt[t] = cnt.get(t, 0) + 1
+        return pd.DataFrame(
+            {"term": list(cnt), "tf": np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt))}
+        )
+
+    tf_empty = pa.schema([("term", pa.string()), ("tf", pa.int64())])
+    tf_tbl = (
+        collect_table(
+            _read(sf_dir, ["text"]).map_batches(tf_partial, batch_format="pandas"),
+            tf_empty,
+        )
+        .to_pandas()
+        .groupby("term", as_index=False)["tf"]
+        .sum()
+    )
+    total = float(int(tf_tbl["tf"].sum()))
+    top = (
+        tf_tbl.sort_values(["tf", "term"], ascending=[False, True])
+        .head(LM_VOCAB)
+        .reset_index(drop=True)
+    )
+    vocab = set(top["term"])
+    ftf = {t: int(tf) for t, tf in zip(top["term"], top["tf"])}
+    ftf[LM_OOV] = max(int(total) - int(top["tf"].sum()), 1)
+    vocab_ref = ray.put(vocab)
+
+    # pass 2: bigram counts over the FOLDED alphabet (bounded partials)
+    def bg_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vset: set[str] = ray.get(vocab_ref)
+        cnt: dict[tuple[str, str], int] = {}
+        for ts in batch["text"].str.lower().str.findall(_TOK2_RE):
+            prev = None
+            for t in ts:
+                cur = t if t in vset else LM_OOV
+                if prev is not None:
+                    cnt[(prev, cur)] = cnt.get((prev, cur), 0) + 1
+                prev = cur
+        return pd.DataFrame(
+            {
+                "prev": [p for p, _ in cnt],
+                "cur": [c for _, c in cnt],
+                "bc": np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt)),
+            }
+        )
+
+    bg_empty = pa.schema([("prev", pa.string()), ("cur", pa.string()), ("bc", pa.int64())])
+    bgc = (
+        collect_table(
+            _read(sf_dir, ["text"]).map_batches(bg_partial, batch_format="pandas"),
+            bg_empty,
+        )
+        .to_pandas()
+        .groupby(["prev", "cur"], as_index=False)["bc"]
+        .sum()
+        .sort_values(["bc", "prev", "cur"], ascending=[False, True, True])
+        .head(BG_VOCAB)
+    )
+
+    # bounded integer cost maps, broadcast once
+    uni_c = {t: int(np.round(np.log(total / float(tf)) * 1e6)) for t, tf in ftf.items()}
+    back_c = {
+        t: int(np.round(np.log(BG_INV_ALPHA * total / float(tf)) * 1e6))
+        for t, tf in ftf.items()
+    }
+    bg_c = {
+        (p, c): int(np.round(np.log(float(ftf[p]) / float(bc)) * 1e6))
+        for p, c, bc in zip(bgc["prev"], bgc["cur"], bgc["bc"])
+    }
+    model_ref = ray.put((vocab, uni_c, back_c, bg_c))
+
+    # pass 3: shuffle-free scoring scan
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        vset, uc, bkc, bc = ray.get(model_ref)
+        doc_ids, n_toks, n_backs, costs = [], [], [], []
+        for doc_id, ts in zip(
+            batch["doc_id"].astype("int64"),
+            batch["text"].str.lower().str.findall(_TOK2_RE),
+        ):
+            if not len(ts):
+                continue  # empty docs have no rows in the SQL oracle
+            cost = 0
+            n_back = 0
+            prev = None
+            for t in ts:
+                cur = t if t in vset else LM_OOV
+                if prev is None:
+                    cost += uc[cur]
+                elif (prev, cur) in bc:
+                    cost += bc[(prev, cur)]
+                else:
+                    cost += bkc[cur]
+                    n_back += 1
+                prev = cur
+            doc_ids.append(int(doc_id))
+            n_toks.append(len(ts))
+            n_backs.append(n_back)
+            costs.append(cost)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "n_tokens": pd.Series(n_toks, dtype="int64"),
+                "n_backoff": pd.Series(n_backs, dtype="int64"),
+                "cost_micro": pd.Series(costs, dtype="int64"),
+            }
+        )
+
+    empty = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("n_backoff", pa.int64()),
+            ("cost_micro", pa.int64()),
+        ]
+    )
+    return collect_table(
+        _read(sf_dir, ["doc_id", "text"]).map_batches(score, batch_format="pandas"),
+        empty,
+    )
+
+
 def q_mixture_sample(sf_dir: str) -> pa.Table:
     """Deterministic domain-mixture rebalancing: per-lang keep
     threshold from the temperature-scaled rate, membership decided by
@@ -1246,6 +1399,60 @@ ORACLE_SQL["unigram_surprisal"] = f"""
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
+ORACLE_SQL["bigram_surprisal"] = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK_SQL}) AS term,
+             generate_subscripts({_TOK_SQL}, 1) AS pos
+      FROM documents
+    ),
+    tf AS (SELECT term, count(*)::BIGINT AS tf FROM tok GROUP BY term),
+    tot AS (SELECT sum(tf)::DOUBLE AS total FROM tf),
+    ranked AS (
+      SELECT term, tf, row_number() OVER (ORDER BY tf DESC, term ASC) AS r FROM tf
+    ),
+    vocab AS (SELECT term, tf FROM ranked WHERE r <= {LM_VOCAB}),
+    ftok AS (
+      SELECT t.doc_id, t.pos,
+             CASE WHEN v.term IS NULL THEN '{LM_OOV}' ELSE t.term END AS term
+      FROM tok t LEFT JOIN vocab v USING (term)
+    ),
+    funi AS (
+      SELECT term, greatest(count(*), 1)::BIGINT AS tf FROM ftok GROUP BY term
+    ),
+    bg AS (
+      SELECT a.doc_id, a.pos, b.term AS prev, a.term AS cur
+      FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id AND a.pos = b.pos + 1
+    ),
+    bgc AS (SELECT prev, cur, count(*)::BIGINT AS bc FROM bg GROUP BY prev, cur),
+    rankedb AS (
+      SELECT prev, cur, bc,
+             row_number() OVER (ORDER BY bc DESC, prev ASC, cur ASC) AS r
+      FROM bgc
+    ),
+    kept AS (SELECT prev, cur, bc FROM rankedb WHERE r <= {BG_VOCAB}),
+    scored AS (
+      SELECT f.doc_id,
+             CASE
+               WHEN f.pos = 1
+                 THEN round(ln(total / fu.tf::DOUBLE) * 1000000)::BIGINT
+               WHEN k.bc IS NOT NULL
+                 THEN round(ln(fp.tf::DOUBLE / k.bc::DOUBLE) * 1000000)::BIGINT
+               ELSE round(ln({BG_INV_ALPHA} * total / fu.tf::DOUBLE) * 1000000)::BIGINT
+             END AS c,
+             CASE WHEN f.pos > 1 AND k.bc IS NULL THEN 1 ELSE 0 END AS is_backoff
+      FROM ftok f
+      CROSS JOIN tot
+      JOIN funi fu ON fu.term = f.term
+      LEFT JOIN bg g ON g.doc_id = f.doc_id AND g.pos = f.pos
+      LEFT JOIN funi fp ON fp.term = g.prev
+      LEFT JOIN kept k ON k.prev = g.prev AND k.cur = f.term
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           sum(is_backoff)::BIGINT AS n_backoff,
+           sum(c)::BIGINT AS cost_micro
+    FROM scored GROUP BY doc_id
+"""
+
 # ---- corpus data card -------------------------------------------------------
 
 
@@ -1528,6 +1735,7 @@ QUERIES = {
     "hot_ngram_coverage": q_hot_ngram_coverage,
     "mixture_sample": q_mixture_sample,
     "unigram_surprisal": q_unigram_surprisal,
+    "bigram_surprisal": q_bigram_surprisal,
     "dup_spans": q_dup_spans,
     "corpus_report": q_corpus_report,
 }

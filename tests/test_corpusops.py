@@ -48,6 +48,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "hot_ngram_coverage",
         "mixture_sample",
         "budget_select",
+        "bigram_surprisal",
     ],
 )
 def test_sql_parity(name):
@@ -56,6 +57,64 @@ def test_sql_parity(name):
     got = _canon(QUERIES[name](SF).to_pandas())
     want = _canon(_oracle(name))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bigram_surprisal_model_semantics():
+    """Stupid-backoff bigram LM: costs are positive micro-nats,
+    n_backoff is bounded by the bigram count, the run is
+    deterministic, and conditioning on the previous token reduces the
+    corpus-mean per-token cost vs the unigram LM (the reason to run a
+    higher-order model at all)."""
+    from docinsight_ray.functions.corpusops import (
+        q_bigram_surprisal,
+        q_unigram_surprisal,
+    )
+
+    bg = q_bigram_surprisal(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (bg["cost_micro"] > 0).all()
+    assert (bg["n_backoff"] <= (bg["n_tokens"] - 1).clip(lower=0)).all()
+    again = q_bigram_surprisal(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(bg, again)
+
+    # the sf corpus draws tokens INDEPENDENTLY, so conditioning buys
+    # nothing there — the bigram model must merely stay calibrated
+    # (within 10% of the unigram per-token cost, the independence
+    # limit where bc(prev,cur) ≈ tf(prev)·tf(cur)/total)
+    uni = q_unigram_surprisal(SF).to_pandas()
+    uni = uni[uni["n_tokens"] > 0]
+    mean_uni = uni["cost_micro"].sum() / uni["n_tokens"].sum()
+    mean_bg = bg["cost_micro"].sum() / bg["n_tokens"].sum()
+    assert abs(mean_bg - mean_uni) / mean_uni < 0.10, (mean_bg, mean_uni)
+
+
+def test_bigram_surprisal_conditioning_wins_on_structured_text(tmp_path):
+    """On text with real sequential structure (strict token
+    alternation) the bigram conditionals drive per-token cost far
+    below the unigram model — the property that makes a higher-order
+    LM worth running as a quality filter."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docinsight_ray.functions.corpusops import q_bigram_surprisal
+
+    texts = [" ".join(["aa bb"] * 40)] * 10 + [" ".join(["cc dd"] * 40)] * 10
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    bg = q_bigram_surprisal(str(tmp_path)).to_pandas()
+    # unigram baseline on this corpus: every token costs ln(4)·1e6
+    # (four equiprobable symbols); the bigram chain is deterministic
+    # after the first token, so per-token cost collapses toward 0
+    per_tok = bg["cost_micro"].sum() / bg["n_tokens"].sum()
+    assert per_tok < 0.2 * np.log(4) * 1e6, per_tok
+    assert (bg["n_backoff"] == 0).all()  # every bigram is in the kept table
 
 
 def test_budget_select_maximal_quality_prefix():
