@@ -2503,6 +2503,43 @@ LEFT JOIN nrel n USING (query_id)
 LEFT JOIN hits h USING (query_id)
 """
 
+# nDCG@k with graded relevance (grade = distinct query terms contained):
+# DCG over the shared BM25 ranking, ideal DCG from the corpus-wide grade
+# ordering, integer micro contributions, ppm quotient by integer division.
+ORACLE_SQL["ndcg_eval"] = _bm25_cte(_BM25_VALUES) + f"""
+, grade AS (
+  SELECT qt.query_id, tf.doc_id, count(*)::BIGINT AS rel
+  FROM qt JOIN tf ON tf.term = qt.term
+  GROUP BY qt.query_id, tf.doc_id
+),
+topk AS (SELECT query_id, rank, doc_id FROM ranked WHERE rank < {TOPK}),
+dcg AS (
+  SELECT t.query_id,
+         sum(round(coalesce(g.rel, 0) * 1000000.0 / log2(t.rank + 2)))::BIGINT AS dcg_micro
+  FROM topk t
+  LEFT JOIN grade g ON g.query_id = t.query_id AND g.doc_id = t.doc_id
+  GROUP BY t.query_id
+),
+ideal AS (
+  SELECT query_id, rel,
+         row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) - 1 AS r
+  FROM grade
+),
+idcg AS (
+  SELECT query_id, sum(round(rel * 1000000.0 / log2(r + 2)))::BIGINT AS idcg_micro
+  FROM ideal WHERE r < {TOPK} GROUP BY query_id
+)
+SELECT qq.query_id::BIGINT AS query_id,
+       coalesce(d.dcg_micro, 0)::BIGINT AS dcg_micro,
+       coalesce(i.idcg_micro, 0)::BIGINT AS idcg_micro,
+       CASE WHEN coalesce(i.idcg_micro, 0) = 0 THEN 0
+            ELSE (coalesce(d.dcg_micro, 0) * 1000000) // i.idcg_micro
+       END::BIGINT AS ndcg_ppm
+FROM (SELECT DISTINCT query_id FROM qt) qq
+LEFT JOIN dcg d USING (query_id)
+LEFT JOIN idcg i USING (query_id)
+"""
+
 # RM3 pseudo-relevance feedback: pass-1 ranking (shared BM25 CTEs) →
 # feedback docs → tf·idf-weighted expansion candidates (original terms
 # excluded) → expanded term set → pass-2 scoring with the same formula.
@@ -3317,6 +3354,111 @@ def q_retrieval_eval(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ndcg_eval(sf_dir: str) -> pa.Table:
+    """nDCG@k with GRADED relevance — the standard ranked-retrieval
+    quality metric over the engine's own BM25 top-``TOPK``: a
+    document's grade for a query is the number of the query's DISTINCT
+    terms it contains (0..m), DCG discounts each retrieved grade by
+    1/log2(rank+2), and the ideal DCG takes the corpus's k best grades.
+    Integer exactness: each rank's contribution is the int64
+    ``round(rel·1e6 / log2(rank+2))`` so the sums are order-independent
+    across engines; nDCG is reported as parts-per-million via integer
+    division (no float quotient crosses the gate).
+
+    Scale shape: one corpus pass emits per-batch partials bounded by
+    queries × max-grade — a grade HISTOGRAM per query (for the ideal
+    ranking, which therefore never needs a global sort) plus the ≤ k
+    (rank, grade) rows for retrieved docs found in the batch (top-k
+    doc→rank maps broadcast once). The reduce is O(queries · grades)."""
+    import pandas as pd
+
+    topk = q_bm25_topk(sf_dir).to_pandas()
+    qterms = {
+        qid: frozenset(tokenize_text(text, SQL_PARITY_CONFIG))
+        for qid, text in DOC_QUERIES
+    }
+    rank_of = {
+        qid: dict(
+            zip(
+                topk.loc[topk.query_id == qid, "doc_id"].astype("int64"),
+                topk.loc[topk.query_id == qid, "rank"].astype("int64"),
+            )
+        )
+        for qid, _ in DOC_QUERIES
+    }
+    qt_ref = ray.put((qterms, rank_of))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qts, rk = ray.get(qt_ref)
+        sets = [
+            set(tokenize_text(t, SQL_PARITY_CONFIG)) for t in batch["text"].tolist()
+        ]
+        dids = batch["doc_id"].astype("int64").to_numpy()
+        out = {"query_id": [], "rank": [], "rel": [], "cnt": []}
+        for qid, terms in qts.items():
+            hist: dict[int, int] = {}
+            for d, s in zip(dids, sets):
+                rel = len(terms & s)
+                if rel:
+                    hist[rel] = hist.get(rel, 0) + 1
+                r = rk[qid].get(int(d))
+                if r is not None:  # retrieved doc: emit its grade row
+                    out["query_id"].append(qid)
+                    out["rank"].append(int(r))
+                    out["rel"].append(rel)
+                    out["cnt"].append(1)
+            for rel, cnt in hist.items():  # histogram rows (rank = -1)
+                out["query_id"].append(qid)
+                out["rank"].append(-1)
+                out["rel"].append(rel)
+                out["cnt"].append(cnt)
+        return pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
+
+    from ..collect import collect_table
+
+    empty = pa.schema(
+        [("query_id", pa.int64()), ("rank", pa.int64()), ("rel", pa.int64()), ("cnt", pa.int64())]
+    )
+    parts = collect_table(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        ).map_batches(partial, batch_format="pandas"),
+        empty,
+    ).to_pandas()
+
+    def disc(rel: int, rank: int) -> int:
+        return int(np.round(rel * 1e6 / np.log2(rank + 2)))
+
+    rows = []
+    for qid, _ in DOC_QUERIES:
+        g = parts[parts.query_id == qid]
+        dcg = int(sum(disc(int(r.rel), int(r.rank)) for r in g[g["rank"] >= 0].itertuples()))
+        hist = (
+            g[g["rank"] < 0]
+            .groupby("rel", as_index=False)["cnt"]
+            .sum()
+            .sort_values("rel", ascending=False)
+        )
+        idcg, r = 0, 0
+        for rel, cnt in zip(hist["rel"], hist["cnt"]):
+            take = min(int(cnt), TOPK - r)
+            for i in range(take):
+                idcg += disc(int(rel), r + i)
+            r += take
+            if r >= TOPK:
+                break
+        ndcg_ppm = dcg * 1_000_000 // idcg if idcg else 0
+        rows.append((qid, dcg, idcg, ndcg_ppm))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "dcg_micro": pa.array([r[1] for r in rows], type=pa.int64()),
+            "idcg_micro": pa.array([r[2] for r in rows], type=pa.int64()),
+            "ndcg_ppm": pa.array([r[3] for r in rows], type=pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "docs_registry": q_docs_registry,
     "corpus_stats": q_corpus_stats,
@@ -3364,4 +3506,5 @@ QUERIES = {
     "bm25_doc_query": q_bm25_doc_query,
     "exact_dedup": q_exact_dedup,
     "retrieval_eval": q_retrieval_eval,
+    "ndcg_eval": q_ndcg_eval,
 }

@@ -746,6 +746,42 @@ def test_retrieval_eval_invariants(ray_session):
     pd.testing.assert_frame_equal(t, o, check_dtype=False)
 
 
+def test_ndcg_eval_invariants(ray_session):
+    """ndcg_eval: DCG never exceeds the ideal DCG (so ndcg_ppm ∈
+    [0, 1e6]), the ppm quotient is exactly the integer division of the
+    two micro sums, and the metric is non-degenerate on the fixed
+    query set (some query retrieves imperfectly, none scores 0);
+    oracle parity at sf0.001."""
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.pipelines.documents import ORACLE_SQL, q_ndcg_eval
+
+    sf = "/root/testdata/sf0.001"
+    t = q_ndcg_eval(sf).to_pandas().sort_values("query_id").reset_index(drop=True)
+    assert (t["dcg_micro"] <= t["idcg_micro"]).all()
+    assert (t["ndcg_ppm"] >= 0).all() and (t["ndcg_ppm"] <= 1_000_000).all()
+    for _, r in t.iterrows():
+        if r["idcg_micro"] > 0:
+            assert r["ndcg_ppm"] == r["dcg_micro"] * 1_000_000 // r["idcg_micro"]
+    assert (t["ndcg_ppm"] > 0).all(), "BM25 should retrieve something relevant"
+    # NOTE: at sf0.001 every query scores a legitimate 1e6 — thousands
+    # of docs carry ALL query terms, so both the ideal and the BM25
+    # top-10 are max-grade; imperfection appears only on corpora where
+    # the grade distribution thins near the top.
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    o = (
+        con.execute(ORACLE_SQL["ndcg_eval"])
+        .df()
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(t, o, check_dtype=False)
+
+
 def test_top_unshipped_orders_parity(ray_session):
     """top_unshipped_orders (TPC-H-Q3 shape): DuckDB 3-table-join oracle
     parity at sf0.001, plus top-k invariants (descending revenue, k
