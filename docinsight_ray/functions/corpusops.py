@@ -1557,6 +1557,69 @@ UNION ALL SELECT 'total_tokens', sum(len(toks))::BIGINT FROM t
 
 # ---- duplicated-substring coverage (exact substring dedup) ----------------
 
+WIN_K = 4  # winnowing k-gram size (tokens per fingerprinted gram)
+WIN_W = 4  # winnowing window: every W consecutive grams yield ≥1 print
+
+
+def q_winnow_fingerprints(sf_dir: str) -> pa.Table:
+    """WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken
+    2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    the MOSS algorithm, i.e. exactly the robust plagiarism-detection
+    fingerprinting the reference's domain is about): hash every
+    ``WIN_K``-token gram (first 16 hex chars of sha256, portable
+    across engines), slide a ``WIN_W``-gram window, and select each
+    window's minimal hash with RIGHTMOST tie-breaking. The guarantee:
+    any shared substring of ≥ WIN_K+WIN_W-1 tokens yields at least one
+    shared fingerprint, at expected density 2/(W+1) — so matching is
+    position-independent and storage is a fraction of the gram count.
+
+    Scale shape: a pure stateless scan — each doc's fingerprints are
+    computed inside its batch with a vectorized sliding-window argmin
+    (no shuffle at all); the selected (doc_id, pos, h) rows are the
+    op's output and the input to any downstream shared-fingerprint
+    join (which groups by ``h``, the usual LSH-style bounded-bucket
+    shuffle). Docs with fewer than W complete grams emit nothing (the
+    winnowing guarantee is defined from that length up)."""
+    import hashlib
+
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def _h16(gram: str) -> str:
+        return hashlib.sha256(gram.encode("utf-8")).hexdigest()[:16]
+
+    def fingerprints(batch: pd.DataFrame) -> pd.DataFrame:
+        d_ids, poss, hs = [], [], []
+        for did, ts in zip(
+            batch["doc_id"].astype("int64"),
+            batch["text"].str.lower().str.findall(_TOK2_RE),
+        ):
+            n = len(ts) - WIN_K + 1
+            if n < WIN_W:  # no complete window
+                continue
+            hexes = [_h16(" ".join(ts[i : i + WIN_K])) for i in range(n)]
+            harr = np.array([int(x, 16) for x in hexes], dtype=np.uint64)
+            sw = sliding_window_view(harr, WIN_W)
+            # first argmin of the REVERSED window = rightmost min
+            j_rev = np.argmin(sw[:, ::-1], axis=1)
+            pos = np.unique(np.arange(n - WIN_W + 1) + (WIN_W - 1 - j_rev))
+            d_ids.extend([int(did)] * pos.size)
+            poss.extend(pos.tolist())
+            hs.extend(hexes[p] for p in pos)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(d_ids, dtype="int64"),
+                "pos": pd.Series(poss, dtype="int64"),
+                "h": pd.Series(hs, dtype="string"),
+            }
+        )
+
+    empty = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64()), ("h", pa.string())])
+    return collect_table(
+        _read(sf_dir, ["doc_id", "text"]).map_batches(fingerprints, batch_format="pandas"),
+        empty,
+    )
+
+
 DUP_K = 5  # token window: a K-gram shared by >=2 docs marks its span
 DUP_NBUCKETS = 64  # gram-hash buckets bounding shuffle group count
 
@@ -1708,6 +1771,32 @@ SELECT nt.doc_id, nt.n_tokens,
 FROM nt LEFT JOIN ncov USING (doc_id) LEFT JOIN spans USING (doc_id)
 """
 
+_WIN_CONCAT = " || ' ' || ".join(f"toks[i + {j}]" for j in range(WIN_K))
+
+ORACLE_SQL["winnow_fingerprints"] = f"""
+WITH d AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+g AS (
+  SELECT doc_id, i.i - 1 AS pos, substr(sha256({_WIN_CONCAT}), 1, 16) AS h
+  FROM d, unnest(generate_series(1, greatest(len(toks) - {WIN_K - 1}, 0))) AS i(i)
+),
+n AS (SELECT doc_id, max(pos) AS maxpos FROM g GROUP BY doc_id),
+win AS (
+  SELECT g1.doc_id, g1.pos AS s, g2.pos AS p, g2.h
+  FROM g g1
+  JOIN n ON n.doc_id = g1.doc_id AND g1.pos + {WIN_W - 1} <= n.maxpos
+  JOIN g g2 ON g2.doc_id = g1.doc_id
+           AND g2.pos BETWEEN g1.pos AND g1.pos + {WIN_W - 1}
+),
+wmin AS (SELECT doc_id, s, min(h) AS mh FROM win GROUP BY doc_id, s),
+selw AS (
+  SELECT w.doc_id, w.s, max(w.p) AS pos
+  FROM win w JOIN wmin m ON m.doc_id = w.doc_id AND m.s = w.s AND w.h = m.mh
+  GROUP BY w.doc_id, w.s
+)
+SELECT DISTINCT s.doc_id, s.pos::BIGINT AS pos, g.h
+FROM selw s JOIN g ON g.doc_id = s.doc_id AND g.pos = s.pos
+"""
+
 ORACLE_SQL["mixture_sample"] = f"""
 WITH c AS (SELECT lang, count(*)::DOUBLE AS c FROM documents GROUP BY lang),
 m AS (SELECT min(c) AS cmin FROM c),
@@ -1737,5 +1826,6 @@ QUERIES = {
     "unigram_surprisal": q_unigram_surprisal,
     "bigram_surprisal": q_bigram_surprisal,
     "dup_spans": q_dup_spans,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "corpus_report": q_corpus_report,
 }

@@ -49,6 +49,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "mixture_sample",
         "budget_select",
         "bigram_surprisal",
+        "winnow_fingerprints",
     ],
 )
 def test_sql_parity(name):
@@ -57,6 +58,65 @@ def test_sql_parity(name):
     got = _canon(QUERIES[name](SF).to_pandas())
     want = _canon(_oracle(name))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_winnow_guarantees(tmp_path):
+    """The two Schleimer-2003 winnowing guarantees: (1) every window
+    of WIN_W consecutive grams contains a selected fingerprint (gap
+    bound), at the expected ~2/(W+1) density; (2) two documents
+    sharing a token run of ≥ WIN_K+WIN_W-1 tokens share at least one
+    fingerprint HASH — the property plagiarism matching rests on."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docinsight_ray.functions.corpusops import (
+        WIN_K,
+        WIN_W,
+        _TOK2_RE,
+        q_winnow_fingerprints,
+    )
+
+    fp = q_winnow_fingerprints(SF).to_pandas()
+    import duckdb as ddb
+
+    docs = ddb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    n_grams_total = 0
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        n = len(_TOK2_RE.findall(text.lower())) - WIN_K + 1
+        if n < WIN_W:
+            assert did not in set(fp["doc_id"])
+            continue
+        n_grams_total += n
+        pos = np.sort(fp.loc[fp.doc_id == did, "pos"].to_numpy())
+        assert pos.size > 0
+        assert pos[0] <= WIN_W - 1  # first window covered
+        assert pos[-1] >= n - WIN_W  # last window covered
+        assert (np.diff(pos) <= WIN_W).all()  # every window in between
+    density = len(fp) / n_grams_total
+    assert 0.5 * 2 / (WIN_W + 1) < density < 2.0 * 2 / (WIN_W + 1), density
+
+    # shared-run guarantee on a controlled fixture
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 ≥ K+W-1=7
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "one two three four five six seven " + shared,
+                        shared + " red blue green yellow pink black white",
+                    ]
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    f2 = q_winnow_fingerprints(str(tmp_path)).to_pandas()
+    h1 = set(f2.loc[f2.doc_id == 1, "h"])
+    h2 = set(f2.loc[f2.doc_id == 2, "h"])
+    assert h1 & h2, "shared ≥(K+W-1)-token run must share a fingerprint"
 
 
 def test_bigram_surprisal_model_semantics():
