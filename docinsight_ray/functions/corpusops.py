@@ -1578,8 +1578,22 @@ def q_winnow_fingerprints(sf_dir: str) -> pa.Table:
     (no shuffle at all); the selected (doc_id, pos, h) rows are the
     op's output and the input to any downstream shared-fingerprint
     join (which groups by ``h``, the usual LSH-style bounded-bucket
-    shuffle). Docs with fewer than W complete grams emit nothing (the
-    winnowing guarantee is defined from that length up)."""
+    shuffle — see :func:`q_winnow_pairs`). Docs with fewer than W
+    complete grams emit nothing (the winnowing guarantee is defined
+    from that length up)."""
+    empty = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64()), ("h", pa.string())])
+    return collect_table(
+        _read(sf_dir, ["doc_id", "text"]).map_batches(
+            _winnow_batch, batch_format="pandas"
+        ),
+        empty,
+    )
+
+
+def _winnow_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch winnowing scan → (doc_id, pos, h) fingerprint rows.
+    A document's grams live entirely inside its batch row, so every
+    selection decision is local — no shuffle."""
     import hashlib
 
     from numpy.lib.stride_tricks import sliding_window_view
@@ -1587,36 +1601,102 @@ def q_winnow_fingerprints(sf_dir: str) -> pa.Table:
     def _h16(gram: str) -> str:
         return hashlib.sha256(gram.encode("utf-8")).hexdigest()[:16]
 
-    def fingerprints(batch: pd.DataFrame) -> pd.DataFrame:
-        d_ids, poss, hs = [], [], []
-        for did, ts in zip(
-            batch["doc_id"].astype("int64"),
-            batch["text"].str.lower().str.findall(_TOK2_RE),
-        ):
-            n = len(ts) - WIN_K + 1
-            if n < WIN_W:  # no complete window
-                continue
-            hexes = [_h16(" ".join(ts[i : i + WIN_K])) for i in range(n)]
-            harr = np.array([int(x, 16) for x in hexes], dtype=np.uint64)
-            sw = sliding_window_view(harr, WIN_W)
-            # first argmin of the REVERSED window = rightmost min
-            j_rev = np.argmin(sw[:, ::-1], axis=1)
-            pos = np.unique(np.arange(n - WIN_W + 1) + (WIN_W - 1 - j_rev))
-            d_ids.extend([int(did)] * pos.size)
-            poss.extend(pos.tolist())
-            hs.extend(hexes[p] for p in pos)
-        return pd.DataFrame(
+    d_ids, poss, hs = [], [], []
+    for did, ts in zip(
+        batch["doc_id"].astype("int64"),
+        batch["text"].str.lower().str.findall(_TOK2_RE),
+    ):
+        n = len(ts) - WIN_K + 1
+        if n < WIN_W:  # no complete window
+            continue
+        hexes = [_h16(" ".join(ts[i : i + WIN_K])) for i in range(n)]
+        harr = np.array([int(x, 16) for x in hexes], dtype=np.uint64)
+        sw = sliding_window_view(harr, WIN_W)
+        # first argmin of the REVERSED window = rightmost min
+        j_rev = np.argmin(sw[:, ::-1], axis=1)
+        pos = np.unique(np.arange(n - WIN_W + 1) + (WIN_W - 1 - j_rev))
+        d_ids.extend([int(did)] * pos.size)
+        poss.extend(pos.tolist())
+        hs.extend(hexes[p] for p in pos)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(d_ids, dtype="int64"),
+            "pos": pd.Series(poss, dtype="int64"),
+            "h": pd.Series(hs, dtype="string"),
+        }
+    )
+
+
+WIN_MAX_DF = 16     # stop-fingerprints: hashes in more docs are boilerplate
+WIN_MIN_SHARED = 2  # report pairs sharing at least this many fingerprints
+WIN_NBUCKETS = 64   # fingerprint-hash buckets bounding the pair shuffle
+
+
+def q_winnow_pairs(sf_dir: str) -> pa.Table:
+    """MOSS-style plagiarism candidate pairs: document pairs ranked by
+    the number of DISTINCT fingerprint hashes they share. Fingerprints
+    appearing in more than ``WIN_MAX_DF`` documents are
+    stop-fingerprints (boilerplate — MOSS's "ignore very common
+    fingerprints" rule), so the per-hash pair expansion is bounded at
+    C(WIN_MAX_DF, 2) and the exclusion is part of the op's DEFINITION
+    (shared by the SQL oracle), not a lossy approximation.
+
+    Scale shape: the fingerprint scan is shuffle-free; distinct
+    (doc_id, h) rows shuffle ONCE by hash bucket (``WIN_NBUCKETS``
+    groups — the dedup.py bucketed-shingle discipline); in-bucket pair
+    partials (bounded per hash) shuffle a second time by pair bucket
+    for the final per-pair sum. The full pair matrix never
+    materializes anywhere."""
+
+    def distinct_fp(batch: pd.DataFrame) -> pd.DataFrame:
+        g = _winnow_batch(batch)[["doc_id", "h"]].drop_duplicates()
+        g = g.reset_index(drop=True)
+        g["bucket"] = (
+            pd.util.hash_pandas_object(g["h"], index=False).to_numpy() % WIN_NBUCKETS
+        ).astype(np.int64)
+        return g
+
+    def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
+        from itertools import combinations
+
+        a_ids, b_ids = [], []
+        for _, sub in g.groupby("h"):
+            docs = np.sort(np.unique(sub["doc_id"].to_numpy(np.int64)))
+            if 2 <= docs.size <= WIN_MAX_DF:
+                for a, b in combinations(docs.tolist(), 2):
+                    a_ids.append(a)
+                    b_ids.append(b)
+        out = pd.DataFrame(
             {
-                "doc_id": pd.Series(d_ids, dtype="int64"),
-                "pos": pd.Series(poss, dtype="int64"),
-                "h": pd.Series(hs, dtype="string"),
+                "a_id": pd.Series(a_ids, dtype="int64"),
+                "b_id": pd.Series(b_ids, dtype="int64"),
             }
         )
+        out = out.groupby(["a_id", "b_id"], as_index=False).size().rename(columns={"size": "n_shared"})
+        out["n_shared"] = out["n_shared"].astype("int64")
+        out["pbucket"] = ((out["a_id"] * 31 + out["b_id"]) % WIN_NBUCKETS).astype("int64")
+        return out
 
-    empty = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64()), ("h", pa.string())])
-    return collect_table(
-        _read(sf_dir, ["doc_id", "text"]).map_batches(fingerprints, batch_format="pandas"),
+    def pair_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["a_id", "b_id"], as_index=False)["n_shared"].sum()
+        return out[out["n_shared"] >= WIN_MIN_SHARED].astype("int64")
+
+    pair_partial.__name__ = "pair_partial"
+    pair_final.__name__ = "pair_final"
+
+    fp = _read(sf_dir, ["doc_id", "text"]).map_batches(
+        distinct_fp, batch_format="pandas"
+    )
+    partials = fp.groupby("bucket").map_groups(pair_partial, batch_format="pandas")
+    empty = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64()), ("n_shared", pa.int64())])
+    out = collect_table(
+        partials.groupby("pbucket").map_groups(pair_final, batch_format="pandas"),
         empty,
+    ).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values(["n_shared", "a_id", "b_id"], ascending=[False, True, True])
+        .reset_index(drop=True),
+        preserve_index=False,
     )
 
 
@@ -1773,7 +1853,7 @@ FROM nt LEFT JOIN ncov USING (doc_id) LEFT JOIN spans USING (doc_id)
 
 _WIN_CONCAT = " || ' ' || ".join(f"toks[i + {j}]" for j in range(WIN_K))
 
-ORACLE_SQL["winnow_fingerprints"] = f"""
+_WINNOW_CTE = f"""
 WITH d AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
 g AS (
   SELECT doc_id, i.i - 1 AS pos, substr(sha256({_WIN_CONCAT}), 1, 16) AS h
@@ -1793,8 +1873,27 @@ selw AS (
   FROM win w JOIN wmin m ON m.doc_id = w.doc_id AND m.s = w.s AND w.h = m.mh
   GROUP BY w.doc_id, w.s
 )
+"""
+
+ORACLE_SQL["winnow_fingerprints"] = _WINNOW_CTE + """
 SELECT DISTINCT s.doc_id, s.pos::BIGINT AS pos, g.h
 FROM selw s JOIN g ON g.doc_id = s.doc_id AND g.pos = s.pos
+"""
+
+ORACLE_SQL["winnow_pairs"] = _WINNOW_CTE + f"""
+, fp AS (
+  SELECT DISTINCT s.doc_id, g.h
+  FROM selw s JOIN g ON g.doc_id = s.doc_id AND g.pos = s.pos
+),
+elig AS (SELECT h FROM fp GROUP BY h HAVING count(*) BETWEEN 2 AND {WIN_MAX_DF}),
+pairs AS (
+  SELECT f1.doc_id AS a_id, f2.doc_id AS b_id, count(*)::BIGINT AS n_shared
+  FROM fp f1
+  JOIN elig e USING (h)
+  JOIN fp f2 ON f2.h = f1.h AND f1.doc_id < f2.doc_id
+  GROUP BY f1.doc_id, f2.doc_id
+)
+SELECT a_id, b_id, n_shared FROM pairs WHERE n_shared >= {WIN_MIN_SHARED}
 """
 
 ORACLE_SQL["mixture_sample"] = f"""
@@ -1827,5 +1926,6 @@ QUERIES = {
     "bigram_surprisal": q_bigram_surprisal,
     "dup_spans": q_dup_spans,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_pairs": q_winnow_pairs,
     "corpus_report": q_corpus_report,
 }

@@ -50,6 +50,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "budget_select",
         "bigram_surprisal",
         "winnow_fingerprints",
+        "winnow_pairs",
     ],
 )
 def test_sql_parity(name):
@@ -117,6 +118,43 @@ def test_winnow_guarantees(tmp_path):
     h1 = set(f2.loc[f2.doc_id == 1, "h"])
     h2 = set(f2.loc[f2.doc_id == 2, "h"])
     assert h1 & h2, "shared ≥(K+W-1)-token run must share a fingerprint"
+
+
+def test_winnow_pairs_detects_planted_plagiarism(tmp_path):
+    """winnow_pairs surfaces a planted long shared passage as a
+    candidate pair (a<b, n_shared ≥ WIN_MIN_SHARED), and unrelated
+    docs never pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docinsight_ray.functions.corpusops import WIN_MIN_SHARED, q_winnow_pairs
+
+    shared = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "one two three four five " + shared,
+                        shared + " red blue green yellow pink",
+                        "cat dog bird fish horse cow sheep goat duck hen "
+                        "pig frog bee ant owl fox wolf bear lion tiger",
+                    ]
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    pairs = q_winnow_pairs(str(tmp_path)).to_pandas()
+    assert (pairs["a_id"] < pairs["b_id"]).all()
+    assert (pairs["n_shared"] >= WIN_MIN_SHARED).all()
+    match = pairs[(pairs.a_id == 1) & (pairs.b_id == 2)]
+    assert len(match) == 1 and int(match["n_shared"].iloc[0]) >= 2
+    assert not ((pairs.a_id == 3) | (pairs.b_id == 3)).any()
 
 
 def test_bigram_surprisal_model_semantics():
