@@ -68,6 +68,47 @@ def anti_join(
     return joined.map_batches(keep_misses, batch_format="pyarrow")
 
 
+def semi_join(
+    ds: "ray.data.Dataset",
+    keys: "ray.data.Dataset",
+    on: str,
+    *,
+    n_keys: int,
+    broadcast_limit: int,
+    num_partitions: int,
+) -> "ray.data.Dataset":
+    """Rows of ``ds`` whose ``on`` value DOES appear in ``keys`` (the
+    EXISTS / IN semi-join; duplicates in ``keys`` are fine, output rows
+    are never multiplied).
+
+    Same two-tier shape as ``key_set_filter``: below
+    ``broadcast_limit`` the deduplicated key set ships once via
+    ``ray.put`` and each task keeps hits with Arrow ``is_in`` (no
+    shuffle); above it, the keys deduplicate with a hash groupby and
+    the filter is a hash-partitioned inner join on the distinct key
+    set — inner join against DISTINCT keys is exactly semi-join
+    semantics, and no process ever holds the whole set."""
+    if n_keys == 0:
+        return ds.limit(0)
+    if n_keys <= broadcast_limit:
+        key_tbl = keys.select_columns([on]).to_pandas()
+        vals = pa.array(sorted(set(key_tbl[on])))
+        ref = ray.put(vals)
+
+        def keep_in(t: pa.Table, _r=ref) -> pa.Table:
+            col = t[on]
+            vs = ray.get(_r)
+            if col.type != vs.type:
+                col = pc.cast(col, vs.type)
+            return t.filter(pc.is_in(col, value_set=vs))
+
+        return ds.map_batches(keep_in, batch_format="pyarrow")
+    distinct = keys.select_columns([on]).groupby(on).count().select_columns([on])
+    # same Ray 2.49 empty-right-block join hazard as anti_join
+    distinct = distinct.repartition(num_partitions)
+    return ds.join(distinct, join_type="inner", num_partitions=num_partitions, on=(on,))
+
+
 def key_set_filter(
     ds: "ray.data.Dataset",
     keys: "ray.data.Dataset",

@@ -632,7 +632,196 @@ def q_doc_rollup(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+Q4_FLAG = "R"  # "order has ≥1 returned item" — the EXISTS predicate
+SEMI_BROADCAST_LIMIT = 1_000_000
+
+
+def q_priority_semi_join(sf_dir: str) -> pa.Table:
+    """TPC-H-Q4-shaped SEMI-JOIN: order counts per priority for orders
+    with at least one returned lineitem (EXISTS subquery).
+
+    Ray-Data shape: the qualifying-orderkey set is computed as
+    per-batch DISTINCT partials (bounded: ≤ batch distinct keys leave
+    each lineitem batch, never the lineitem rows) and the EXISTS is
+    ``joins.semi_join`` — broadcast ``is_in`` while the key set fits,
+    hash-partitioned inner join against the deduplicated keys above
+    ``SEMI_BROADCAST_LIMIT``. The count never sees lineitem width."""
+    from ..joins import semi_join
+
+    def returned_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar(Q4_FLAG)))
+        return pa.table({"o_orderkey": pc.unique(pc.cast(t["l_orderkey"], pa.int64()))})
+
+    keys = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]).map_batches(
+        returned_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+    n_keys = keys.count()  # upper bound (cross-batch dupes); path choice only
+
+    def orders_project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        orders_project, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = (
+        semi_join(orders, keys, on="o_orderkey", n_keys=n_keys,
+                  broadcast_limit=SEMI_BROADCAST_LIMIT, num_partitions=ANTI_PARTITIONS)
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("o_orderpriority").reset_index(drop=True), preserve_index=False
+    )
+
+
+Q18_MIN_QTY = 250  # HAVING sum(qty) > 250 — ~top 2% of orders
+Q18_K = 100
+
+
+def q_large_orders(sf_dir: str) -> pa.Table:
+    """TPC-H-Q18-shaped GROUP BY ... HAVING + hydration join: orders
+    whose total lineitem quantity exceeds ``Q18_MIN_QTY``, hydrated
+    with customer name, top-``Q18_K`` by (total_qty desc, orderkey).
+
+    Ray-Data shape: per-batch partial quantity sums by l_orderkey
+    (combiner — the shuffle carries ≤ distinct-orderkeys-per-batch
+    narrow rows), one groupby(l_orderkey).sum, HAVING as a vectorized
+    filter. The survivors are a tiny set (~2% of orders), so the
+    orders/customer hydration is a broadcast dict lookup — at larger
+    survivor counts the same ``joins.semi_join`` tier applies."""
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        away = "half_towards_infinity"
+        qty = pc.cast(pc.round(t["l_quantity"], round_mode=away), pa.int64())
+        g = pa.table(
+            {"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()), "qty": qty}
+        ).group_by("l_orderkey").aggregate([("qty", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"], "qty": g["qty_sum"]})
+
+    per_order = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .sum("qty")
+    )
+
+    def having(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["sum(qty)"], pa.scalar(Q18_MIN_QTY)))
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "total_qty": pc.cast(t["sum(qty)"], pa.int64()),
+            }
+        )
+
+    # HAVING applied distributed — only the ~2% survivors reach the driver
+    big_df = per_order.map_batches(
+        having, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]).to_pandas()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    df = big_df.merge(
+        orders, left_on="o_orderkey", right_on="o_orderkey", how="inner"
+    ).merge(cust, left_on="o_custkey", right_on="c_custkey", how="inner")
+    df["totalprice_c"] = np.floor(df["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    df = df.sort_values(["total_qty", "o_orderkey"], ascending=[False, True]).head(Q18_K)
+    out = df[["c_name", "c_custkey", "o_orderkey", "o_orderdate", "totalprice_c", "total_qty"]].copy()
+    for c in ("c_custkey", "o_orderkey", "totalprice_c", "total_qty"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+Q14_TYPE = "PROMO"
+
+
+def q_promo_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H-Q14-shaped conditional-aggregate ratio over a join: promo
+    vs total revenue, one output row, integer-exact (revenue in
+    cents×(100-disc) units, e4).
+
+    Ray-Data shape: ``part`` is the small dimension side — its
+    (partkey → is-promo) bitmap ships once via ``ray.put`` and each
+    lineitem batch folds the CASE into two per-batch partial sums, so
+    the 'shuffle' is a union of one-row partials (a driver-side sum of
+    ≤ n_batches pairs). At a part table too big to broadcast the same
+    shape runs over a hash-partitioned join — the combiner stays."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    promo = set(part.loc[part["p_type"] == Q14_TYPE, "p_partkey"].astype(np.int64))
+    ref = ray.put(promo)
+
+    class Partial:
+        def __init__(self, r):
+            self.promo = ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            price_c = np.floor(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+            disc_c = np.floor(t["l_discount"].to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+            rev = price_c * (100 - disc_c)
+            pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            is_promo = np.fromiter((k in self.promo for k in pk), dtype=bool, count=len(pk))
+            return pa.table(
+                {
+                    "promo_rev_e4": pa.array([int(rev[is_promo].sum())], type=pa.int64()),
+                    "total_rev_e4": pa.array([int(rev.sum())], type=pa.int64()),
+                }
+            )
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(Partial, fn_constructor_args=(ref,), batch_format="pyarrow",
+                     zero_copy_batch=True, concurrency=2)
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "promo_rev_e4": pa.array([int(parts["promo_rev_e4"].sum())], type=pa.int64()),
+            "total_rev_e4": pa.array([int(parts["total_rev_e4"].sum())], type=pa.int64()),
+        }
+    )
+
+
 ORACLE_SQL = {
+    "priority_semi_join": f"""
+        SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = '{Q4_FLAG}'
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "large_orders": f"""
+        WITH big AS (
+          SELECT l_orderkey, sum(round(l_quantity)::BIGINT)::BIGINT AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(round(l_quantity)::BIGINT) > {Q18_MIN_QTY}
+        )
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               floor(o.o_totalprice * 100 + 0.5)::BIGINT AS totalprice_c, b.total_qty
+        FROM big b
+        JOIN orders o ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY b.total_qty DESC, o.o_orderkey ASC
+        LIMIT {Q18_K}
+    """,
+    "promo_revenue": f"""
+        SELECT sum(CASE WHEN p.p_type = '{Q14_TYPE}'
+                        THEN floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+                             * (100 - floor(l.l_discount * 100 + 0.5)::BIGINT)
+                        ELSE 0 END)::BIGINT AS promo_rev_e4,
+               sum(floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+                   * (100 - floor(l.l_discount * 100 + 0.5)::BIGINT))::BIGINT AS total_rev_e4
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    """,
     "event_pivot": f"""
         SELECT user_id,
                {", ".join(
@@ -762,4 +951,7 @@ QUERIES = {
     "event_pivot": q_event_pivot,
     "doc_rollup": q_doc_rollup,
     "returned_revenue": q_returned_revenue,
+    "priority_semi_join": q_priority_semi_join,
+    "large_orders": q_large_orders,
+    "promo_revenue": q_promo_revenue,
 }

@@ -1322,3 +1322,94 @@ def test_knn_mmr_matches_reference_greedy():
         assert np.allclose(got["mmr"].to_numpy(), [w[1] for w in want])
         # rank-0 is the plain relevance top-1
         assert int(got.iloc[0]["vec_id"]) == int(cv[0])
+
+
+def test_priority_semi_join_parity_and_paths(ray_session):
+    """priority_semi_join: DuckDB EXISTS-oracle parity at sf0.001, and
+    the two semi_join tiers (broadcast is_in vs hash-partitioned inner
+    join on distinct keys) produce identical row sets."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from docinsight_ray.joins import semi_join
+    from docinsight_ray.pipelines.relational import ORACLE_SQL, q_priority_semi_join
+
+    got = q_priority_semi_join(SF).to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    want = con.sql(ORACLE_SQL["priority_semi_join"]).df()
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    ds = ray.data.from_arrow(pa.table({"k": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                                       "v": ["a", "b", "c", "d", "e"]}))
+    keys = ray.data.from_arrow(pa.table({"k": pa.array([2, 2, 4, 9], type=pa.int64())}))
+    outs = []
+    for limit in (1_000_000, 0):  # broadcast path, then join path
+        t = semi_join(ds, keys, "k", n_keys=4, broadcast_limit=limit,
+                      num_partitions=4).to_pandas()
+        outs.append(t.sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1][outs[0].columns])
+    assert list(outs[0]["k"]) == [2, 4]  # hits only, never multiplied by dup keys
+    # n_keys=0 → empty result, schema preserved
+    empty = semi_join(ds, keys.limit(0), "k", n_keys=0, broadcast_limit=10,
+                      num_partitions=2).to_pandas()
+    assert len(empty) == 0
+
+
+def test_large_orders_parity_and_having(ray_session):
+    """large_orders: DuckDB HAVING-oracle parity at sf0.001; every
+    returned order's total_qty really exceeds the threshold and rows
+    arrive in (total_qty desc, orderkey asc) order."""
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.pipelines.relational import (
+        ORACLE_SQL, Q18_MIN_QTY, q_large_orders,
+    )
+
+    got = q_large_orders(SF).to_pandas()
+    assert len(got) > 0
+    assert (got["total_qty"] > Q18_MIN_QTY).all()
+    key = list(zip(-got["total_qty"], got["o_orderkey"]))
+    assert key == sorted(key)
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    want = con.sql(ORACLE_SQL["large_orders"]).df()
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_promo_revenue_parity_and_bounds(ray_session):
+    """promo_revenue: DuckDB join-oracle parity at sf0.001; the
+    conditional sum is bounded by the total and strictly positive on
+    this fixture (PROMO parts exist)."""
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.pipelines.relational import ORACLE_SQL, q_promo_revenue
+
+    got = q_promo_revenue(SF).to_pandas()
+    assert len(got) == 1
+    assert 0 < got["promo_rev_e4"][0] <= got["total_rev_e4"][0]
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    want = con.sql(ORACLE_SQL["promo_revenue"]).df()
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].reset_index(drop=True), want[cols].reset_index(drop=True),
+        check_dtype=False,
+    )
