@@ -2399,6 +2399,23 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY term, doc_id
     """,
     "bm25_topk": BM25_CTE + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}",
+    "bm25_explain": BM25_CTE + """
+, contrib AS (
+  SELECT qt.query_id, tf.doc_id, qt.term,
+         tf.tf::BIGINT AS tf, d.df::BIGINT AS df,
+         round( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * 2.2
+                * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6) AS contribution
+  FROM qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df d ON d.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+)
+SELECT c.query_id, r.rank, c.doc_id, c.term, c.tf, c.df, c.contribution
+FROM contrib c
+JOIN ranked r ON r.query_id = c.query_id AND r.doc_id = c.doc_id
+WHERE r.rank < {K}
+""".replace("{K}", "5"),
     "bm25_topk_bmw": BM25_CTE + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}",
     "bm25_topk_lazy": BM25_CTE + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}",
     # function_score: BM25 raw scores × linear n_chars decay (multiply
@@ -3459,12 +3476,56 @@ def q_ndcg_eval(sf_dir: str) -> pa.Table:
     )
 
 
+EXPLAIN_K = 5
+
+
+def q_bm25_explain(sf_dir: str) -> pa.Table:
+    """Lucene-_explain-style score breakdown as a gate: for the top-
+    ``EXPLAIN_K`` docs of every fixed query, one row per MATCHING query
+    term with its tf, df and round-6 BM25 contribution. The rows come
+    from ``BM25Scorer.explain`` — whose total is bitwise-equal to the
+    served TAAT score — so the gate proves the per-term decomposition,
+    not just the sum (reference analogue: the per-sentence score
+    ``components`` dict, enhanced_pipeline.py:484-500)."""
+    idx = ensure_index(sf_dir)
+    top = q_bm25_topk(sf_dir).to_pandas()
+    top = top[top["rank"] < EXPLAIN_K]
+    sc = BM25Scorer(idx, SQL_PARITY_CONFIG, mode="taat")
+    qtext = dict(DOC_QUERIES)
+    rows: dict[str, list] = {k: [] for k in
+                             ("query_id", "rank", "doc_id", "term", "tf", "df", "contribution")}
+    for qid, rank, did in zip(top["query_id"], top["rank"], top["doc_id"]):
+        ex = sc.explain(qtext[int(qid)], int(did) & ((1 << 64) - 1))
+        for t in ex["terms"]:
+            if t["tf"] == 0:
+                continue  # oracle emits only (term, doc) hits
+            rows["query_id"].append(int(qid))
+            rows["rank"].append(int(rank))
+            rows["doc_id"].append(int(did))
+            rows["term"].append(t["term"])
+            rows["tf"].append(int(t["tf"]))
+            rows["df"].append(int(t["df"]))
+            rows["contribution"].append(round(float(t["contribution"]), 6))
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], type=pa.int64()),
+            "rank": pa.array(rows["rank"], type=pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "term": pa.array(rows["term"], type=pa.string()),
+            "tf": pa.array(rows["tf"], type=pa.int64()),
+            "df": pa.array(rows["df"], type=pa.int64()),
+            "contribution": pa.array(rows["contribution"], type=pa.float64()),
+        }
+    )
+
+
 QUERIES = {
     "docs_registry": q_docs_registry,
     "corpus_stats": q_corpus_stats,
     "term_df_top100": q_term_df_top100,
     "postings_probe": q_postings_probe,
     "bm25_topk": q_bm25_topk,
+    "bm25_explain": q_bm25_explain,
     "bm25_topk_bmw": q_bm25_topk_bmw,
     "bm25_topk_lazy": q_bm25_topk_lazy,
     "bm25_decay": q_bm25_decay,

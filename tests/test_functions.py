@@ -1413,3 +1413,32 @@ def test_promo_revenue_parity_and_bounds(ray_session):
         got[cols].reset_index(drop=True), want[cols].reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_bm25_explain_gate_decomposition(ray_session):
+    """bm25_explain: DuckDB per-term oracle parity at sf0.001, and the
+    per-doc contribution sums reproduce bm25_topk's round-6 scores for
+    every explained (query, doc)."""
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.pipelines.documents import (
+        EXPLAIN_K, ORACLE_SQL, q_bm25_explain, q_bm25_topk,
+    )
+
+    got = q_bm25_explain(SF).to_pandas()
+    assert (got["rank"] < EXPLAIN_K).all() and (got["tf"] > 0).all()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    want = con.sql(ORACLE_SQL["bm25_explain"]).df()
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
+    top = q_bm25_topk(SF).to_pandas()
+    top = top[top["rank"] < EXPLAIN_K]
+    sums = got.groupby(["query_id", "doc_id"])["contribution"].sum().reset_index()
+    merged = top.merge(sums, on=["query_id", "doc_id"], how="left")
+    assert (merged["contribution"].round(4) == merged["score"].round(4)).all()
