@@ -1137,6 +1137,153 @@ def q_semdedup(
     )
 
 
+GRAPH_K = 5  # mutual-kNN graph degree
+
+
+class _TileRowKNN:
+    """Actor-pool stage for the exact kNN-graph sweep: a batch of tile
+    indices; for each tile i the task streams every other tile through
+    the per-worker LRU cache and keeps a running per-row top-(k+margin)
+    candidate set, so per-task memory is O(tile_rows × margin)
+    regardless of corpus size. Emits the DIRECTED top-k edges of tile
+    i's rows ((round6 cos desc, nbr asc) — the gate's tie order)."""
+
+    MARGIN = 50
+
+    def __init__(self, tiles_dir: str, n_tiles: int, k: int):
+        self.cache = _TileCache(tiles_dir)
+        self.n_tiles = n_tiles
+        self.k = k
+
+    def _tile_topk(self, i: int):
+        va, A = self.cache.get(i)
+        if not va.size:
+            return None
+        cap = self.k + self.MARGIN
+        # running candidates per row of tile i
+        c_ids = [np.empty(0, dtype=np.int64) for _ in range(len(va))]
+        c_cos = [np.empty(0, dtype=np.float64) for _ in range(len(va))]
+        for j in range(self.n_tiles):
+            vb, B = self.cache.get(j)
+            if not vb.size:
+                continue
+            cos = A @ B.T
+            for r in range(len(va)):
+                ids = np.concatenate([c_ids[r], vb])
+                cs = np.concatenate([c_cos[r], cos[r]])
+                keep = ids != va[r]  # exclude self
+                ids, cs = ids[keep], cs[keep]
+                order = np.lexsort((ids, -np.round(cs, 6)))[:cap]
+                c_ids[r], c_cos[r] = ids[order], cs[order]
+        src, dst, out_c = [], [], []
+        for r in range(len(va)):
+            take = min(self.k, c_ids[r].size)
+            src.append(np.full(take, va[r], dtype=np.int64))
+            dst.append(c_ids[r][:take])
+            out_c.append(np.round(c_cos[r][:take], 6))
+        return (
+            np.concatenate(src) if src else np.empty(0, dtype=np.int64),
+            np.concatenate(dst) if dst else np.empty(0, dtype=np.int64),
+            np.concatenate(out_c) if out_c else np.empty(0, dtype=np.float64),
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        srcs, dsts, coss = [], [], []
+        for i in batch["i"].to_pylist():
+            got = self._tile_topk(int(i))
+            if got is None:
+                continue
+            srcs.append(got[0])
+            dsts.append(got[1])
+            coss.append(got[2])
+        if not srcs:
+            return pa.table({"src": pa.array([], type=pa.int64()),
+                             "dst": pa.array([], type=pa.int64()),
+                             "cos": pa.array([], type=pa.float64())})
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(srcs), type=pa.int64()),
+                "dst": pa.array(np.concatenate(dsts), type=pa.int64()),
+                "cos": pa.array(np.concatenate(coss), type=pa.float64()),
+            }
+        )
+
+
+def _mutual_edges(g: pa.Table) -> pa.Table:
+    """One (lo, hi) pair-key group: keep the edge iff BOTH directions
+    survived their endpoint's top-k (mutual-kNN condition)."""
+    if g.num_rows < 2:
+        return pa.table({"a_id": pa.array([], type=pa.int64()),
+                         "b_id": pa.array([], type=pa.int64()),
+                         "cos": pa.array([], type=pa.float64())})
+    src = g["src"].to_numpy(zero_copy_only=False)
+    dst = g["dst"].to_numpy(zero_copy_only=False)
+    lo, hi = min(src[0], dst[0]), max(src[0], dst[0])
+    return pa.table(
+        {
+            "a_id": pa.array([int(lo)], type=pa.int64()),
+            "b_id": pa.array([int(hi)], type=pa.int64()),
+            "cos": pa.array([float(g["cos"][0].as_py())], type=pa.float64()),
+        }
+    )
+
+
+def q_knn_graph_mutual(sf_dir: str, k: int = GRAPH_K, tile_rows: int = 256) -> pa.Table:
+    """Mutual-kNN graph edges (a—b kept iff a ∈ topk(b) AND b ∈
+    topk(a)) — the candidate graph that graph-based semantic dedup /
+    clustering pipelines (e.g. connected-components over near-dup
+    edges) consume downstream of SemDeDup.
+
+    Shape: the normalized matrix is staged as parquet row tiles by a
+    Dataset pass (``_stage_tiles`` — no driver materialization); a
+    Dataset of tile indices fans out so each task computes its tile's
+    exact top-k against all tiles with bounded memory (running
+    per-row candidate prune); the directed edge table (N×k rows, tiny
+    vs N²) shuffles ONCE by the canonical (lo, hi) pair key and each
+    group keeps the edge iff both directions are present. Compute is
+    O(N²/P) per task by definition of the exact baseline; the
+    sub-quadratic scale path reuses the LSH/IVF candidate generators
+    upstream of the same mutual filter."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="knngraph-tiles-", dir="/tmp")
+    try:
+        n, n_tiles = _stage_tiles(sf_dir, work, tile_rows)
+        directed = ray.data.from_items([{"i": i} for i in range(n_tiles)]).map_batches(
+            _TileRowKNN,
+            fn_constructor_args=(work, n_tiles, k),
+            batch_format="pyarrow",
+            batch_size=2,
+            concurrency=4,
+        )
+
+        def pair_key(batch: pa.Table) -> pa.Table:
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            lo = np.minimum(src, dst)
+            hi = np.maximum(src, dst)
+            return batch.append_column(
+                "pk", pa.array(lo.astype(np.int64) * (2**32) + hi, type=pa.int64())
+            )
+
+        out = (
+            directed.map_batches(pair_key, batch_format="pyarrow", batch_size=4096)
+            .groupby("pk")
+            .map_groups(_mutual_edges, batch_format="pyarrow")
+            .to_pandas()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    if out.empty:
+        return pa.table({"a_id": pa.array([], type=pa.int64()),
+                         "b_id": pa.array([], type=pa.int64()),
+                         "cos": pa.array([], type=pa.float64())})
+    return pa.Table.from_pandas(
+        out.sort_values(["a_id", "b_id"]).reset_index(drop=True), preserve_index=False
+    )
+
+
 ORACLE_SQL = {
     "embedding_near_dup": f"""
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -1188,6 +1335,25 @@ ORACLE_SQL = {
     # knn_cosine_sq8 / knn_cosine_pq: approximate candidates →
     # rows-only check (recall measured in RECALL.json and floored in
     # pytest; overlap scores exact by the shared rescorer)
+    "knn_graph_mutual": f"""
+        WITH s AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+                 round(
+                   list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                   / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                   / sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6) AS cos
+          FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        ),
+        r AS (
+          SELECT src, dst, cos,
+                 row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn
+          FROM s
+        ),
+        k AS (SELECT src, dst, cos FROM r WHERE rn <= {GRAPH_K})
+        SELECT k1.src AS a_id, k1.dst AS b_id, k1.cos AS cos
+        FROM k k1 JOIN k k2 ON k1.src = k2.dst AND k1.dst = k2.src
+        WHERE k1.src < k1.dst
+    """,
 }
 
 QUERIES = {
@@ -1201,4 +1367,5 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "semdedup": q_semdedup,
+    "knn_graph_mutual": q_knn_graph_mutual,
 }

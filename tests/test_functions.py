@@ -1442,3 +1442,41 @@ def test_bm25_explain_gate_decomposition(ray_session):
     sums = got.groupby(["query_id", "doc_id"])["contribution"].sum().reset_index()
     merged = top.merge(sums, on=["query_id", "doc_id"], how="left")
     assert (merged["contribution"].round(4) == merged["score"].round(4)).all()
+
+
+def test_knn_graph_mutual_matches_brute_force():
+    """The distributed tile-pair kNN-graph op equals a driver brute
+    force: directed top-k per vector (round6 cos desc, id asc), edge
+    kept iff mutual — and every emitted cos is the true pair cosine."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from docinsight_ray.functions.knn import GRAPH_K, q_knn_graph_mutual
+
+    got = q_knn_graph_mutual(SF, tile_rows=64).to_pandas()
+
+    t = pq.read_table(os.path.join(SF, "embeddings.parquet"))
+    vids = t["vec_id"].to_numpy()
+    X = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cos = np.round(Xn @ Xn.T, 6)
+    n = len(vids)
+    order = np.argsort(vids)
+    vids_s, cos_s = vids[order], cos[np.ix_(order, order)]
+    topk = {}
+    for r in range(n):
+        c = cos_s[r].copy()
+        c[r] = -np.inf
+        idx = np.lexsort((vids_s, -c))[:GRAPH_K]
+        topk[int(vids_s[r])] = set(int(vids_s[i]) for i in idx)
+    expect = sorted(
+        (a, b)
+        for a in topk
+        for b in topk[a]
+        if a < b and a in topk[b]
+    )
+    assert list(map(tuple, got[["a_id", "b_id"]].values.tolist())) == expect
+    pos = {int(v): i for i, v in enumerate(vids_s)}
+    for a, b, c in got[["a_id", "b_id", "cos"]].itertuples(index=False):
+        assert c == pytest.approx(cos_s[pos[int(a)], pos[int(b)]], abs=1e-9)
