@@ -26,7 +26,7 @@ Two repo-specific disciplines (see ROADMAP.md §6b / §7):
   tables of exactly two fixed-width columns, and a variable-width
   column both suppresses it and makes any silent re-pairing loud.
 
-Gate ``dup_clusters`` runs CC over the exact embedding-cosine near-dup
+Gate ``embedding_dup_clusters`` runs CC over the exact embedding-cosine near-dup
 edges (same threshold as gate ``embedding_near_dup``) and labels every
 vector with its component's min vec_id; the DuckDB oracle recomputes
 components with a recursive-CTE reachability closure.
@@ -326,7 +326,7 @@ def _dup_clusters_sql() -> str:
     """.replace("{T}", str(COS_DUP_T))
 
 
-ORACLE_SQL: dict[str, str] = {"dup_clusters": _dup_clusters_sql()}
+ORACLE_SQL: dict[str, str] = {"embedding_dup_clusters": _dup_clusters_sql()}
 QUERIES = {
-    "dup_clusters": q_dup_clusters,
+    "embedding_dup_clusters": q_dup_clusters,
 }

@@ -119,3 +119,32 @@ def test_dup_clusters_consistent_with_near_dup_pairs():
         assert lab[a] == lab[b], f"near-dup pair ({a},{b}) split across clusters"
     by_cluster = labels.groupby("cluster_id")["vec_id"].min()
     assert (by_cluster.index == by_cluster.values).all()
+
+
+def test_distributed_cc_matches_driver_union_find_on_text_pairs():
+    """The distributed star contraction and dedup.py's driver-side
+    union-find must agree on the text near-dup pair graph — same
+    cluster id (component min) for every clustered doc."""
+    import ray.data
+
+    from docinsight_ray.collect import collect_table
+    from docinsight_ray.functions.dedup import q_dup_clusters as q_text_clusters
+    from docinsight_ray.functions.dedup import q_ngram_jaccard_pairs
+    from docinsight_ray.functions.graph import _checked_uv, _edge_table, connected_components
+
+    pairs = q_ngram_jaccard_pairs(SF).to_pandas()
+    ref = q_text_clusters(SF).to_pandas()
+
+    edges = ray.data.from_arrow(
+        _edge_table(
+            pairs["a_id"].to_numpy(dtype=np.int64), pairs["b_id"].to_numpy(dtype=np.int64)
+        )
+    )
+    t = collect_table(connected_components(edges))
+    su, sv = _checked_uv(t) if t.num_rows else (np.array([], dtype=np.int64),) * 2
+    got = dict(zip(su.tolist(), sv.tolist()))
+
+    clustered = ref[ref["cluster_id"] != ref["doc_id"]]
+    assert len(got) == len(clustered)
+    for d, c in clustered[["doc_id", "cluster_id"]].itertuples(index=False):
+        assert got.get(int(d)) == int(c)
