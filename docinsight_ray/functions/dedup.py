@@ -494,21 +494,12 @@ JOIN sizes sb ON sb.doc_id = p.b_id
 WHERE p.inter >= {JACCARD_T} * (sa.n + sb.n - p.inter)
 """
 
-def q_dup_clusters(sf_dir: str) -> pa.Table:
-    """Near-dup CLUSTER resolution: connected components over the exact
-    Jaccard pair graph + canonical election (cluster id = min doc_id of
-    the component; is_canonical marks the doc a keep-one dedup retains).
+CC_DRIVER_PAIR_LIMIT = 50_000
 
-    Scale shape: the pair graph is the OUTPUT of the bounded near-dup
-    op (pairs ≪ docs by construction — a corpus that violates that has
-    already tripped the MAX_GROUP stop-shingle warnings upstream), so
-    union-find over the collected pair list is driver-bounded; the
-    label map broadcasts via ``ray.put`` and the per-doc assignment is
-    a shuffle-free scan. At larger pair counts swap the driver
-    union-find for iterated min-label propagation (groupby(node).min)
-    without changing this op's contract."""
-    pairs = q_ngram_jaccard_pairs(sf_dir).to_pandas()
 
+def _cc_labels_union_find(pairs: pd.DataFrame) -> tuple[dict[int, int], dict[int, int]]:
+    """Driver union-find over a (small) collected pair list →
+    (node → component-min label, node → component size)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -530,6 +521,64 @@ def q_dup_clusters(sf_dir: str) -> pa.Table:
         members.setdefault(find(n), []).append(n)
     label = {n: min(ms) for ms in members.values() for n in ms}
     size = {n: len(ms) for ms in members.values() for n in ms}
+    return label, size
+
+
+def _cc_labels_distributed(pairs: pd.DataFrame) -> tuple[dict[int, int], dict[int, int]]:
+    """Same contract via the distributed star contraction — the scale
+    path when the pair graph outgrows the driver (each round is a
+    narrow edge shuffle; the driver only ever holds the final star
+    labels, which are ≤ one row per clustered node)."""
+    from docinsight_ray.collect import collect_table
+    from docinsight_ray.functions.graph import (
+        _checked_uv,
+        _edge_table,
+        connected_components,
+    )
+
+    edges = ray.data.from_arrow(
+        _edge_table(
+            pairs["a_id"].to_numpy(dtype=np.int64),
+            pairs["b_id"].to_numpy(dtype=np.int64),
+        )
+    )
+    t = collect_table(connected_components(edges))
+    if t.num_rows == 0:
+        return {}, {}
+    su, sv = _checked_uv(t)
+    label = dict(zip(su.tolist(), sv.tolist()))
+    roots, counts = np.unique(sv, return_counts=True)
+    size = dict(zip(roots.tolist(), (counts + 1).tolist()))  # + the root itself
+    for r in roots.tolist():
+        label[r] = r
+    for n in label:
+        size.setdefault(n, 1)
+        if label[n] != n:
+            size[n] = size[label[n]]
+    return label, size
+
+
+def q_dup_clusters(sf_dir: str) -> pa.Table:
+    """Near-dup CLUSTER resolution: connected components over the exact
+    Jaccard pair graph + canonical election (cluster id = min doc_id of
+    the component; is_canonical marks the doc a keep-one dedup retains).
+
+    Scale shape: the pair graph is the OUTPUT of the bounded near-dup
+    op (pairs ≪ docs by construction — a corpus that violates that has
+    already tripped the MAX_GROUP stop-shingle warnings upstream), so
+    union-find over the collected pair list is driver-bounded; the
+    label map broadcasts via ``ray.put`` and the per-doc assignment is
+    a shuffle-free scan. Above ``CC_DRIVER_PAIR_LIMIT`` pairs the
+    labeling switches to the distributed alternating-star contraction
+    (``functions.graph.connected_components`` — edge-list shuffles
+    only, no driver graph) with identical output; the equality of the
+    two paths is pytest-proven on the same pair graph."""
+    pairs = q_ngram_jaccard_pairs(sf_dir).to_pandas()
+
+    if len(pairs) > CC_DRIVER_PAIR_LIMIT:
+        label, size = _cc_labels_distributed(pairs)
+    else:
+        label, size = _cc_labels_union_find(pairs)
     maps_ref = ray.put((label, size))
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:

@@ -148,3 +148,14 @@ def test_distributed_cc_matches_driver_union_find_on_text_pairs():
     assert len(got) == len(clustered)
     for d, c in clustered[["doc_id", "cluster_id"]].itertuples(index=False):
         assert got.get(int(d)) == int(c)
+
+
+def test_dup_clusters_distributed_path_identical(monkeypatch):
+    """Forcing the distributed-CC labeling (pair limit 0) must give the
+    byte-identical dup_clusters gate output as the driver union-find."""
+    import docinsight_ray.functions.dedup as dd
+
+    ref = dd.q_dup_clusters(SF).to_pandas()
+    monkeypatch.setattr(dd, "CC_DRIVER_PAIR_LIMIT", -1)
+    got = dd.q_dup_clusters(SF).to_pandas()
+    assert ref.equals(got)
