@@ -59,12 +59,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docinsight_ray.functions.classify import QUERIES as CLS_Q
     from docinsight_ray.functions.vecstats import QUERIES as VEC_Q
     from docinsight_ray.functions.graph import QUERIES as GRAPH_Q
+    from docinsight_ray.pipelines.ann import QUERIES as ANN_Q
 
     from docinsight_ray.pipelines.conformance import q_reference_topk
 
     out: dict[str, Callable[[str], Any]] = {}
     for d in (DOC_Q, TEXT_Q, DEDUP_Q, KNN_Q, WIN_Q, MM_Q, CHUNK_Q, REL_Q, CORPUS_Q, SEMI_Q,
-              SKETCH_Q, PREP_Q, BPE_Q, CLS_Q, VEC_Q, GRAPH_Q):
+              SKETCH_Q, PREP_Q, BPE_Q, CLS_Q, VEC_Q, GRAPH_Q, ANN_Q):
         out.update(d)
     # the reference query set on the REAL reference corpus (ignores
     # sf_dir; no SQL oracle — rank-identity + plagiarism conformance
@@ -88,9 +89,10 @@ def oracle_sql() -> dict[str, str]:
     from docinsight_ray.functions.classify import ORACLE_SQL as CLS_S
     from docinsight_ray.functions.vecstats import ORACLE_SQL as VEC_S
     from docinsight_ray.functions.graph import ORACLE_SQL as GRAPH_S
+    from docinsight_ray.pipelines.ann import ORACLE_SQL as ANN_S
 
     out: dict[str, str] = {}
     for d in (DOC_S, TEXT_S, DEDUP_S, KNN_S, WIN_S, MM_S, CHUNK_S, REL_S, CORPUS_S, SEMI_S,
-              PREP_S, CLS_S, VEC_S, GRAPH_S):
+              PREP_S, CLS_S, VEC_S, GRAPH_S, ANN_S):
         out.update(d)
     return out

@@ -683,26 +683,19 @@ def train_centroids(
     ``Dataset.random_sample`` (workers do the sampling; only ≤max_train
     narrow rows reach the driver). k-means quality needs only a
     representative sample, so the trained index is unaffected by
-    corpus size."""
+    corpus size.
+
+    The shared implementation lives in
+    ``pipelines.ann.train_centroids_ds`` (same math, same contract:
+    UN-normalized centroid means; callers normalize)."""
+    from docinsight_ray.pipelines.ann import train_centroids_ds
+
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
     )
-    n = ds.count()
-    if n > max_train:
-        # 1.1 oversample headroom, then a hard limit — sampling is
-        # Bernoulli per row, so the fraction alone can overshoot
-        ds = ds.random_sample(min(1.0, 1.1 * max_train / n), seed=seed).limit(max_train)
-    X = np.stack(ds.to_pandas()["embedding"].to_numpy()).astype(np.float64)
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-    rng = np.random.default_rng(seed)
-    C = Xn[rng.choice(len(Xn), size=n_centroids, replace=False)]
-    for _ in range(iters):
-        assign = np.argmax(Xn @ (C / np.linalg.norm(C, axis=1, keepdims=True)).T, axis=1)
-        for j in range(n_centroids):
-            members = Xn[assign == j]
-            if len(members):
-                C[j] = members.mean(axis=0)
-    return C
+    return train_centroids_ds(
+        ds, n_centroids=n_centroids, iters=iters, seed=seed, max_train=max_train
+    )
 
 
 def q_knn_cosine_ivf(sf_dir: str, n_centroids: int = 8, nprobe: int = 4) -> pa.Table:

@@ -1,0 +1,121 @@
+"""Persisted IVF ANN index lifecycle tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+@pytest.fixture(scope="module")
+def ann_root(tmp_path_factory):
+    import ray.data
+
+    from docinsight_ray.pipelines.ann import build_ann_index
+
+    root = str(tmp_path_factory.mktemp("ann")) + "/idx"
+    ds = ray.data.read_parquet(os.path.join(SF, "embeddings.parquet"))
+    stats = build_ann_index(ds, root, n_centroids=4)
+    assert stats["n_vectors"] > 0 and stats["n_centroids"] == 4
+    return root
+
+
+def test_exhaustive_probe_equals_brute_force(ann_root):
+    """nprobe = n_centroids must reproduce the exact brute-force kNN
+    gate output byte-for-byte (same ranking, same round-6 cosines)."""
+    import pyarrow.parquet as pq
+
+    from docinsight_ray.functions.knn import KNN_K, N_QUERIES, q_knn_cosine
+    from docinsight_ray.pipelines.ann import AnnIndex
+
+    exact = q_knn_cosine(SF).to_pandas()
+
+    t = pq.read_table(os.path.join(SF, "embeddings.parquet"))
+    vids = t["vec_id"].to_numpy()
+    mask = vids < N_QUERIES
+    Q = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[mask])
+    idx = AnnIndex(ann_root, nprobe=4)
+    got = (
+        idx.topk(vids[mask].astype(np.int64), Q, KNN_K)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    exact = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got[["query_id", "rank", "vec_id"]].equals(
+        exact[["query_id", "rank", "vec_id"]].astype("int64")
+    )
+    assert np.allclose(got["cos"], exact["cos"], atol=0)
+
+
+def test_pruned_probe_recall_and_partition_prune(ann_root):
+    """nprobe=2 of 4: recall above the scan-fraction floor AND the
+    serving handle must load at most the probed lists (partition
+    prune), never the whole index."""
+    import pyarrow.parquet as pq
+
+    from docinsight_ray.functions.knn import KNN_K, N_QUERIES, q_knn_cosine
+    from docinsight_ray.pipelines.ann import AnnIndex
+
+    t = pq.read_table(os.path.join(SF, "embeddings.parquet"))
+    vids = t["vec_id"].to_numpy()
+    mask = vids < N_QUERIES
+    Q = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[mask])
+
+    idx = AnnIndex(ann_root, nprobe=2)
+    got = idx.topk(vids[mask].astype(np.int64), Q, KNN_K).to_pandas()
+    assert idx.lists_loaded <= 4  # ≤ union of probed lists, cached after
+    exact = q_knn_cosine(SF).to_pandas()
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        a = set(got[got.query_id == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.3, f"IVF recall below scan floor: {recalls}"
+
+    # single-query prune: a fresh handle touches exactly nprobe lists
+    idx2 = AnnIndex(ann_root, nprobe=2)
+    idx2.topk(np.array([int(vids[mask][0])]), Q[:1], KNN_K)
+    assert idx2.lists_loaded == 2
+
+
+def test_unbuilt_dir_raises_filenotfound(tmp_path):
+    from docinsight_ray.pipelines.ann import AnnIndex
+
+    with pytest.raises(FileNotFoundError, match="not a built ANN index"):
+        AnnIndex(str(tmp_path / "nope"))
+
+
+def test_rebuild_overwrites_and_uri_roundtrip(tmp_path):
+    """Building twice into the same root works (overwrite semantics),
+    and a file:// URI root serves identically to the plain path."""
+    import ray.data
+
+    from docinsight_ray.functions.knn import KNN_K, N_QUERIES
+    from docinsight_ray.pipelines.ann import AnnIndex, build_ann_index
+
+    ds = ray.data.read_parquet(os.path.join(SF, "embeddings.parquet"))
+    root = str(tmp_path / "idx")
+    build_ann_index(ds, root, n_centroids=4)
+    build_ann_index(ds, root, n_centroids=4)  # overwrite, not append
+    uri_root = "file://" + str(tmp_path / "idx_uri")
+    build_ann_index(ds, uri_root, n_centroids=4)
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(SF, "embeddings.parquet"))
+    vids = t["vec_id"].to_numpy()
+    mask = vids < N_QUERIES
+    Q = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[mask])
+    a = AnnIndex(root, nprobe=4).topk(vids[mask].astype(np.int64), Q, KNN_K).to_pandas()
+    b = AnnIndex(uri_root, nprobe=4).topk(vids[mask].astype(np.int64), Q, KNN_K).to_pandas()
+    assert a.equals(b)
+    # rebuild did not double rows: n_vectors lists hold each vec once
+    n_served = a[a.query_id == a.query_id.iloc[0]]["vec_id"].nunique()
+    assert n_served == KNN_K

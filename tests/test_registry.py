@@ -12,7 +12,7 @@ def test_no_query_key_collisions_across_modules():
         "functions.chunking", "pipelines.relational", "functions.corpusops",
         "functions.semistruct", "functions.sketches", "pipelines.prepare",
         "functions.bpe", "functions.classify", "functions.vecstats",
-        "functions.graph",
+        "functions.graph", "pipelines.ann",
     ]
     seen: dict[str, str] = {}
     for m in mods:
