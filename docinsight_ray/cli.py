@@ -77,6 +77,50 @@ def cmd_posbuild(args) -> int:
     return 0
 
 
+def cmd_annbuild(args) -> int:
+    _init_ray(args.num_cpus)
+    import ray.data
+
+    from .pipelines.ann import build_ann_index
+
+    ds = ray.data.read_parquet(args.embeddings)
+    stats = build_ann_index(
+        ds, args.ann_dir, n_centroids=args.n_centroids, seed=args.seed
+    )
+    print(json.dumps(stats, indent=1))
+    return 0
+
+
+def cmd_annquery(args) -> int:
+    _init_ray(args.num_cpus)
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .pipelines.ann import AnnIndex
+
+    try:
+        idx = AnnIndex(args.ann_dir, nprobe=args.nprobe)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    t = pq.read_table(args.queries, columns=["vec_id", "embedding"])
+    if args.limit:
+        t = t.slice(0, args.limit)
+    qids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+    Q = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+    out = idx.topk(qids, Q, args.k)
+    if args.out:
+        import pyarrow.parquet as pqw
+
+        pqw.write_table(out, args.out)
+        print(json.dumps({"rows": out.num_rows, "out": args.out,
+                          "lists_loaded": idx.lists_loaded}))
+    else:
+        for row in out.to_pylist():
+            print(json.dumps(row))
+    return 0
+
+
 def cmd_phrase(args) -> int:
     _init_ray(args.num_cpus)
     from .config import EngineConfig
@@ -750,6 +794,24 @@ def main(argv=None) -> int:
     pb.add_argument("--doc-id-mode", default="hash", choices=["hash", "column"])
     pb.add_argument("--fingerprint", default="")
     pb.set_defaults(fn=cmd_posbuild)
+
+    ab = sub.add_parser("annbuild", parents=[common],
+                        help="build a persisted IVF ANN index from an embeddings parquet")
+    ab.add_argument("embeddings")
+    ab.add_argument("ann_dir")
+    ab.add_argument("--n-centroids", type=int, default=8)
+    ab.add_argument("--seed", type=int, default=42)
+    ab.set_defaults(fn=cmd_annbuild)
+
+    aq = sub.add_parser("annquery", parents=[common],
+                        help="cosine top-k from a persisted ANN index")
+    aq.add_argument("ann_dir")
+    aq.add_argument("queries", help="parquet with (vec_id, embedding) query rows")
+    aq.add_argument("-k", type=int, default=10)
+    aq.add_argument("--nprobe", type=int, default=4)
+    aq.add_argument("--limit", type=int, default=0, help="use only the first N query rows")
+    aq.add_argument("--out", help="write result parquet here instead of printing")
+    aq.set_defaults(fn=cmd_annquery)
 
     ph = sub.add_parser("phrase", parents=[common],
                         help="phrase / proximity search against a positional index")

@@ -510,3 +510,28 @@ def test_cli_snapshot_restore_roundtrip(built_cli, capsys, tmp_path):
     assert main(["restore", snap_uri, dest3]) == 0
     capsys.readouterr()
     assert before.equals(serve(dest3))
+
+
+def test_cli_annbuild_annquery(ray_session, tmp_path, capsys):
+    """annbuild → annquery round trip: exhaustive probe through the
+    CLI equals the brute-force gate ranking; missing index is rc=2."""
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    ann_dir = str(tmp_path / "ann")
+    rc = main(["annbuild", emb, ann_dir, "--n-centroids", "4"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["n_centroids"] == 4 and stats["n_vectors"] > 0
+
+    rc = main(["annquery", ann_dir, emb, "--limit", "2", "-k", "5", "--nprobe", "4"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 10 and rows[0]["rank"] == 0
+
+    from docinsight_ray.functions.knn import q_knn_cosine
+
+    exact = q_knn_cosine("/root/testdata/sf0.001").to_pandas()
+    e0 = exact[exact.query_id == rows[0]["query_id"]].sort_values("rank")
+    assert [r["vec_id"] for r in rows[:5]] == e0["vec_id"].head(5).tolist()
+
+    rc = main(["annquery", str(tmp_path / "missing"), emb])
+    assert rc == 2
