@@ -350,6 +350,19 @@ def cmd_validate(args) -> int:
         os.path.join(idx, "corpus_stats.json")
     ):
         return _validate_positional(args)
+    # ANN index root (ann_stats.json): routing/coverage invariants
+    if os.path.exists(os.path.join(idx, "ann_stats.json")) and not os.path.exists(
+        os.path.join(idx, "corpus_stats.json")
+    ):
+        from .pipelines.ann import validate_ann_index
+
+        try:
+            rep = validate_ann_index(idx)
+        except ValueError as e:
+            print(json.dumps({"ok": False, "error": str(e)}))
+            return 1
+        print(json.dumps(rep))
+        return 0
     # sharded / windowed ROOT: validate every committed sub-index, plus
     # the cross-sub-index invariants (global stats are sums of locals,
     # every sub-index agrees on the global n_docs/total_len)

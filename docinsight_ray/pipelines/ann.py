@@ -99,12 +99,14 @@ def build_ann_index(
         cn = ray.get(c_ref)
         X = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        return pa.table(
-            {
-                "vec_id": batch["vec_id"].cast(pa.int64()),
-                "embedding": batch["embedding"],
-                "cid": pa.array(np.argmax(Xn @ cn.T, axis=1), type=pa.int64()),
-            }
+        # metadata columns ride along into the lists so serving can
+        # filter inside probed lists (ES-style filtered kNN)
+        out = batch.set_column(
+            batch.schema.get_field_index("vec_id"), "vec_id",
+            batch["vec_id"].cast(pa.int64()),
+        )
+        return out.append_column(
+            "cid", pa.array(np.argmax(Xn @ cn.T, axis=1), type=pa.int64())
         )
 
     lists_dir = os.path.join(out_dir, "lists")
@@ -153,7 +155,9 @@ class AnnIndex:
         self._lists: OrderedDict[int, tuple[np.ndarray, np.ndarray]] = OrderedDict()
         self.lists_loaded = 0  # cumulative loads (cache misses), for tests/metrics
 
-    def _load_list(self, cid: int) -> tuple[np.ndarray, np.ndarray]:
+    def _load_list(
+        self, cid: int
+    ) -> tuple[np.ndarray, np.ndarray, dict[str, np.ndarray]]:
         hit = self._lists.get(cid)
         if hit is not None:
             self._lists.move_to_end(cid)
@@ -162,24 +166,39 @@ class AnnIndex:
 
         files = glob_parquet(os.path.join(self.root, "lists", f"cid={cid}"))
         if not files:
-            out = (np.empty(0, dtype=np.int64), np.empty((0, self.stats["dim"])))
+            out = (np.empty(0, dtype=np.int64), np.empty((0, self.stats["dim"])), {})
         else:
             t = pa.concat_tables([pq.read_table(f) for f in files])
             vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             X = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
             Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
             order = np.argsort(vids)
-            out = (vids[order], Xn[order])
+            meta = {
+                c: t[c].take(pa.array(order)).to_numpy(zero_copy_only=False)
+                for c in t.column_names
+                if c not in ("vec_id", "embedding")
+            }
+            out = (vids[order], Xn[order], meta)
         self._lists[cid] = out
         self.lists_loaded += 1
         if len(self._lists) > self.cache_lists:
             self._lists.popitem(last=False)
         return out
 
-    def topk(self, qids: np.ndarray, Q: np.ndarray, k: int) -> pa.Table:
+    def topk(
+        self,
+        qids: np.ndarray,
+        Q: np.ndarray,
+        k: int,
+        vec_filter: tuple[str, tuple] | None = None,
+    ) -> pa.Table:
         """Exact-within-probed-lists cosine top-k per query row of Q
         (raw, un-normalized float vectors). Self-matches (vec_id ==
-        query_id) are excluded, matching the kNN gate convention."""
+        query_id) are excluded, matching the kNN gate convention.
+        ``vec_filter=(column, allowed_values)`` restricts candidates by
+        a metadata column stored in the lists (ES filtered-kNN shape;
+        the predicate applies inside each probed list, never loading
+        unprobed partitions)."""
         Qn = Q.astype(np.float64)
         Qn = Qn / np.linalg.norm(Qn, axis=1, keepdims=True)
         probe = np.argsort(-(Qn @ self.Cn.T), axis=1)[:, : self.nprobe]
@@ -187,10 +206,17 @@ class AnnIndex:
         for qi in range(len(qids)):
             vid_parts, cos_parts = [], []
             for cid in probe[qi]:
-                vids, Xn = self._load_list(int(cid))
+                vids, Xn, meta = self._load_list(int(cid))
                 if not vids.size:
                     continue
                 keep = vids != qids[qi]
+                if vec_filter is not None:
+                    col, allowed = vec_filter
+                    if col not in meta:
+                        raise KeyError(
+                            f"filter column {col!r} not stored in this index's lists"
+                        )
+                    keep &= np.isin(meta[col], np.asarray(list(allowed)))
                 vid_parts.append(vids[keep])
                 cos_parts.append(Xn[keep] @ Qn[qi])
             if not vid_parts:
@@ -228,14 +254,22 @@ class AnnTopK:
     rows (query_id, embedding) is answered to completion — an index
     lookup is query-parallel, so no cross-batch merge exists."""
 
-    def __init__(self, root: str, k: int, nprobe: int, cache_lists: int = 16):
+    def __init__(
+        self,
+        root: str,
+        k: int,
+        nprobe: int,
+        cache_lists: int = 16,
+        vec_filter: tuple[str, tuple] | None = None,
+    ):
         self.idx = AnnIndex(root, nprobe=nprobe, cache_lists=cache_lists)
         self.k = k
+        self.vec_filter = vec_filter
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         Q = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-        return self.idx.topk(qids, Q, self.k)
+        return self.idx.topk(qids, Q, self.k, vec_filter=self.vec_filter)
 
 
 def query_ann_index(
@@ -244,16 +278,68 @@ def query_ann_index(
     k: int = 10,
     nprobe: int = 4,
     concurrency: int = 2,
+    vec_filter: tuple[str, tuple] | None = None,
 ) -> "ray.data.Dataset":
     """Serve a Dataset of (query_id, embedding) rows through the
     ``AnnTopK`` actor pool."""
     return queries_ds.map_batches(
         AnnTopK,
         fn_constructor_args=(root, k, nprobe),
+        fn_constructor_kwargs={"vec_filter": vec_filter},
         batch_format="pyarrow",
         batch_size=256,
         concurrency=concurrency,
     )
+
+
+def validate_ann_index(root: str) -> dict:
+    """Invariant checks for a persisted ANN index (the ``cli validate``
+    hook, mirroring the BM25/positional validators): stats/centroids
+    readable and consistent, Σ list rows == n_vectors, vec_ids unique
+    across lists, every row routed to its true argmax centroid, and
+    every stored embedding has the declared dim. Returns a JSON-able
+    summary; raises ValueError naming the first violated invariant."""
+    from ..state.fsio import glob_parquet, read_bytes
+
+    raw = read_bytes(os.path.join(root, ANN_STATS))
+    if raw is None:
+        raise ValueError(f"{root}/{ANN_STATS}: missing (not a built ANN index)")
+    stats = json.loads(raw)
+    Cn = np.asarray(json.loads(read_bytes(os.path.join(root, ANN_CENTROIDS))))
+    if Cn.shape != (stats["n_centroids"], stats["dim"]):
+        raise ValueError(
+            f"centroids shape {Cn.shape} != (n_centroids, dim) "
+            f"({stats['n_centroids']}, {stats['dim']})"
+        )
+    total = 0
+    seen: list[np.ndarray] = []
+    misrouted = 0
+    for cid in range(stats["n_centroids"]):
+        files = glob_parquet(os.path.join(root, "lists", f"cid={cid}"))
+        if not files:
+            continue
+        t = pa.concat_tables([pq.read_table(f, columns=["vec_id", "embedding"]) for f in files])
+        total += t.num_rows
+        vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seen.append(vids)
+        X = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        if X.shape[1] != stats["dim"]:
+            raise ValueError(f"cid={cid}: embedding dim {X.shape[1]} != {stats['dim']}")
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        misrouted += int((np.argmax(Xn @ Cn.T, axis=1) != cid).sum())
+    if total != stats["n_vectors"]:
+        raise ValueError(f"list rows {total} != n_vectors {stats['n_vectors']}")
+    allv = np.concatenate(seen) if seen else np.empty(0, dtype=np.int64)
+    if allv.size != np.unique(allv).size:
+        raise ValueError("duplicate vec_id across lists")
+    if misrouted:
+        raise ValueError(f"{misrouted} rows routed to a non-argmax centroid list")
+    return {
+        "ok": True,
+        "n_vectors": int(total),
+        "n_centroids": int(stats["n_centroids"]),
+        "dim": int(stats["dim"]),
+    }
 
 
 def _ensure_ann_index(sf_dir: str, n_centroids: int) -> str:
@@ -261,7 +347,8 @@ def _ensure_ann_index(sf_dir: str, n_centroids: int) -> str:
     process; parameters keyed into the path)."""
     import hashlib
 
-    key = hashlib.sha256(f"{sf_dir}:{n_centroids}".encode()).hexdigest()[:12]
+    # v2: lists carry metadata passthrough columns (filtered serving)
+    key = hashlib.sha256(f"{sf_dir}:{n_centroids}:v2".encode()).hexdigest()[:12]
     root = f"/tmp/docinsight_ray_ann/{key}"
     from ..state.fsio import read_bytes
 
@@ -298,6 +385,33 @@ def q_ann_ivf_topk(sf_dir: str, n_centroids: int = 8) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_ann_ivf_filtered(sf_dir: str, n_centroids: int = 8) -> pa.Table:
+    """Filtered kNN from the PERSISTED index (label predicate applied
+    inside probed lists), served exhaustively so the gate carries the
+    same full SQL oracle as ``knn_cosine_filtered`` — proves metadata
+    columns survive the index round trip and the in-list predicate is
+    lossless."""
+    from docinsight_ray.functions.knn import KNN_FILTER_LABELS, KNN_K, N_QUERIES
+
+    root = _ensure_ann_index(sf_dir, n_centroids)
+    qds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).filter(expr=f"vec_id < {N_QUERIES}").map_batches(
+        lambda b: pa.table({"query_id": b["vec_id"], "embedding": b["embedding"]}),
+        batch_format="pyarrow",
+    )
+    out = (
+        query_ann_index(
+            qds, root, k=KNN_K, nprobe=n_centroids, concurrency=2,
+            vec_filter=("label", KNN_FILTER_LABELS),
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def _ann_sql() -> str:
     from docinsight_ray.functions.knn import KNN_K, N_QUERIES
 
@@ -320,5 +434,29 @@ def _ann_sql() -> str:
     """
 
 
-ORACLE_SQL = {"ann_ivf_topk": _ann_sql()}
-QUERIES = {"ann_ivf_topk": q_ann_ivf_topk}
+def _ann_filtered_sql() -> str:
+    from docinsight_ray.functions.knn import KNN_FILTER_LABELS, KNN_K, N_QUERIES
+
+    labels = ", ".join(str(x) for x in KNN_FILTER_LABELS)
+    return f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+        s AS (
+          SELECT q.qid AS query_id, e.vec_id,
+                 round(
+                   list_dot_product(q.qe::DOUBLE[], e.embedding::DOUBLE[])
+                   / sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))
+                   / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6) AS cos
+          FROM q, embeddings e
+          WHERE e.vec_id != q.qid AND e.label IN ({labels})
+        ),
+        r AS (
+          SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) - 1 AS rank
+          FROM s
+        )
+        SELECT query_id, rank, vec_id, cos FROM r WHERE rank < {KNN_K}
+    """
+
+
+ORACLE_SQL = {"ann_ivf_topk": _ann_sql(), "ann_ivf_filtered": _ann_filtered_sql()}
+QUERIES = {"ann_ivf_topk": q_ann_ivf_topk, "ann_ivf_filtered": q_ann_ivf_filtered}
