@@ -1153,32 +1153,32 @@ class _TileRowKNN:
         if not va.size:
             return None
         cap = self.k + self.MARGIN
-        # running candidates per row of tile i
-        c_ids = [np.empty(0, dtype=np.int64) for _ in range(len(va))]
-        c_cos = [np.empty(0, dtype=np.float64) for _ in range(len(va))]
+        n = len(va)
+        # running 2D candidate buffers (rows × ≤cap) — the whole tile's
+        # prune is one row-wise lexsort per visited tile, no Python
+        # loop over rows. Self-matches and pad slots sink to the tail
+        # via -inf scores and are dropped at emission.
+        c_ids = np.full((n, 0), -1, dtype=np.int64)
+        c_cos = np.full((n, 0), -np.inf, dtype=np.float64)
         for j in range(self.n_tiles):
             vb, B = self.cache.get(j)
             if not vb.size:
                 continue
             cos = A @ B.T
-            for r in range(len(va)):
-                ids = np.concatenate([c_ids[r], vb])
-                cs = np.concatenate([c_cos[r], cos[r]])
-                keep = ids != va[r]  # exclude self
-                ids, cs = ids[keep], cs[keep]
-                order = np.lexsort((ids, -np.round(cs, 6)))[:cap]
-                c_ids[r], c_cos[r] = ids[order], cs[order]
-        src, dst, out_c = [], [], []
-        for r in range(len(va)):
-            take = min(self.k, c_ids[r].size)
-            src.append(np.full(take, va[r], dtype=np.int64))
-            dst.append(c_ids[r][:take])
-            out_c.append(np.round(c_cos[r][:take], 6))
-        return (
-            np.concatenate(src) if src else np.empty(0, dtype=np.int64),
-            np.concatenate(dst) if dst else np.empty(0, dtype=np.int64),
-            np.concatenate(out_c) if out_c else np.empty(0, dtype=np.float64),
-        )
+            ids = np.broadcast_to(vb[None, :], cos.shape).copy()
+            cos = cos.copy()
+            cos[ids == va[:, None]] = -np.inf  # exclude self
+            all_ids = np.concatenate([c_ids, ids], axis=1)
+            all_cos = np.concatenate([c_cos, cos], axis=1)
+            order = np.lexsort((all_ids, -np.round(all_cos, 6)), axis=1)[:, :cap]
+            c_ids = np.take_along_axis(all_ids, order, axis=1)
+            c_cos = np.take_along_axis(all_cos, order, axis=1)
+        take = min(self.k, c_ids.shape[1])
+        src = np.repeat(va, take)
+        dst = c_ids[:, :take].ravel()
+        cs = c_cos[:, :take].ravel()
+        real = np.isfinite(cs)
+        return src[real], dst[real], np.round(cs[real], 6)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         srcs, dsts, coss = [], [], []
