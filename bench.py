@@ -279,6 +279,33 @@ def _run_suite(sf_dir: str, num_cpus: int) -> dict:
     with timed("unigram_surprisal"):
         q_unigram_surprisal(sf_dir)
 
+    # ---- persisted ANN index lifecycle: one-pass partitioned build
+    # over the sf embeddings, then pruned query-parallel serving
+    import shutil as _sh
+
+    from docinsight_ray.pipelines.ann import AnnIndex, build_ann_index
+
+    ann_dir = f"/tmp/docinsight_bench/ann-{num_cpus}-{os.getpid()}"
+    try:
+        emb_path = os.path.join(sf_dir, "embeddings.parquet")
+        with timed("ann_build"):
+            build_ann_index(ray.data.read_parquet(emb_path), ann_dir, n_centroids=16)
+        with timed("ann_serving"):
+            qt = pq_mod.read_table(emb_path, columns=["vec_id", "embedding"]).slice(0, 200)
+            annq = AnnIndex(ann_dir, nprobe=4)
+            Q = np.stack(qt["embedding"].to_numpy(zero_copy_only=False))
+            qids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            alats = []
+            for qi in range(len(qids)):
+                t0 = time.monotonic()
+                annq.topk(qids[qi : qi + 1], Q[qi : qi + 1], 10)
+                alats.append(time.monotonic() - t0)
+        extra["ann_qps"] = round(len(qids) / sum(alats), 1)
+        extra["ann_p50_ms"] = round(float(np.percentile(alats, 50)) * 1e3, 3)
+        extra["ann_lists_loaded"] = int(annq.lists_loaded)
+    finally:
+        _sh.rmtree(ann_dir, ignore_errors=True)
+
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     return {
