@@ -132,6 +132,50 @@ def build_ann_index(
     return stats
 
 
+def append_ann_index(emb_ds: "ray.data.Dataset", root: str) -> dict:
+    """Append a batch of NEW vectors to an existing index: assign with
+    the STORED centroids (routing stays consistent with what serving
+    probes), write additional list files alongside the existing ones
+    (parquet dirs compose; no rewrite), bump ``n_vectors``. The
+    incremental path of a streaming embedding pipeline — centroids are
+    deliberately not retrained (exhaustive serving is exact regardless
+    of routing; pruned recall degrades only if the data distribution
+    drifts, at which point a rebuild re-trains). Caller contract: the
+    appended vec_ids are disjoint from the resident ones
+    (``validate_ann_index`` enforces global uniqueness)."""
+    from ..state import fsio
+
+    raw = fsio.read_bytes(os.path.join(root, ANN_STATS))
+    if raw is None:
+        raise FileNotFoundError(f"{root}/{ANN_STATS}: not a built ANN index")
+    stats = json.loads(raw)
+    Cn = np.asarray(json.loads(fsio.read_bytes(os.path.join(root, ANN_CENTROIDS))))
+    c_ref = ray.put(Cn)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cn = ray.get(c_ref)
+        X = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        out = batch.set_column(
+            batch.schema.get_field_index("vec_id"), "vec_id",
+            batch["vec_id"].cast(pa.int64()),
+        )
+        return out.append_column(
+            "cid", pa.array(np.argmax(Xn @ cn.T, axis=1), type=pa.int64())
+        )
+
+    n_new = emb_ds.count()
+    lists_dir = os.path.join(root, "lists")
+    # Ray's default filenames embed the write run's uuid, so appended
+    # files never collide with the resident ones — parquet dirs compose
+    emb_ds.map_batches(assign, batch_format="pyarrow", batch_size=1024).write_parquet(
+        lists_dir, partition_cols=["cid"]
+    )
+    stats["n_vectors"] = int(stats["n_vectors"]) + int(n_new)
+    fsio.write_bytes_atomic(os.path.join(root, ANN_STATS), json.dumps(stats).encode())
+    return stats
+
+
 class AnnIndex:
     """Serving handle: centroids resident, inverted lists loaded
     lazily with a bounded LRU — actor RSS is capped by ``cache_lists``
@@ -191,6 +235,7 @@ class AnnIndex:
         Q: np.ndarray,
         k: int,
         vec_filter: tuple[str, tuple] | None = None,
+        exclude_vec_ids: np.ndarray | None = None,
     ) -> pa.Table:
         """Exact-within-probed-lists cosine top-k per query row of Q
         (raw, un-normalized float vectors). Self-matches (vec_id ==
@@ -198,7 +243,14 @@ class AnnIndex:
         ``vec_filter=(column, allowed_values)`` restricts candidates by
         a metadata column stored in the lists (ES filtered-kNN shape;
         the predicate applies inside each probed list, never loading
-        unprobed partitions)."""
+        unprobed partitions). ``exclude_vec_ids`` drops a tombstoned
+        set at serve time — the vector analogue of the BM25 scorer's
+        ``exclude_doc_ids``."""
+        excl = (
+            np.unique(np.asarray(exclude_vec_ids, dtype=np.int64))
+            if exclude_vec_ids is not None and len(exclude_vec_ids)
+            else None
+        )
         Qn = Q.astype(np.float64)
         Qn = Qn / np.linalg.norm(Qn, axis=1, keepdims=True)
         probe = np.argsort(-(Qn @ self.Cn.T), axis=1)[:, : self.nprobe]
@@ -210,6 +262,11 @@ class AnnIndex:
                 if not vids.size:
                     continue
                 keep = vids != qids[qi]
+                if excl is not None:
+                    # sorted-membership test against the sorted vids
+                    pos = np.searchsorted(excl, vids)
+                    pos[pos == excl.size] = 0
+                    keep &= excl[pos] != vids
                 if vec_filter is not None:
                     col, allowed = vec_filter
                     if col not in meta:

@@ -196,3 +196,75 @@ def test_validate_ann_clean_and_corrupted(ann_root, tmp_path):
 
     assert main(["validate", bad]) == 1
     assert main(["validate", ann_root]) == 0
+
+
+def test_append_then_exhaustive_equals_full_build(tmp_path):
+    """Build on the first half, append the second: exhaustive serving
+    must equal the exact brute force over the WHOLE table (appends use
+    stored centroids; exhaustive probing is routing-independent), and
+    validate passes with the summed n_vectors."""
+    import ray.data
+
+    from docinsight_ray.functions.knn import KNN_K, N_QUERIES, q_knn_cosine
+    from docinsight_ray.pipelines.ann import (
+        AnnIndex,
+        append_ann_index,
+        build_ann_index,
+        validate_ann_index,
+    )
+
+    emb = os.path.join(SF, "embeddings.parquet")
+    root = str(tmp_path / "inc")
+    full = ray.data.read_parquet(emb)
+    n = full.count()
+    first = full.filter(expr=f"vec_id < {n // 2}")
+    second = full.filter(expr=f"vec_id >= {n // 2}")
+    build_ann_index(first, root, n_centroids=4)
+    stats = append_ann_index(second, root)
+    assert stats["n_vectors"] == n
+    assert validate_ann_index(root)["n_vectors"] == n
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(emb)
+    vids = t["vec_id"].to_numpy()
+    mask = vids < N_QUERIES
+    Q = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[mask])
+    got = (
+        AnnIndex(root, nprobe=4)
+        .topk(vids[mask].astype(np.int64), Q, KNN_K)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    exact = q_knn_cosine(SF).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got[["query_id", "rank", "vec_id"]].equals(
+        exact[["query_id", "rank", "vec_id"]].astype("int64")
+    )
+
+
+def test_serve_time_exclusion(ann_root):
+    """exclude_vec_ids drops exactly the tombstoned vectors; survivors
+    keep their relative order (scores unchanged)."""
+    import pyarrow.parquet as pq
+
+    from docinsight_ray.functions.knn import KNN_K, N_QUERIES
+    from docinsight_ray.pipelines.ann import AnnIndex
+
+    t = pq.read_table(os.path.join(SF, "embeddings.parquet"))
+    vids = t["vec_id"].to_numpy()
+    mask = vids < N_QUERIES
+    Q = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[mask])
+    idx = AnnIndex(ann_root, nprobe=4)
+    base = idx.topk(vids[mask].astype(np.int64), Q, KNN_K).to_pandas()
+    # tombstone each query's current top hit
+    dead = base[base["rank"] == 0]["vec_id"].to_numpy()
+    got = idx.topk(
+        vids[mask].astype(np.int64), Q, KNN_K, exclude_vec_ids=dead
+    ).to_pandas()
+    assert not set(dead) & set(got["vec_id"])
+    for qid in base["query_id"].unique():
+        b = base[(base.query_id == qid) & (~base.vec_id.isin(dead))]
+        g = got[got.query_id == qid]
+        m = min(len(b), len(g))
+        assert b["vec_id"].head(m).tolist() == g["vec_id"].head(m).tolist()
