@@ -265,6 +265,24 @@ class AssignGroupKey:
         return out.filter(pa.array(keep))
 
 
+# One merge group's varbyte payload must fit Arrow binary's int32
+# offsets (the on-disk postings schema; 2 GiB per column per row
+# batch). Groups are already memory-bounded by the partitioning knobs
+# — this turns the opaque ArrowCapacityError into the remedy.
+_BIN_OFFSET_LIMIT = (1 << 31) - (1 << 20)
+
+
+def _check_group_payload(nbytes: int, what: str, cfg: EngineConfig) -> None:
+    if nbytes > _BIN_OFFSET_LIMIT:
+        raise ValueError(
+            f"{what}: merge-group payload {nbytes / 2**30:.2f} GiB exceeds "
+            "Arrow binary offset capacity (2 GiB per group). Re-partition "
+            "the merge: raise EngineConfig.num_buckets (cold terms) and/or "
+            f"hot_salt (hot terms); current num_buckets={cfg.num_buckets}, "
+            f"hot_salt={cfg.hot_salt}."
+        )
+
+
 def _encode_sorted_group(
     terms: np.ndarray,
     doc_ids: np.ndarray,
@@ -301,6 +319,7 @@ def _encode_sorted_group(
     tf64 = tfs.astype(np.uint64)
     tf_buf = varbyte_encode(tf64)
     tf_off = np.r_[0, np.cumsum(varbyte_lengths(tf64))]
+    _check_group_payload(max(int(doc_off[-1]), int(tf_off[-1])), "encode", cfg)
     w = tf_sat_weight(tfs, doc_lens, avgdl, cfg)
 
     bs = cfg.block_size
@@ -397,6 +416,10 @@ class MergeGroup:
             dl64 = doc_lens.astype(np.uint64)
             dl_buf = varbyte_encode(dl64)
             dl_off = np.r_[0, np.cumsum(varbyte_lengths(dl64))]
+            _check_group_payload(
+                max(int(doc_off[-1]), int(tf_off[-1]), int(dl_off[-1])),
+                "encode salted run", cfg,
+            )
             uniq_arr = np.asarray(uniques, dtype=object)
             tbl = pa.table(
                 {

@@ -98,8 +98,19 @@ class _Part:
             return arr.values.to_numpy(zero_copy_only=False).astype(dtype), \
                    arr.offsets.to_numpy()
 
-        self._doc_vb_arr = tbl["doc_ids_vb"].combine_chunks()
-        self._tf_vb_arr = tbl["tfs_vb"].combine_chunks()
+        def _combine_binary(col):
+            # A hot-term partition's payload column can exceed 2 GiB
+            # (observed at the 4M-doc stress rung: 312 hot terms,
+            # 3.2 GB of varbyte postings in ONE part file), which
+            # overflows binary's int32 offsets in combine_chunks().
+            # Widen to large_binary (int64 offsets) per chunk first —
+            # offsets are copied, payload buffers are shared — then
+            # combine. Per-row access (`arr[i].as_buffer()`) is
+            # identical for BinaryArray and LargeBinaryArray.
+            return col.cast(pa.large_binary()).combine_chunks()
+
+        self._doc_vb_arr = _combine_binary(tbl["doc_ids_vb"])
+        self._tf_vb_arr = _combine_binary(tbl["tfs_vb"])
         self._bmax_v, self._bmax_o = _list_view(tbl["block_max_w"], np.float32)
         self._blast_v, self._blast_o = _list_view(tbl["block_last_doc"], np.uint64)
         self.has_offsets = "block_doc_off" in tbl.column_names

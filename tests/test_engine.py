@@ -907,3 +907,74 @@ def test_term_dict_sidecar(built, tmp_path):
         assert vocab_df(idx) == via_dict["vocab"]
     finally:
         shutil.move(hidden, os.path.join(idx, "term_dict"))
+
+
+def test_part_multi_chunk_binary_payloads(built):
+    """_Part widens binary payload columns to large_binary before
+    combining chunks: a hot-term partition can exceed binary's int32
+    offset capacity (observed at the 4M-doc stress rung — 312 hot
+    terms, 3.2 GB of varbyte postings in ONE part file → ArrowInvalid
+    'offset overflow while concatenating arrays' on scorer load).
+    Rechunk a real partition table and assert byte-identical payload
+    access vs the single-chunk view."""
+    from docinsight_ray.scorer import _Part
+
+    corpus, idx, res = built
+    tbl = _load_all_postings(idx).combine_chunks()
+    ref = _Part(tbl, None)
+    multi = pa.concat_tables(tbl.slice(i, 7) for i in range(0, tbl.num_rows, 7))
+    assert multi["doc_ids_vb"].num_chunks > 1
+    part = _Part(multi, None)
+    assert part._doc_vb_arr.type == pa.large_binary()
+    step = max(1, tbl.num_rows // 50)
+    for i in range(0, tbl.num_rows, step):
+        assert bytes(part.doc_vb(i)) == bytes(ref.doc_vb(i))
+        assert bytes(part.tf_vb(i)) == bytes(ref.tf_vb(i))
+
+
+@pytest.mark.skipif(
+    not os.environ.get("STRESS_TESTS"), reason="allocates ~5 GiB (set STRESS_TESTS=1)"
+)
+def test_part_binary_offset_overflow_guard():
+    """True >2 GiB repro of the 4M-doc scorer-load crash: three ~0.8 GiB
+    payload rows in separate chunks overflow int32 binary offsets on a
+    plain combine_chunks; _Part must load them via large_binary and
+    return each value intact."""
+    from docinsight_ray.scorer import _Part
+
+    blob = lambda b, n: pa.table({
+        "term": pa.array([f"t{b}"]),
+        "df": pa.array([1], type=pa.uint32()),
+        "doc_ids_vb": pa.array([bytes([b]) * n], type=pa.binary()),
+        "tfs_vb": pa.array([b"\x01"], type=pa.binary()),
+        "block_max_w": pa.array([[1.0]], type=pa.list_(pa.float32())),
+        "block_last_doc": pa.array([[1]], type=pa.list_(pa.uint64())),
+    })
+    n = 800 << 20
+    tbl = pa.concat_tables([blob(1, n), blob(2, n), blob(3, n)])
+    part = _Part(tbl, None)
+    for i, b in enumerate((1, 2, 3)):
+        mv = part.doc_vb(i)
+        assert len(mv) == n and mv[0] == b and mv[-1] == b
+
+
+def test_merge_group_payload_guard(monkeypatch):
+    """A merge group whose varbyte payload exceeds Arrow binary's int32
+    offsets must fail with the re-partitioning remedy (num_buckets /
+    hot_salt), not an opaque ArrowCapacityError from pa.array."""
+    from docinsight_ray import build as bmod
+
+    cfg = EngineConfig()
+    terms = np.array(["a", "a", "b"], dtype=object)
+    args = (
+        terms,
+        np.array([1, 2, 3], dtype=np.uint64),
+        np.array([1, 1, 2], dtype=np.uint32),
+        np.array([5, 5, 5], dtype=np.uint32),
+        5.0,
+        cfg,
+    )
+    assert bmod._encode_sorted_group(*args).num_rows == 2
+    monkeypatch.setattr(bmod, "_BIN_OFFSET_LIMIT", 1)
+    with pytest.raises(ValueError, match="num_buckets"):
+        bmod._encode_sorted_group(*args)
