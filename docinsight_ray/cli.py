@@ -81,12 +81,18 @@ def cmd_annbuild(args) -> int:
     _init_ray(args.num_cpus)
     import ray.data
 
-    from .pipelines.ann import build_ann_index
+    from .pipelines.ann import build_ann_index, build_ivfpq_index
 
     ds = ray.data.read_parquet(args.embeddings)
-    stats = build_ann_index(
-        ds, args.ann_dir, n_centroids=args.n_centroids, seed=args.seed
-    )
+    if args.pq_m:
+        stats = build_ivfpq_index(
+            ds, args.ann_dir, n_centroids=args.n_centroids,
+            pq_m=args.pq_m, pq_ks=args.pq_ks, seed=args.seed,
+        )
+    else:
+        stats = build_ann_index(
+            ds, args.ann_dir, n_centroids=args.n_centroids, seed=args.seed
+        )
     print(json.dumps(stats, indent=1))
     return 0
 
@@ -96,19 +102,30 @@ def cmd_annquery(args) -> int:
     import numpy as np
     import pyarrow.parquet as pq
 
-    from .pipelines.ann import AnnIndex
+    import json as _json
+    import os as _os
 
-    try:
-        idx = AnnIndex(args.ann_dir, nprobe=args.nprobe)
-    except FileNotFoundError as e:
-        print(f"error: {e}", file=sys.stderr)
+    from .pipelines.ann import ANN_STATS, AnnIndex, IvfPqIndex
+    from .state.fsio import read_bytes
+
+    raw = read_bytes(_os.path.join(args.ann_dir, ANN_STATS))
+    if raw is None:
+        print(f"error: {args.ann_dir}/{ANN_STATS}: not a built ANN index",
+              file=sys.stderr)
         return 2
+    kind = _json.loads(raw).get("kind")
+    idx = (IvfPqIndex if kind == "ivfpq" else AnnIndex)(args.ann_dir, nprobe=args.nprobe)
     t = pq.read_table(args.queries, columns=["vec_id", "embedding"])
     if args.limit:
         t = t.slice(0, args.limit)
     qids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
     Q = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
-    out = idx.topk(qids, Q, args.k)
+    if kind == "ivfpq":
+        # ADC candidates; approximate scores (rescore from the source
+        # embedding table is a pipeline concern — see ivfpq_search)
+        out = idx.candidates(qids, Q, args.k)
+    else:
+        out = idx.topk(qids, Q, args.k)
     if args.out:
         import pyarrow.parquet as pqw
 
@@ -814,6 +831,10 @@ def main(argv=None) -> int:
     ab.add_argument("ann_dir")
     ab.add_argument("--n-centroids", type=int, default=8)
     ab.add_argument("--seed", type=int, default=42)
+    ab.add_argument("--pq-m", type=int, default=0,
+                    help="store pq_m-byte PQ codes instead of vectors (IVF-PQ)")
+    ab.add_argument("--pq-ks", type=int, default=32,
+                    help="codewords per PQ subspace (≤256)")
     ab.set_defaults(fn=cmd_annbuild)
 
     aq = sub.add_parser("annquery", parents=[common],

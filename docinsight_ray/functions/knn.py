@@ -915,35 +915,14 @@ def _pq_train(
     discipline as :func:`train_centroids` — only ≤``max_train`` rows
     ever reach the driver, so codebook training cost is independent of
     corpus size. Returns ``(m, ks, dsub)`` float64 codebooks."""
+    from docinsight_ray.pipelines.ann import pq_train_books, sample_embeddings_ds
+
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
     )
-    n = ds.count()
-    if n > max_train:
-        ds = ds.random_sample(min(1.0, 1.1 * max_train / n), seed=seed).limit(max_train)
-    X = np.stack(ds.to_pandas()["embedding"].to_numpy()).astype(np.float64)
+    X = sample_embeddings_ds(ds, seed=seed, max_train=max_train)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-    dim = Xn.shape[1]
-    if dim % m:
-        raise ValueError(f"PQ: dim {dim} not divisible by m={m}")
-    dsub = dim // m
-    rng = np.random.default_rng(seed)
-    books = np.empty((m, ks, dsub), dtype=np.float64)
-    for j in range(m):
-        S = Xn[:, j * dsub : (j + 1) * dsub]
-        C = S[rng.choice(len(S), size=min(ks, len(S)), replace=False)]
-        if len(C) < ks:  # tiny-corpus degenerate case: pad by repetition
-            C = np.concatenate([C, C[np.zeros(ks - len(C), dtype=np.int64)]])
-        for _ in range(iters):
-            # L2 assignment via the expanded form (‖s‖² is rank-constant)
-            d = -2.0 * (S @ C.T) + (C * C).sum(axis=1)
-            assign = np.argmin(d, axis=1)
-            for c in range(ks):
-                members = S[assign == c]
-                if len(members):
-                    C[c] = members.mean(axis=0)
-        books[j] = C
-    return books
+    return pq_train_books(Xn, m, ks, iters=iters, seed=seed)
 
 
 class PqAdcCandidates:
@@ -973,12 +952,9 @@ class PqAdcCandidates:
         vids = batch["vec_id"].to_numpy(zero_copy_only=False)
         X = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        n = len(Xn)
-        codes = np.empty((n, self.m), dtype=np.int64)
-        for j in range(self.m):
-            S = Xn[:, j * self.dsub : (j + 1) * self.dsub]
-            C = self.books[j]
-            codes[:, j] = np.argmin(-2.0 * (S @ C.T) + (C * C).sum(axis=1), axis=1)
+        from docinsight_ray.pipelines.ann import pq_encode
+
+        codes = pq_encode(Xn, self.books).astype(np.int64)
         # reconstruction norm from the code sub-norms (subspaces are
         # orthogonal coordinate slices, so norms² add)
         rnorm = np.sqrt(self.cnorm2[np.arange(self.m), codes].sum(axis=1))

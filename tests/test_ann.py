@@ -268,3 +268,106 @@ def test_serve_time_exclusion(ann_root):
         g = got[got.query_id == qid]
         m = min(len(b), len(g))
         assert b["vec_id"].head(m).tolist() == g["vec_id"].head(m).tolist()
+
+
+# ---- IVF-PQ (code lists + ADC serving) -------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ivfpq_root(tmp_path_factory):
+    import ray.data
+
+    from docinsight_ray.pipelines.ann import build_ivfpq_index
+
+    root = str(tmp_path_factory.mktemp("ivfpq")) + "/idx"
+    ds = ray.data.read_parquet(os.path.join(SF, "embeddings.parquet"))
+    stats = build_ivfpq_index(ds, root, n_centroids=4, pq_m=8, pq_ks=32)
+    assert stats["kind"] == "ivfpq" and stats["n_vectors"] > 0
+    return root
+
+
+def test_ivfpq_exhaustive_full_fetch_equals_brute_force(ivfpq_root):
+    """nprobe = n_centroids + fetch_k = n_vectors: the exact rescore
+    sees every vector, so the full lifecycle (train → encode →
+    partitioned write → lazy ADC serving → rescore) must reproduce
+    the exact kNN gate byte-for-byte (this identity is the gate
+    ann_ivfpq_topk's full SQL oracle)."""
+    from docinsight_ray.functions.knn import q_knn_cosine
+    from docinsight_ray.pipelines.ann import ivfpq_search
+
+    exact = (
+        q_knn_cosine(SF)
+        .to_pandas()[["query_id", "rank", "vec_id", "cos"]]
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+        .astype({"query_id": "int64", "rank": "int64", "vec_id": "int64"})
+    )
+    got = (
+        ivfpq_search(SF, ivfpq_root, nprobe=4, fetch_k=10**9)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(exact)
+
+
+def test_ivfpq_pruned_recall_and_partition_prune(ivfpq_root):
+    """Pruned config (nprobe=2/4, fetch_k=5k): candidate recall above
+    the scan floor; list loads bounded by the probed union; the
+    rescored sliver's scores are exact (subset of the exact gate)."""
+    from docinsight_ray.functions.knn import KNN_K, q_knn_cosine
+    from docinsight_ray.pipelines.ann import IvfPqIndex, ivfpq_search
+
+    got = ivfpq_search(SF, ivfpq_root, nprobe=2, fetch_k=5 * KNN_K).to_pandas()
+    exact = q_knn_cosine(SF).to_pandas()
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        a = set(got[got.query_id == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.3, f"IVF-PQ recall below scan floor: {recalls}"
+    # surviving candidates carry EXACT scores
+    merged = got.merge(exact, on=["query_id", "vec_id"], suffixes=("", "_e"))
+    assert np.allclose(merged["cos"], merged["cos_e"], atol=0)
+    # partition prune on the handle itself
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(SF, "embeddings.parquet"))
+    vids = t["vec_id"].to_numpy()
+    mask = vids < 5
+    Q = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[mask])
+    idx = IvfPqIndex(ivfpq_root, nprobe=2)
+    idx.candidates(vids[mask].astype(np.int64), Q, 50)
+    assert idx.lists_loaded <= 4
+
+
+def test_ivfpq_validate_and_kind_guards(ivfpq_root, ann_root):
+    """validate dispatches on kind; serving handles reject the wrong
+    index kind loudly."""
+    from docinsight_ray.pipelines.ann import AnnIndex, IvfPqIndex, validate_ann_index
+
+    v = validate_ann_index(ivfpq_root)
+    assert v["ok"] and v["kind"] == "ivfpq" and v["pq_m"] == 8
+    with pytest.raises(ValueError, match="IVF-PQ"):
+        AnnIndex(ivfpq_root)
+    with pytest.raises(ValueError, match="not an IVF-PQ"):
+        IvfPqIndex(ann_root)
+
+
+def test_ivfpq_filtered_candidates(ivfpq_root):
+    """Metadata passthrough: an in-list label predicate restricts the
+    candidate universe exactly (every returned vec_id has an allowed
+    label), same contract as the float-list filtered serving."""
+    import pyarrow.parquet as pq
+
+    from docinsight_ray.functions.knn import KNN_FILTER_LABELS
+    from docinsight_ray.pipelines.ann import ivfpq_search
+
+    got = ivfpq_search(
+        SF, ivfpq_root, nprobe=4, fetch_k=10**9,
+        vec_filter=("label", KNN_FILTER_LABELS),
+    ).to_pandas()
+    t = pq.read_table(os.path.join(SF, "embeddings.parquet"), columns=["vec_id", "label"])
+    lbl = dict(zip(t["vec_id"].to_pylist(), t["label"].to_pylist()))
+    assert got.shape[0] > 0
+    assert all(lbl[v] in KNN_FILTER_LABELS for v in got["vec_id"])
