@@ -214,6 +214,18 @@ def append_ann_index(emb_ds: "ray.data.Dataset", root: str) -> dict:
         raise FileNotFoundError(f"{root}/{ANN_STATS}: not a built ANN index")
     stats = json.loads(raw)
     Cn = np.asarray(json.loads(fsio.read_bytes(os.path.join(root, ANN_CENTROIDS))))
+    if stats.get("kind") == "ivfpq":
+        # same append contract, but encode with the STORED codebooks
+        books = np.asarray(json.loads(fsio.read_bytes(os.path.join(root, ANN_PQ_BOOKS))))
+        n_new = emb_ds.count()
+        emb_ds.map_batches(
+            _ivfpq_assign_encode(Cn, books), batch_format="pyarrow", batch_size=1024
+        ).write_parquet(os.path.join(root, "lists"), partition_cols=["cid"])
+        stats["n_vectors"] = int(stats["n_vectors"]) + int(n_new)
+        fsio.write_bytes_atomic(
+            os.path.join(root, ANN_STATS), json.dumps(stats).encode()
+        )
+        return stats
     c_ref = ray.put(Cn)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -238,6 +250,33 @@ def append_ann_index(emb_ds: "ray.data.Dataset", root: str) -> dict:
     stats["n_vectors"] = int(stats["n_vectors"]) + int(n_new)
     fsio.write_bytes_atomic(os.path.join(root, ANN_STATS), json.dumps(stats).encode())
     return stats
+
+
+def _ivfpq_assign_encode(Cn: np.ndarray, books: np.ndarray):
+    """Batch fn: route each vector to its argmax coarse centroid and
+    encode it to PQ codes. Centroids/codebooks broadcast ONCE via
+    ray.put; metadata columns pass through for filtered serving.
+    Codes are variable-width ``binary`` deliberately — an
+    all-fixed-width map_batches output trips the Ray 2.49 block
+    transport row re-pairing hazard (ROADMAP §6b)."""
+    c_ref, b_ref = ray.put(Cn), ray.put(books)
+
+    def assign_encode(batch: pa.Table) -> pa.Table:
+        cn, bk = ray.get(c_ref), ray.get(b_ref)
+        Xb = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        Xbn = Xb / np.linalg.norm(Xb, axis=1, keepdims=True)
+        codes = pq_encode(Xbn, bk)
+        cols = {
+            "vec_id": batch["vec_id"].cast(pa.int64()),
+            "pq_code": pa.array([r.tobytes() for r in codes], type=pa.binary()),
+        }
+        for name in batch.column_names:  # metadata passthrough
+            if name not in ("vec_id", "embedding"):
+                cols[name] = batch[name]
+        cols["cid"] = pa.array(np.argmax(Xbn @ cn.T, axis=1), type=pa.int64())
+        return pa.table(cols)
+
+    return assign_encode
 
 
 def build_ivfpq_index(
@@ -274,30 +313,12 @@ def build_ivfpq_index(
     C = kmeans_cosine(Xn_s, n_centroids, iters=train_iters, seed=seed)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     books = pq_train_books(Xn_s, pq_m, pq_ks, iters=pq_iters, seed=seed)
-    c_ref = ray.put(Cn)
-    b_ref = ray.put(books)
-
-    def assign_encode(batch: pa.Table) -> pa.Table:
-        cn, bk = ray.get(c_ref), ray.get(b_ref)
-        Xb = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-        Xbn = Xb / np.linalg.norm(Xb, axis=1, keepdims=True)
-        codes = pq_encode(Xbn, bk)
-        cols = {
-            "vec_id": batch["vec_id"].cast(pa.int64()),
-            "pq_code": pa.array([r.tobytes() for r in codes], type=pa.binary()),
-        }
-        for name in batch.column_names:  # metadata passthrough
-            if name not in ("vec_id", "embedding"):
-                cols[name] = batch[name]
-        cols["cid"] = pa.array(np.argmax(Xbn @ cn.T, axis=1), type=pa.int64())
-        return pa.table(cols)
-
     lists_dir = os.path.join(out_dir, "lists")
     fsio.rmtree(lists_dir)
     fsio.makedirs(lists_dir)
-    emb_ds.map_batches(assign_encode, batch_format="pyarrow", batch_size=1024).write_parquet(
-        lists_dir, partition_cols=["cid"]
-    )
+    emb_ds.map_batches(
+        _ivfpq_assign_encode(Cn, books), batch_format="pyarrow", batch_size=1024
+    ).write_parquet(lists_dir, partition_cols=["cid"])
     stats = {
         "kind": "ivfpq",
         "n_vectors": int(emb_ds.count()),
@@ -396,12 +417,20 @@ class IvfPqIndex:
         Q: np.ndarray,
         fetch_k: int,
         vec_filter: tuple[str, tuple] | None = None,
+        exclude_vec_ids: np.ndarray | None = None,
     ) -> pa.Table:
         """ADC candidate generation: per query, probe ``nprobe``
         lists and score codes via per-query LUTs (``m`` gathers + a
         sum per vector — no float matmul over stored vectors).
         Returns (query_id, vec_id, acos) — the approximate sliver an
-        exact rescorer refines."""
+        exact rescorer refines. ``exclude_vec_ids`` drops a
+        tombstoned set at serve time (same contract as
+        :meth:`AnnIndex.topk`)."""
+        excl = (
+            np.unique(np.asarray(exclude_vec_ids, dtype=np.int64))
+            if exclude_vec_ids is not None and len(exclude_vec_ids)
+            else None
+        )
         Qn = Q.astype(np.float64)
         Qn = Qn / np.linalg.norm(Qn, axis=1, keepdims=True)
         m, ks, dsub = self.books.shape
@@ -417,6 +446,11 @@ class IvfPqIndex:
                 if not vids.size:
                     continue
                 keep = vids != qids[qi]
+                if excl is not None:
+                    # sorted-membership test against the sorted vids
+                    pos = np.searchsorted(excl, vids)
+                    pos[pos == excl.size] = 0
+                    keep &= excl[pos] != vids
                 if vec_filter is not None:
                     col, allowed = vec_filter
                     if col not in meta:

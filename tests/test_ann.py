@@ -371,3 +371,64 @@ def test_ivfpq_filtered_candidates(ivfpq_root):
     lbl = dict(zip(t["vec_id"].to_pylist(), t["label"].to_pylist()))
     assert got.shape[0] > 0
     assert all(lbl[v] in KNN_FILTER_LABELS for v in got["vec_id"])
+
+
+def test_ivfpq_append_then_exhaustive_equals_brute_force(tmp_path):
+    """IVF-PQ append: build on the first half, append the second with
+    the STORED centroids + codebooks; exhaustive full-fetch serving
+    (rescore sees every vector) must equal the exact kNN gate, and
+    the ivfpq validator passes with the summed n_vectors."""
+    import ray.data
+
+    from docinsight_ray.functions.knn import q_knn_cosine
+    from docinsight_ray.pipelines.ann import (
+        append_ann_index,
+        build_ivfpq_index,
+        ivfpq_search,
+        validate_ann_index,
+    )
+
+    emb = os.path.join(SF, "embeddings.parquet")
+    root = str(tmp_path / "incpq")
+    full = ray.data.read_parquet(emb)
+    n = full.count()
+    build_ivfpq_index(full.filter(expr=f"vec_id < {n // 2}"), root, n_centroids=4)
+    stats = append_ann_index(full.filter(expr=f"vec_id >= {n // 2}"), root)
+    assert stats["kind"] == "ivfpq" and stats["n_vectors"] == n
+    assert validate_ann_index(root)["n_vectors"] == n
+
+    got = (
+        ivfpq_search(SF, root, nprobe=4, fetch_k=10**9)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    exact = (
+        q_knn_cosine(SF).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert got[["query_id", "rank", "vec_id"]].equals(
+        exact[["query_id", "rank", "vec_id"]].astype("int64")
+    )
+
+
+def test_ivfpq_serve_time_exclusion(ivfpq_root):
+    """exclude_vec_ids drops exactly the tombstoned vectors from the
+    ADC candidate stream; no excluded id ever surfaces."""
+    import pyarrow.parquet as pq
+
+    from docinsight_ray.pipelines.ann import IvfPqIndex
+
+    t = pq.read_table(os.path.join(SF, "embeddings.parquet"))
+    vids = t["vec_id"].to_numpy()
+    mask = vids < 5
+    Q = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[mask])
+    idx = IvfPqIndex(ivfpq_root, nprobe=4)
+    base = idx.candidates(vids[mask].astype(np.int64), Q, 20).to_pandas()
+    dead = base["vec_id"].to_numpy()[:8]
+    got = idx.candidates(
+        vids[mask].astype(np.int64), Q, 20, exclude_vec_ids=dead
+    ).to_pandas()
+    assert not set(got["vec_id"]) & set(dead)
+    # survivors keep their approximate scores (exclusion only filters)
+    m = base[~base.vec_id.isin(dead)].merge(got, on=["query_id", "vec_id"])
+    assert np.allclose(m["acos_x"], m["acos_y"], atol=0)
