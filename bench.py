@@ -306,6 +306,27 @@ def _run_suite(sf_dir: str, num_cpus: int) -> dict:
     finally:
         _sh.rmtree(ann_dir, ignore_errors=True)
 
+    # ---- IVF-PQ variant: code lists (8 B/vector) + ADC candidate serving
+    from docinsight_ray.pipelines.ann import IvfPqIndex, build_ivfpq_index
+
+    pq_dir = f"/tmp/docinsight_bench/ivfpq-{num_cpus}-{os.getpid()}"
+    try:
+        with timed("ivfpq_build"):
+            build_ivfpq_index(
+                ray.data.read_parquet(emb_path), pq_dir, n_centroids=16
+            )
+        with timed("ivfpq_serving"):
+            pqi = IvfPqIndex(pq_dir, nprobe=4)
+            plats = []
+            for qi in range(len(qids)):
+                t0 = time.monotonic()
+                pqi.candidates(qids[qi : qi + 1], Q[qi : qi + 1], 50)
+                plats.append(time.monotonic() - t0)
+        extra["ivfpq_qps"] = round(len(qids) / sum(plats), 1)
+        extra["ivfpq_p50_ms"] = round(float(np.percentile(plats, 50)) * 1e3, 3)
+    finally:
+        _sh.rmtree(pq_dir, ignore_errors=True)
+
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     return {

@@ -3569,3 +3569,182 @@ QUERIES = {
     "retrieval_eval": q_retrieval_eval,
     "ndcg_eval": q_ndcg_eval,
 }
+
+
+# ---- term vectors (ES _termvectors parity) ---------------------------------
+
+TV_N_DOCS = 8  # fixed probe-doc prefix for the gate
+
+
+def term_df_lookup(index_dir: str, terms: list[str]) -> dict[str, int]:
+    """Exact-term df lookup against the built index's vocabulary —
+    the ``term_dict`` sidecar when present (globally sorted, so the
+    ``in`` filter prunes to the touched parquet row groups), else the
+    postings partitions' (term, df) columns. df rows are SUMMED per
+    term so salted hot-term runs aggregate exactly. Reads only the
+    requested term set — never the whole vocabulary."""
+    import pyarrow.parquet as pq
+
+    from ..scorer import _vocab_sources
+
+    want = sorted(set(terms))
+    agg: dict[str, int] = {}
+    for f in _vocab_sources(index_dir)[0]:
+        t = pq.read_table(f, columns=["term", "df"], filters=[("term", "in", want)])
+        for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+            agg[term] = agg.get(term, 0) + int(df)
+    return agg
+
+
+def q_term_vectors(sf_dir: str) -> pa.Table:
+    """ES ``_termvectors`` analogue (the reference's per-document term
+    statistics surface): for each probe doc, one row per distinct term
+    with its in-doc tf, corpus df, and the round-6 tf·idf weight (the
+    engine's BM25 idf). tf is computed doc-side from the stored
+    content (term vectors are a per-doc artifact, exactly how Lucene
+    stores them); df comes from the INDEX via the pruned term_dict
+    lookup — so the gate also proves sidecar df == SQL df on the
+    probed vocabulary."""
+    import json
+    from collections import Counter
+
+    idx = ensure_index(sf_dir)
+    with open(os.path.join(idx, "corpus_stats.json")) as f:
+        n = float(json.load(f)["n_docs"])
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", TV_N_DOCS)],
+    )
+    per_doc: list[tuple[int, Counter]] = [
+        (int(d), Counter(tokenize_text(t, SQL_PARITY_CONFIG)))
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    ]
+    vocab = sorted({t for _, c in per_doc for t in c})
+    df = term_df_lookup(idx, vocab)
+    rows: dict[str, list] = {k: [] for k in ("doc_id", "term", "tf", "df", "tfidf")}
+    for did, counts in per_doc:
+        for term in sorted(counts):
+            tf, d = counts[term], df[term]
+            rows["doc_id"].append(did)
+            rows["term"].append(term)
+            rows["tf"].append(tf)
+            rows["df"].append(d)
+            rows["tfidf"].append(round(tf * np.log(1.0 + (n - d + 0.5) / (d + 0.5)), 6))
+    return pa.table(
+        {
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "term": pa.array(rows["term"], type=pa.string()),
+            "tf": pa.array(rows["tf"], type=pa.int64()),
+            "df": pa.array(rows["df"], type=pa.int64()),
+            "tfidf": pa.array(rows["tfidf"], type=pa.float64()),
+        }
+    )
+
+
+# ---- hard-negative mining (contrastive training data) ----------------------
+
+HARD_NEG_K = 5
+
+
+def q_hard_negatives(sf_dir: str) -> pa.Table:
+    """DPR-style BM25 hard-negative mining for retriever training: per
+    query, the positive is the top-ranked document (round-6 protocol)
+    and the negatives are the next-ranked documents EXCLUDING any doc
+    whose content sha256 equals the positive's — the standard
+    false-negative guard (an exact duplicate of the positive must
+    never be labeled negative). Emits (query_id, neg_rank, doc_id,
+    score). Serving runs through the actor-pool path; the sha guard
+    hydrates only the narrow (doc_id, content_sha256) registry columns
+    (at corpus scale the candidate set is k·n_queries rows, so the
+    hydration is a pruned read of that sliver, not the registry)."""
+    from ..state.fsio import glob_parquet
+
+    idx = ensure_index(sf_dir)
+    n_docs = BM25Scorer(idx, SQL_PARITY_CONFIG, mode="taat").n_docs
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q for q, _ in DOC_QUERIES], type=pa.int64()),
+            "text": pa.array([t for _, t in DOC_QUERIES], type=pa.string()),
+            "k": pa.array([n_docs] * len(DOC_QUERIES), type=pa.uint32()),
+        }
+    )
+    res = query_index(
+        ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG, mode="taat", concurrency=2
+    ).to_pandas()
+    import pyarrow.parquet as pq
+
+    sha_t = pa.concat_tables(
+        [pq.read_table(f, columns=["doc_id", "content_sha256"]) for f in glob_parquet(os.path.join(idx, "docs"))]
+    )
+    sha = dict(
+        zip(
+            pc.cast(sha_t["doc_id"], pa.int64()).to_pylist(),
+            sha_t["content_sha256"].to_pylist(),
+        )
+    )
+    qids, nranks, dids, scores = [], [], [], []
+    for qid, _text in DOC_QUERIES:
+        g = res[res.query_id == qid]
+        d = g["doc_id"].to_numpy().astype(np.uint64)
+        s6 = np.round(g["score"].to_numpy(), 6)
+        order = np.lexsort((d, -s6))
+        d, s6 = d[order].astype(np.int64), s6[order]
+        if not d.size:
+            continue
+        pos_sha = sha[int(d[0])]
+        kept = 0
+        for i in range(1, d.size):
+            if kept >= HARD_NEG_K:
+                break
+            if sha[int(d[i])] == pos_sha:
+                continue
+            qids.append(qid)
+            nranks.append(kept)
+            dids.append(int(d[i]))
+            scores.append(float(s6[i]))
+            kept += 1
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "neg_rank": pa.array(nranks, type=pa.int64()),
+            "doc_id": pa.array(dids, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
+QUERIES["term_vectors"] = q_term_vectors
+QUERIES["hard_negatives"] = q_hard_negatives
+
+ORACLE_SQL["term_vectors"] = f"""
+WITH tok AS (
+  SELECT doc_id, t.term FROM documents, unnest({SIMPLE_TOK_SQL}) AS t(term)
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM tok WHERE doc_id < {TV_N_DOCS} GROUP BY doc_id, term
+),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       round(tf.tf * ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5)), 6) AS tfidf
+FROM tf JOIN df USING (term) CROSS JOIN n
+"""
+
+ORACLE_SQL["hard_negatives"] = BM25_CTE + f"""
+, pos AS (SELECT query_id, doc_id AS pos_doc FROM ranked WHERE rank = 0),
+shas AS (SELECT doc_id, sha256(text) AS sha FROM documents),
+neg AS (
+  SELECT r.query_id, r.doc_id, r.score,
+         row_number() OVER (PARTITION BY r.query_id ORDER BY r.rank) - 1 AS neg_rank
+  FROM ranked r
+  JOIN pos p ON p.query_id = r.query_id
+  JOIN shas sd ON sd.doc_id = r.doc_id
+  JOIN shas sp ON sp.doc_id = p.pos_doc
+  WHERE r.doc_id != p.pos_doc AND sd.sha != sp.sha
+)
+SELECT query_id, neg_rank, doc_id, score FROM neg WHERE neg_rank < {HARD_NEG_K}
+"""
