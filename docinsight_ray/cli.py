@@ -704,6 +704,51 @@ def cmd_spell(args) -> int:
     return 0
 
 
+def cmd_reindex(args) -> int:
+    """Rebuild from the source lake into a new dir, verify the content
+    digest vs the old index, optionally swap the serving alias — the
+    reference's ``reindex`` (force_rebuild=True,
+    /root/reference/docinsight_cli.py:87-106) as a zero-downtime
+    lifecycle: the old index serves until the verified swap."""
+    _init_ray(args.num_cpus)
+    import ray.data
+
+    from .config import EngineConfig
+    from .pipelines.reindex import reindex
+
+    cfg = EngineConfig(
+        tokenizer=args.tokenizer,
+        num_buckets=args.num_buckets,
+        doc_id_mode=args.doc_id_mode,
+        dedup=not args.no_dedup,
+    )
+    ds = ray.data.read_parquet(args.corpus)
+    out = reindex(
+        ds, args.old_index, args.new_index, cfg,
+        fingerprint=args.fingerprint or args.corpus,
+        alias_dir=args.alias,
+    )
+    print(json.dumps(out, indent=1))
+    return 0 if out["verified"] else 1
+
+
+def cmd_alias(args) -> int:
+    """Show or atomically set a serving alias."""
+    from .pipelines.reindex import get_alias, set_alias
+
+    if args.index_dir is None:
+        target = get_alias(args.alias_dir)
+        if target is None:
+            print(f"{args.alias_dir}: not an alias", file=sys.stderr)
+            return 1
+        print(json.dumps({"alias": args.alias_dir, "index_dir": target}))
+        return 0
+    prev = set_alias(args.alias_dir, args.index_dir)
+    print(json.dumps({"alias": args.alias_dir, "index_dir": args.index_dir,
+                      "previous": prev}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     os.environ.setdefault("RAY_GRAFT_CPUS", str(args.num_cpus or 32))
     sys.argv = ["bench.py"] + (["--scaling"] if args.scaling else [])
@@ -901,6 +946,26 @@ def main(argv=None) -> int:
     sp.add_argument("--max-dist", type=int, default=2)
     sp.add_argument("--tokenizer", default="code", choices=["code", "simple"])
     sp.set_defaults(fn=cmd_spell)
+
+    ri = sub.add_parser("reindex", parents=[common],
+                        help="rebuild into a new dir, verify content digest, swap alias")
+    ri.add_argument("corpus")
+    ri.add_argument("old_index")
+    ri.add_argument("new_index")
+    ri.add_argument("--alias", default=None,
+                    help="serving alias dir to cut over on verified success")
+    ri.add_argument("--tokenizer", default="code", choices=["code", "simple"])
+    ri.add_argument("--num-buckets", type=int, default=32)
+    ri.add_argument("--doc-id-mode", default="hash", choices=["hash", "column"])
+    ri.add_argument("--no-dedup", action="store_true")
+    ri.add_argument("--fingerprint", default="")
+    ri.set_defaults(fn=cmd_reindex)
+
+    al = sub.add_parser("alias", parents=[common],
+                        help="show or set a serving alias (atomic cutover)")
+    al.add_argument("alias_dir")
+    al.add_argument("index_dir", nargs="?", default=None)
+    al.set_defaults(fn=cmd_alias)
 
     args = p.parse_args(argv)
     return args.fn(args)

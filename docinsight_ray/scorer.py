@@ -262,6 +262,13 @@ class BM25Scorer:
     ):
         from .state.fsio import exists as fs_exists, glob_parquet, read_bytes
 
+        # serving may go through a stable alias directory (zero-downtime
+        # reindex cutover, pipelines/reindex.py) — resolve it once here
+        # so every caller (query_index actors, CLI, sharded fan-outs
+        # over alias roots) picks up the live index transparently
+        from .pipelines.reindex import resolve_alias
+
+        index_dir = resolve_alias(index_dir)
         self.cfg = cfg or EngineConfig()
         self.mode = mode
         # per-term query boosts (Lucene ``term^2`` semantics): a term's
