@@ -244,8 +244,7 @@ class AssignGroupKey:
         keep = np.ones(batch.num_rows, dtype=bool)
         if self.losers.size:
             keep &= ~np.isin(doc_ids, self.losers)
-        terms = np.asarray(batch["term"].to_pylist(), dtype=object)
-        buckets = term_bucket(terms, cfg.num_buckets).astype(np.int64)
+        buckets = term_bucket(batch["term"], cfg.num_buckets).astype(np.int64)
         stride = 1 + cfg.hot_salt
         gkey = buckets * stride
         if self.hot_terms.size and cfg.salting_enabled:

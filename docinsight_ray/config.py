@@ -15,7 +15,10 @@ from dataclasses import asdict, dataclass, field
 # folded into config_hash, which is part of every build fingerprint, so
 # cached /tmp indexes from older engine semantics can never be resumed.
 # r2.1: encoded salted partial runs + df sidecars (partial/ format change)
-ENGINE_VERSION = "r2.1"
+# r3.1: term_bucket hash switched pandas.hash_array -> polars Arrow-native
+#       string hash (different bucket routing; old postings partitions
+#       would be misrouted at serve time)
+ENGINE_VERSION = "r3.1"
 
 
 @dataclass(frozen=True)
@@ -80,7 +83,17 @@ class EngineConfig:
     decode_cache_mb: int = 256
 
     def config_hash(self) -> str:
-        payload = {"engine_version": ENGINE_VERSION, **asdict(self)}
+        # The polars version pins the term_bucket hash function (ahash
+        # keys are fixed per release, not per API contract): an
+        # environment upgrade that changes it must invalidate cached
+        # indexes rather than silently misroute term lookups.
+        import polars as pl
+
+        payload = {
+            "engine_version": ENGINE_VERSION,
+            "term_hash": f"polars-{pl.__version__}",
+            **asdict(self),
+        }
         return hashlib.sha256(
             json.dumps(payload, sort_keys=True, default=str).encode()
         ).hexdigest()[:16]
