@@ -143,22 +143,26 @@ def key_set_filter(
 
 # ---- Bloom-prefiltered anti-filter (third tier) ---------------------------
 
-_BLOOM_HK1 = "docinsightbloomA"  # 16-byte pandas hash keys (fixed:
-_BLOOM_HK2 = "docinsightbloomB"  # cross-process determinism)
+_BLOOM_SEED1 = 0xB100A  # fixed seeds: builders and probers must agree
+_BLOOM_SEED2 = 0xB100B  # within one run (the bitmap never persists)
 
 
 def _bloom_hashes(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """Two independent 64-bit hash streams for a key column (strings
-    hash under two fixed pandas hash keys; fixed-width values mix the
-    first stream with a splitmix64 round for the second). h2 is forced
-    odd so double hashing h1 + i*h2 walks distinct bit slots."""
-    import pandas as pd
-
+    hash Arrow-native under two fixed polars seeds — no per-key Python
+    object, this runs inside every batch of the bypass filter;
+    fixed-width values mix the first stream with a splitmix64 round
+    for the second). h2 is forced odd so double hashing h1 + i*h2
+    walks distinct bit slots."""
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type) or pa.types.is_binary(col.type):
-        vals = np.asarray(col.to_pylist(), dtype=object)
-        h1 = pd.util.hash_array(vals, hash_key=_BLOOM_HK1)
-        h2 = pd.util.hash_array(vals, hash_key=_BLOOM_HK2)
+        import polars as pl
+
+        s = pl.from_arrow(col if isinstance(col, pa.ChunkedArray) else pa.chunked_array([col]))
+        h1 = s.hash(seed=_BLOOM_SEED1).to_numpy()
+        h2 = s.hash(seed=_BLOOM_SEED2).to_numpy()
     else:
+        import pandas as pd
+
         raw = col.to_numpy(zero_copy_only=False)
         h1 = pd.util.hash_array(np.ascontiguousarray(raw))
         z = h1 + np.uint64(0x9E3779B97F4A7C15)
