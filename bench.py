@@ -398,11 +398,15 @@ def main() -> None:
 
     if "--scaling" in sys.argv:
         n_docs = int(os.environ.get("BENCH_SCALING_DOCS", "100000"))
+        # enough queries that steady-state throughput dominates actor
+        # spin-up (each pool actor loads the index in __init__; with a
+        # short query stream that one-time cost IS the measurement)
+        n_q = os.environ.get("BENCH_SCALING_QUERIES", "2000")
         results = {}
         for n in (8, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
                        BENCH_PIPELINES="scaling", BENCH_FAST="1",
-                       BENCH_DOCS=str(n_docs))
+                       BENCH_DOCS=str(n_docs), BENCH_QUERIES=n_q)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
                 capture_output=True, text=True, check=True,
@@ -444,9 +448,11 @@ def main() -> None:
         # a transient sub-run failure must not lose the whole bench line
         try:
             sc_docs = os.environ.get("BENCH_SCALING_DOCS", "100000")
+            sc_q = os.environ.get("BENCH_SCALING_QUERIES", "2000")
             scaling = {n: _sub({"RAY_GRAFT_CPUS": str(n),
                                 "BENCH_PIPELINES": "scaling",
-                                "BENCH_DOCS": sc_docs}) for n in (8, 32)}
+                                "BENCH_DOCS": sc_docs,
+                                "BENCH_QUERIES": sc_q}) for n in (8, 32)}
             b8 = scaling[8]["stats"]["build_docs_per_sec"]
             b32 = scaling[32]["stats"]["build_docs_per_sec"]
             q8 = scaling[8]["stats"]["actor_pool_qps"]

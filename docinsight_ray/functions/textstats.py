@@ -301,6 +301,103 @@ def redact_pii_table(t: pa.Table, text_col: str = "text") -> pa.Table:
     return t.set_column(t.schema.get_field_index(text_col), text_col, text)
 
 
+# ---- Gopher-style quality-rule filter --------------------------------------
+#
+# The document-level rule battery of Rae et al. 2021 ("Scaling Language
+# Models: ... Gopher", §A1.1), the standard pre-training quality gate:
+# word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+# bullet-line and ellipsis-line fractions, and a required-word check.
+# Every rule is evaluated in INTEGER arithmetic (e.g. mean word length
+# in [3,10] is checked as 3·n ≤ total_len ≤ 10·n), so the DuckDB oracle
+# matches bit-for-bit with no float-rounding hazard.
+GOPHER_MIN_WORDS = 15
+GOPHER_MAX_WORDS = 5000
+# Gopher requires ≥2 hits from a small "common English words" list; the
+# synthetic corpus is database word soup, so the list is drawn from its
+# vocabulary (the rule SHAPE is what's under test, the list is config).
+GOPHER_REQUIRED_WORDS = ("the", "a", "row", "table", "value", "key", "part", "hash")
+
+
+def _gopher_augment(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic doc_id-keyed augmentation so every rule has both
+    outcomes on the single-line word-soup corpus (same CASE chain as
+    the SQL oracle; precedent: q_pii_redact's seeded PII)."""
+    did = batch["doc_id"].astype("int64")
+    heavy_bullets = "\n- filler bullet" * 10
+    light_bullets = "\n- alpha\n- beta\n* gamma\nplain tail"
+    hashes = "\n#### ## # heading noise"
+    ellipses = "\nto be continued ...\nmore soon ...\nthe end"
+    suffix = np.where(
+        did % 10 == 0, heavy_bullets,
+        np.where(did % 5 == 0, light_bullets,
+                 np.where(did % 7 == 0, hashes,
+                          np.where(did % 3 == 0, ellipses, ""))),
+    )
+    return pd.DataFrame({"doc_id": did, "text": batch["text"] + suffix})
+
+
+def gopher_rule_counts(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-document integer rule counters (vectorized pandas str ops)."""
+    text = batch["text"]
+    toks = text.str.lower().str.findall(_TOKEN_RE)
+    lines = text.str.split("\n")
+    req = GOPHER_REQUIRED_WORDS
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].astype("int64"),
+            "n_words": toks.str.len().astype("int64"),
+            "total_word_len": toks.map(lambda ts: sum(len(t) for t in ts)).astype("int64"),
+            "n_hash": text.str.count("#").astype("int64"),
+            # non-overlapping left-to-right, same as the oracle's
+            # (len - len(replace(text,'...','')))/3
+            "n_ellipsis": text.map(lambda s: s.count("...")).astype("int64"),
+            "n_lines": lines.str.len().astype("int64"),
+            # ltrim/rtrim strip SPACES only (DuckDB default), not \t
+            "n_bullet_lines": lines.map(
+                lambda ls: sum(1 for x in ls if x.lstrip(" ").startswith(("-", "*")))
+            ).astype("int64"),
+            "n_ellipsis_lines": lines.map(
+                lambda ls: sum(1 for x in ls if x.rstrip(" ").endswith("..."))
+            ).astype("int64"),
+            "n_required_hits": toks.map(lambda ts: len(set(ts) & set(req))).astype("int64"),
+        }
+    )
+
+
+def gopher_rule_flags(c: pd.DataFrame) -> pd.DataFrame:
+    """Boolean rules + keep from the integer counters (integer-exact)."""
+    out = c.copy()
+    out["r_word_count"] = (c.n_words >= GOPHER_MIN_WORDS) & (c.n_words <= GOPHER_MAX_WORDS)
+    out["r_mean_word_len"] = (3 * c.n_words <= c.total_word_len) & (
+        c.total_word_len <= 10 * c.n_words
+    )
+    out["r_symbol_ratio"] = 10 * (c.n_hash + c.n_ellipsis) <= c.n_words
+    out["r_bullet_lines"] = 10 * c.n_bullet_lines <= 9 * c.n_lines
+    out["r_ellipsis_lines"] = 10 * c.n_ellipsis_lines <= 3 * c.n_lines
+    out["r_required_words"] = c.n_required_hits >= 2
+    out["keep"] = (
+        out.r_word_count & out.r_mean_word_len & out.r_symbol_ratio
+        & out.r_bullet_lines & out.r_ellipsis_lines & out.r_required_words
+    )
+    return out
+
+
+def q_gopher_rules(sf_dir: str) -> pa.Table:
+    """Gopher-style quality-rule filter (SURVEY.md §2: the quality gate
+    a large-scale training-data pipeline runs between language ID and
+    dedup). Emits per-doc integer counters, per-rule booleans and the
+    final ``keep`` flag; one streaming ``map_batches`` pass, no
+    shuffle, no Python row loop in the fixed-width counters."""
+
+    def rules(batch: pd.DataFrame) -> pd.DataFrame:
+        return gopher_rule_flags(gopher_rule_counts(_gopher_augment(batch)))
+
+    return pa.Table.from_pandas(
+        _read_documents(sf_dir).map_batches(rules, batch_format="pandas").to_pandas(),
+        preserve_index=False,
+    )
+
+
 def _in_list_sql(words: tuple[str, ...]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
@@ -367,6 +464,51 @@ ORACLE_SQL = {
         )
         SELECT doc_id, n_email, n_ip, n_phone, text AS clean_text FROM t3
     """.format(E=PII_EMAIL, I=PII_IPV4, P=PII_PHONE),
+    "gopher_rules": f"""
+        WITH t0 AS (
+          SELECT doc_id,
+            text || CASE
+              WHEN doc_id % 10 = 0 THEN repeat(chr(10) || '- filler bullet', 10)
+              WHEN doc_id % 5 = 0 THEN chr(10) || '- alpha' || chr(10) || '- beta'
+                   || chr(10) || '* gamma' || chr(10) || 'plain tail'
+              WHEN doc_id % 7 = 0 THEN chr(10) || '#### ## # heading noise'
+              WHEN doc_id % 3 = 0 THEN chr(10) || 'to be continued ...'
+                   || chr(10) || 'more soon ...' || chr(10) || 'the end'
+              ELSE '' END AS text
+          FROM documents
+        ), t AS (
+          SELECT doc_id, text,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+            string_split(text, chr(10)) AS lines
+          FROM t0
+        ), c AS (
+          SELECT doc_id,
+            len(toks)::BIGINT AS n_words,
+            coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS total_word_len,
+            (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+            ((length(text) - length(replace(text, '...', ''))) / 3)::BIGINT AS n_ellipsis,
+            len(lines)::BIGINT AS n_lines,
+            len(list_filter(lines, x -> ltrim(x, ' ') LIKE '-%' OR ltrim(x, ' ') LIKE '*%'))::BIGINT AS n_bullet_lines,
+            len(list_filter(lines, x -> rtrim(x, ' ') LIKE '%...'))::BIGINT AS n_ellipsis_lines,
+            len(list_filter([{_in_list_sql(GOPHER_REQUIRED_WORDS)}], w -> list_contains(toks, w)))::BIGINT AS n_required_hits
+          FROM t
+        )
+        SELECT doc_id, n_words, total_word_len, n_hash, n_ellipsis, n_lines,
+          n_bullet_lines, n_ellipsis_lines, n_required_hits,
+          (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}) AS r_word_count,
+          (3*n_words <= total_word_len AND total_word_len <= 10*n_words) AS r_mean_word_len,
+          (10*(n_hash + n_ellipsis) <= n_words) AS r_symbol_ratio,
+          (10*n_bullet_lines <= 9*n_lines) AS r_bullet_lines,
+          (10*n_ellipsis_lines <= 3*n_lines) AS r_ellipsis_lines,
+          (n_required_hits >= 2) AS r_required_words,
+          (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+           AND 3*n_words <= total_word_len AND total_word_len <= 10*n_words
+           AND 10*(n_hash + n_ellipsis) <= n_words
+           AND 10*n_bullet_lines <= 9*n_lines
+           AND 10*n_ellipsis_lines <= 3*n_lines
+           AND n_required_hits >= 2) AS keep
+        FROM c
+    """,
     # doc_fingerprint: intentionally no SQL (order-sensitive rolling hash)
     "phrase_match": f"""
         WITH ph(phrase) AS (VALUES {", ".join(f"('{p}')" for p in PHRASES)})
@@ -384,4 +526,5 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "phrase_match": q_phrase_match,
     "pii_redact": q_pii_redact,
+    "gopher_rules": q_gopher_rules,
 }

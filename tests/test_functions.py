@@ -1480,3 +1480,50 @@ def test_knn_graph_mutual_matches_brute_force():
     pos = {int(v): i for i, v in enumerate(vids_s)}
     for a, b, c in got[["a_id", "b_id", "cos"]].itertuples(index=False):
         assert c == pytest.approx(cos_s[pos[int(a)], pos[int(b)]], abs=1e-9)
+
+
+def test_gopher_rules_parity_and_boundaries(ray_session):
+    """gopher_rules: DuckDB oracle parity at sf0.001 (integer-exact
+    rule math), outcome variety on the augmented corpus, and the
+    mean-word-length boundary (vacuously true on the corpus) covered
+    by a crafted batch through the shared rule helpers."""
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.functions.textstats import (
+        ORACLE_SQL,
+        gopher_rule_counts,
+        gopher_rule_flags,
+        q_gopher_rules,
+    )
+
+    got = q_gopher_rules(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = con.sql(ORACLE_SQL["gopher_rules"]).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    # the augmentation must exercise both outcomes of the line rules
+    for rule in ("r_word_count", "r_symbol_ratio", "r_bullet_lines",
+                 "r_ellipsis_lines", "keep"):
+        assert got[rule].nunique() == 2, rule
+
+    # mean-word-length boundary: 'aa' (mean 2) fails low, a 12-char
+    # word fails high, a 3-char word passes both bounds exactly
+    crafted = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "aa " * 20,            # mean 2 < 3 → fail
+                "abcdefghijkl " * 20,  # mean 12 > 10 → fail
+                "abc " * 20,           # mean exactly 3 → pass
+            ],
+        }
+    )
+    flags = gopher_rule_flags(gopher_rule_counts(crafted))
+    assert list(flags["r_mean_word_len"]) == [False, False, True]
