@@ -201,6 +201,7 @@ def cmd_query(args) -> int:
         "maxscore": scorer.score_maxscore,
         "conjunctive": scorer.score_conjunctive,
         "lmdir": scorer.score_lmdir,
+        "bm25plus": scorer.score_bm25plus,
     }.get(args.mode, scorer.score_taat)
     if args.explain_doc is not None:
         # Lucene-style per-term breakdown for one (query, doc) pair
@@ -786,7 +787,8 @@ def main(argv=None) -> int:
     q.add_argument("text", nargs="+")
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--mode", default="taat",
-                   choices=["taat", "bmw", "maxscore", "conjunctive", "lmdir"])
+                   choices=["taat", "bmw", "maxscore", "conjunctive", "lmdir",
+                            "bm25plus"])
     q.add_argument("--tokenizer", default="code", choices=["code", "simple"])
     q.add_argument("--exclude-term", action="append", default=None,
                    help="boolean NOT: drop every doc containing this term "

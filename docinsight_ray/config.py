@@ -28,6 +28,12 @@ class EngineConfig:
     b: float = 0.75
     # LM Dirichlet smoothing (mode="lmdir" query-likelihood scoring)
     mu: float = 2000.0
+    # BM25+ lower bound (mode="bm25plus"): each matched term adds
+    # idf·delta on top of the saturated-tf contribution, so long
+    # documents that DO contain a query term can never score below
+    # the tf→0 asymptote of documents that merely approach it
+    # (Lv & Zhai, CIKM 2011, who recommend delta=1.0).
+    delta: float = 1.0
 
     # Tokenizer: "code" = identifier-splitting code tokenizer;
     # "simple" = lowercase [a-z0-9]+ runs (SQL-parity mode used by the

@@ -78,6 +78,29 @@ class OracleIndex:
         sel = topk_order(docs, scores, k)
         return docs[sel], scores[sel]
 
+    def score_bm25plus(self, text: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        """Brute-force BM25+ (Lv & Zhai 2011): the plain BM25
+        contribution plus a per-matched-term idf·delta floor, in the
+        same float64 op order as scorer.score_bm25plus (contribution
+        computed first, then the floor added, then accumulated in
+        sorted-term order)."""
+        cfg = self.cfg
+        delta = float(cfg.delta)
+        acc: dict[int, float] = {}
+        for term in sorted({t for t in tokenize_text(text, cfg) if t in self.postings}):
+            plist = self.postings[term]
+            term_idf = float(idf(len(plist), self.n_docs))
+            floor = term_idf * delta
+            for did, tf in plist:
+                w = float(tf_sat_weight(tf, self.doc_len[did], self.avgdl, cfg.k1, cfg.b))
+                acc[did] = acc.get(did, 0.0) + (term_idf * (cfg.k1 + 1.0) * w + floor)
+        if not acc:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
+        docs = np.fromiter(acc.keys(), dtype=np.uint64)
+        scores = np.fromiter(acc.values(), dtype=np.float64)
+        sel = topk_order(docs, scores, k)
+        return docs[sel], scores[sel]
+
     def score_lmdir(self, text: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
         """Brute-force LM Dirichlet query likelihood (the sparse
         rewrite scorer.score_lmdir implements); candidates are docs

@@ -256,6 +256,15 @@ def q_lmdir_topk(sf_dir: str) -> pa.Table:
     return q_bm25_topk(sf_dir, mode="lmdir")
 
 
+def q_bm25plus_topk(sf_dir: str) -> pa.Table:
+    """BM25+ lower-bounded ranking (scorer.score_bm25plus, Lv & Zhai
+    2011: each matched term adds an idf·delta floor on top of the
+    saturated-tf contribution) served from the SAME index build as the
+    plain-BM25 gates — pluggable scoring over one set of postings.
+    Same over-fetch + round-6 re-rank protocol as q_bm25_topk."""
+    return q_bm25_topk(sf_dir, mode="bm25plus")
+
+
 def q_bm25_topk_lazy(sf_dir: str) -> pa.Table:
     """Partition-LAZY serving (ROADMAP §5): scorer actors cap resident
     postings partitions at 2 (load on first term touch, LRU-evicted)
@@ -2317,10 +2326,12 @@ def _chunk_values() -> str:
     return ", ".join(f"({i}, '{c}')" for i, c in enumerate(chunks))
 
 
-def _bm25_cte_qt(qt_sql: str, scores_where: str = "") -> str:
+def _bm25_cte_qt(qt_sql: str, scores_where: str = "", extra_term_sql: str = "") -> str:
     """The shared DuckDB BM25 machinery, parameterized by the
-    query-term CTE body (``qt(query_id, term)``) and an optional
-    scores-level predicate (e.g. self-exclusion for more-like-this)."""
+    query-term CTE body (``qt(query_id, term)``), an optional
+    scores-level predicate (e.g. self-exclusion for more-like-this)
+    and an optional extra per-matched-term summand (e.g. BM25+'s
+    idf·delta floor)."""
     return f"""
 WITH tok AS (
   SELECT doc_id, t.term
@@ -2337,7 +2348,7 @@ df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term)
 scores AS (
   SELECT qt.query_id, tf.doc_id,
          sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * 2.2
-              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)){extra_term_sql} ) AS raw
   FROM qt
   JOIN tf ON tf.term = qt.term
   JOIN df d ON d.term = qt.term
@@ -2355,7 +2366,7 @@ ranked AS (
 """
 
 
-def _bm25_cte(values: str) -> str:
+def _bm25_cte(values: str, extra_term_sql: str = "") -> str:
     """BM25 machinery with query terms tokenized from a
     (query_id, qtext) VALUES list (per-query for the top-k gates,
     per-chunk for the keep-max document-query gate)."""
@@ -2364,7 +2375,7 @@ qt AS (
   SELECT q.query_id, t.term
   FROM q, unnest(list_filter(regexp_extract_all(lower(q.qtext), '[a-z0-9]+'), t -> length(t) >= 2)) AS t(term)
   GROUP BY q.query_id, t.term
-)""")
+)""", extra_term_sql=extra_term_sql)
 
 
 BM25_CTE = _bm25_cte(_BM25_VALUES)
@@ -2399,6 +2410,14 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY term, doc_id
     """,
     "bm25_topk": BM25_CTE + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}",
+    # BM25+ (Lv & Zhai 2011): per-matched-term floor of idf*delta,
+    # mirroring scorer.score_bm25plus's `c + idf*delta` op order
+    "bm25plus_topk": _bm25_cte(
+        _BM25_VALUES,
+        extra_term_sql=" + ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * {d}".format(
+            d=repr(SQL_PARITY_CONFIG.delta)
+        ),
+    ) + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}",
     "bm25_explain": BM25_CTE + """
 , contrib AS (
   SELECT qt.query_id, tf.doc_id, qt.term,
@@ -3530,6 +3549,7 @@ QUERIES = {
     "bm25_topk_lazy": q_bm25_topk_lazy,
     "bm25_decay": q_bm25_decay,
     "lmdir_topk": q_lmdir_topk,
+    "bm25plus_topk": q_bm25plus_topk,
     "rrf_topk": q_rrf_topk,
     "hybrid_rrf": q_hybrid_rrf,
     "bm25_rerank": q_bm25_rerank,

@@ -277,7 +277,7 @@ class BM25Scorer:
         # so pruning stays exact. bmw/lmdir reject boosts (stored
         # block-max metadata and the LM model don't carry them).
         self._boosts = {k: float(v) for k, v in boosts.items()} if boosts else None
-        if self._boosts and mode in ("bmw", "lmdir"):
+        if self._boosts and mode in ("bmw", "lmdir", "bm25plus"):
             raise ValueError(f"per-term boosts are not supported in mode={mode!r}")
         # query-time synonym expansion (Elasticsearch synonym-filter
         # semantics, simple-expand): every query token additionally
@@ -761,6 +761,40 @@ class BM25Scorer:
         sel = topk_order(cand, acc, k)
         return cand[sel], acc[sel]
 
+    # ---- BM25+ (lower-bounded tf normalization) --------------------------
+
+    def score_bm25plus(self, text: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """BM25+ (Lv & Zhai, CIKM 2011) served from the SAME postings
+        as plain BM25 — the second pluggable-scoring proof alongside
+        ``score_lmdir``:
+
+            score(q, d) = Σ_t∈q∩d idf(t) · ((k1+1) · w(tf, dl) + δ)
+
+        i.e. the stored BM25 contribution plus a per-matched-term floor
+        of idf·δ, fixing BM25's long-document penalty (a long doc that
+        CONTAINS a term can otherwise score below a short doc that
+        nearly does). Exhaustive TAAT evaluation: the +idf·δ floor is a
+        per-MATCH constant, so MaxScore/BMW upper bounds would need the
+        same shift — kept simple (and exact) as TAAT, like lmdir."""
+        terms = self.query_terms(text)
+        if not terms:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
+        delta = np.float64(self.cfg.delta)
+        per_term = []
+        for t in terms:
+            d, c = self._term_arrays(t)[:2]
+            part, i = self._lookup(t)
+            tidf = idf_fn(int(part.idf_df[i]), self.n_docs)
+            per_term.append((d, c, np.float64(tidf) * delta))
+        cand = np.unique(np.concatenate([d for d, _, _ in per_term]))
+        acc = np.zeros(cand.size, dtype=np.float64)
+        for d, c, floor in per_term:  # sorted-term order → deterministic sums
+            # c + floor elementwise first: mirrors the SQL oracle's
+            # per-term `idf*2.2*w + idf*delta` before the sum
+            acc[np.searchsorted(cand, d)] += c + floor
+        sel = topk_order(cand, acc, k)
+        return cand[sel], acc[sel]
+
     # ---- conjunctive (AND) retrieval ------------------------------------
 
     def score_conjunctive(self, text: str, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -1026,6 +1060,7 @@ class BM25Scorer:
             "maxscore": self.score_maxscore,
             "conjunctive": self.score_conjunctive,
             "lmdir": self.score_lmdir,
+            "bm25plus": self.score_bm25plus,
         }.get(self.mode, self.score_taat)
         qids, ranks, docs, scores, out_ks = [], [], [], [], []
         ks = batch["k"].to_pylist() if "k" in batch.column_names else [10] * batch.num_rows

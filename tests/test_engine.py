@@ -134,6 +134,32 @@ def test_lmdir_rank_identity(built):
     assert diffs > 0
 
 
+def test_bm25plus_rank_identity(built):
+    """BM25+ mode vs the brute-force oracle: same docs, bitwise scores.
+    Also pins the defining property (Lv & Zhai 2011): every served
+    score is >= the plain-BM25 score of the same doc by at least one
+    idf·delta floor (each matched term adds idf·delta > 0)."""
+    corpus, idx, res = built
+    oracle = OracleIndex(corpus, CFG)
+    scorer = BM25Scorer(idx, CFG, mode="bm25plus")
+    plain = BM25Scorer(idx, CFG, mode="taat")
+    diffs = 0
+    for qid, text, k in gen_queries(corpus, n_keyword=15, seed=7):
+        od, osc = oracle.score_bm25plus(text, k)
+        sd, ssc = scorer.score_bm25plus(text, k)
+        np.testing.assert_array_equal(sd, od, err_msg=f"bm25plus doc mismatch q{qid}")
+        np.testing.assert_array_equal(ssc, osc, err_msg=f"bm25plus score mismatch q{qid}")
+        # floor property on the overlap with plain BM25's candidates
+        bd, bsc = plain.score_taat(text, max(k, 1000))
+        bmap = {int(d): s for d, s in zip(bd, bsc)}
+        for d, s in zip(sd, ssc):
+            if int(d) in bmap:
+                assert s > bmap[int(d)], f"q{qid}: BM25+ not above BM25 for doc {d}"
+        if bd.size and sd.size and not np.array_equal(bd[: sd.size], sd):
+            diffs += 1
+    assert diffs > 0, "BM25+ never reordered a query vs plain BM25"
+
+
 def test_plagiarism_conformance(built):
     """Case originals must rank their own plagiarized variants above
     non-plagiarized files (contract mirroring the intent of
