@@ -629,7 +629,8 @@ def build_index(
             "stages": stage_metrics, "n_docs": 0, "total_len": 0, "avgdl": 1.0,
             "build_avgdl": 1.0, "n_dup_losers": 0, "hot_terms": [],
             "hot_df_threshold": 0, "k1": cfg.k1, "b": cfg.b,
-            "tokenizer": cfg.tokenizer, "config_hash": cfg.config_hash(),
+            "tokenizer": cfg.tokenizer, "stemmer": cfg.stemmer,
+            "stopwords": list(cfg.stopwords), "config_hash": cfg.config_hash(),
             "fingerprint": fingerprint, "merge_groups": 0,
             "num_buckets": cfg.num_buckets, "hot_salt": cfg.hot_salt,
         }
@@ -999,6 +1000,10 @@ def build_index(
         "k1": cfg.k1,
         "b": cfg.b,
         "tokenizer": cfg.tokenizer,
+        # analyzer settings, recorded so query-side tooling (CLI) can
+        # adopt the exact build-time analyzer instead of trusting flags
+        "stemmer": cfg.stemmer,
+        "stopwords": list(cfg.stopwords),
         "config_hash": cfg.config_hash(),
         "fingerprint": fingerprint,
         "merge_groups": int(len(merge_stats)) if merge_stats is not None else 0,

@@ -50,6 +50,8 @@ def cmd_build(args) -> int:
         num_buckets=args.num_buckets,
         doc_id_mode=args.doc_id_mode,
         dedup=not args.no_dedup,
+        stemmer=args.stemmer,
+        stopwords=tuple(args.stopword or ()),
     )
     ds = ray.data.read_parquet(args.corpus)
     res = build_index(ds, args.index_dir, cfg, fingerprint=args.fingerprint or args.corpus)
@@ -170,7 +172,16 @@ def cmd_query(args) -> int:
         print(f"error: {args.index_dir!r} is not a built index "
               f"(no corpus_stats.json — run `build` first)", file=sys.stderr)
         return 2
-    cfg = EngineConfig(tokenizer=args.tokenizer)
+    # adopt the build-time analyzer from corpus_stats (tokenizer when
+    # --tokenizer is not given; stemmer/stopwords always) — a query
+    # tokenized differently from the index silently misses terms
+    with open(os.path.join(args.index_dir, "corpus_stats.json")) as f:
+        _stats = json.load(f)
+    cfg = EngineConfig(
+        tokenizer=args.tokenizer or _stats.get("tokenizer", "code"),
+        stemmer=_stats.get("stemmer", "none"),
+        stopwords=tuple(_stats.get("stopwords", ())),
+    )
     synonyms = None
     if getattr(args, "synonyms", None):
         # thesaurus file: JSON object {token: [expansion, ...], ...}
@@ -779,6 +790,12 @@ def main(argv=None) -> int:
     b.add_argument("--num-buckets", type=int, default=32)
     b.add_argument("--doc-id-mode", default="hash", choices=["hash", "column"])
     b.add_argument("--no-dedup", action="store_true")
+    b.add_argument("--stemmer", default="none", choices=["none", "s"],
+                   help="analyzer stemming stage (Harman S-stemmer); "
+                        "query with the same --stemmer")
+    b.add_argument("--stopword", action="append", default=None,
+                   help="analyzer stopword (repeatable); query with the "
+                        "same --stopword set")
     b.add_argument("--fingerprint", default="")
     b.set_defaults(fn=cmd_build)
 
@@ -789,7 +806,8 @@ def main(argv=None) -> int:
     q.add_argument("--mode", default="taat",
                    choices=["taat", "bmw", "maxscore", "conjunctive", "lmdir",
                             "bm25plus"])
-    q.add_argument("--tokenizer", default="code", choices=["code", "simple"])
+    q.add_argument("--tokenizer", default=None, choices=["code", "simple"],
+                   help="default: the index's build-time tokenizer")
     q.add_argument("--exclude-term", action="append", default=None,
                    help="boolean NOT: drop every doc containing this term "
                         "(repeatable; unknown terms are no-ops)")

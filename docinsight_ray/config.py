@@ -43,6 +43,12 @@ class EngineConfig:
     max_token_len: int = 64
     stopwords: tuple[str, ...] = ()
     split_identifiers: bool = True
+    # Analyzer stemming stage: "none" (default) or "s" — the Harman
+    # (1991) S-stemmer (plural conflation), applied AFTER length +
+    # stopword filtering. Index and query sides share the config, so
+    # stems always match; the rule set is SQL-expressible (one CASE),
+    # keeping stemmed retrieval fully oracle-checkable.
+    stemmer: str = "none"
     # Strip //…, /*…*/ comments and string literals before tokenizing
     # (the code-corpus analogue of the reference's citation masking,
     # /root/reference/ingestion/citation_mask.py:47-136). Default off:

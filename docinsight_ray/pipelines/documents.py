@@ -265,6 +265,111 @@ def q_bm25plus_topk(sf_dir: str) -> pa.Table:
     return q_bm25_topk(sf_dir, mode="bm25plus")
 
 
+# ---- stemmed analyzer chain (stopwords + Harman S-stemmer) -----------------
+#
+# The driver corpus has no plural tokens, so (like the PII gate) both
+# engines append the SAME deterministic doc_id-derived plural suffix to
+# every document before analysis — stemming then conflates the suffix
+# plurals with the base vocabulary and the oracle checks real analyzer
+# behavior, not a no-op.
+STEM_SUFFIXES = (" tables queries", " rows", " merges sorts", " windows", "")
+STEM_STOPWORDS = ("the",)
+STEM_QUERIES: list[tuple[int, str]] = [
+    (0, "tables stream"),       # stems to table+stream
+    (1, "queries merge"),       # ies → y
+    (2, "rows data"),           # plain -s
+    (3, "windows the batch"),   # stopword dropped on the query side too
+    (4, "scan sorts"),
+]
+
+
+# the S-stemmer as one SQL CASE over a term column ({t} placeholder)
+_STEM_CASE = (
+    "CASE"  # exception suffixes terminate (word unchanged), like s_stem
+    " WHEN {t} LIKE '%eies' OR {t} LIKE '%aies' THEN {t}"
+    " WHEN {t} LIKE '%ies' THEN substr({t}, 1, length({t})-3) || 'y'"
+    " WHEN {t} LIKE '%aes' OR {t} LIKE '%ees' OR {t} LIKE '%oes' THEN {t}"
+    " WHEN {t} LIKE '%es' THEN substr({t}, 1, length({t})-1)"
+    " WHEN {t} LIKE '%us' OR {t} LIKE '%ss' THEN {t}"
+    " WHEN {t} LIKE '%s' THEN substr({t}, 1, length({t})-1)"
+    " ELSE {t} END"
+)
+
+
+def _stem_config() -> EngineConfig:
+    import dataclasses
+
+    return dataclasses.replace(SQL_PARITY_CONFIG, stemmer="s", stopwords=STEM_STOPWORDS)
+
+
+def _stemmed_corpus(sf_dir: str) -> "ray.data.Dataset":
+    """documents → corpus with the deterministic plural augmentation."""
+    sfx_lut = np.asarray(STEM_SUFFIXES, dtype=object)
+
+    def aug(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sfx = pa.array(sfx_lut[did % 5], type=pa.string())
+        content = pc.binary_join_element_wise(batch["content"], sfx, "")
+        return batch.set_column(
+            batch.schema.get_field_index("content"), "content", content
+        )
+
+    return documents_as_corpus(sf_dir).map_batches(
+        aug, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def ensure_stem_index(sf_dir: str) -> str:
+    cfg = _stem_config()
+    key = f"stem:{sf_dir}:{cfg.config_hash()}"
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    safe = sf_dir.strip("/").replace("/", "_")
+    index_dir = os.path.join("/tmp", "docinsight_ray_idx", f"stem-{safe}-{cfg.config_hash()}")
+    build_index(_stemmed_corpus(sf_dir), index_dir, cfg, fingerprint=f"stemdocs:{sf_dir}")
+    _INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def q_bm25_stemmed(sf_dir: str) -> pa.Table:
+    """BM25 over the stemmed analyzer chain: length filter → stopword
+    filter → Harman S-stemmer, at BUILD and QUERY time from one shared
+    config (stems always match; Elasticsearch analyzer parity). Same
+    over-fetch + round-6 re-rank protocol as q_bm25_topk."""
+    cfg = _stem_config()
+    idx = ensure_stem_index(sf_dir)
+    n_docs = BM25Scorer(idx, cfg).n_docs
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q for q, _ in STEM_QUERIES], type=pa.int64()),
+            "text": pa.array([t for _, t in STEM_QUERIES], type=pa.string()),
+            "k": pa.array([n_docs] * len(STEM_QUERIES), type=pa.uint32()),
+        }
+    )
+    res = query_index(
+        ray.data.from_arrow(qtbl), idx, cfg, mode="maxscore", concurrency=2
+    ).to_pandas()
+    qids, ranks, dids, scores = [], [], [], []
+    for qid, _text in STEM_QUERIES:
+        g = res[res.query_id == qid]
+        d = g["doc_id"].to_numpy().astype(np.uint64)
+        s6 = np.round(g["score"].to_numpy(), 6)
+        order = np.lexsort((d, -s6))[:TOPK]
+        d, s6 = d[order], s6[order]
+        qids += [qid] * d.size
+        ranks += list(range(d.size))
+        dids.append(d.astype(np.int64))
+        scores.append(s6)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(dids) if dids else np.empty(0, np.int64), type=pa.int64()),
+            "score": pa.array(np.concatenate(scores) if scores else np.empty(0), type=pa.float64()),
+        }
+    )
+
+
 def q_bm25_topk_lazy(sf_dir: str) -> pa.Table:
     """Partition-LAZY serving (ROADMAP §5): scorer actors cap resident
     postings partitions at 2 (load on first term touch, LRU-evicted)
@@ -2326,17 +2431,20 @@ def _chunk_values() -> str:
     return ", ".join(f"({i}, '{c}')" for i, c in enumerate(chunks))
 
 
-def _bm25_cte_qt(qt_sql: str, scores_where: str = "", extra_term_sql: str = "") -> str:
+def _bm25_cte_qt(qt_sql: str, scores_where: str = "", extra_term_sql: str = "",
+                 tok_sql: str | None = None) -> str:
     """The shared DuckDB BM25 machinery, parameterized by the
     query-term CTE body (``qt(query_id, term)``), an optional
-    scores-level predicate (e.g. self-exclusion for more-like-this)
-    and an optional extra per-matched-term summand (e.g. BM25+'s
-    idf·delta floor)."""
-    return f"""
-WITH tok AS (
+    scores-level predicate (e.g. self-exclusion for more-like-this),
+    an optional extra per-matched-term summand (e.g. BM25+'s idf·delta
+    floor) and an optional replacement ``tok(doc_id, term)`` CTE body
+    (e.g. the stemmed analyzer chain)."""
+    tok_sql = tok_sql or f"""
   SELECT doc_id, t.term
   FROM documents, unnest({SIMPLE_TOK_SQL}) AS t(term)
-),
+"""
+    return f"""
+WITH tok AS ({tok_sql}),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
 stats AS (
@@ -2417,6 +2525,26 @@ ORACLE_SQL: dict[str, str] = {
         extra_term_sql=" + ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * {d}".format(
             d=repr(SQL_PARITY_CONFIG.delta)
         ),
+    ) + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}",
+    # stemmed analyzer chain: length filter → stopword filter → Harman
+    # S-stemmer, mirrored as one SQL CASE on both doc and query tokens;
+    # docs carry the same deterministic doc_id-derived plural suffix as
+    # _stemmed_corpus
+    "bm25_stemmed": _bm25_cte_qt(
+        f"""q(query_id, qtext) AS (VALUES {", ".join(f"({qid}, '{text}')" for qid, text in STEM_QUERIES)}),
+qt AS (
+  SELECT DISTINCT q.query_id, {_STEM_CASE.format(t="t.term")} AS term
+  FROM q, unnest(list_filter(regexp_extract_all(lower(q.qtext), '[a-z0-9]+'), t -> length(t) >= 2)) AS t(term)
+  WHERE t.term NOT IN ({", ".join(repr(w) for w in STEM_STOPWORDS)})
+)""",
+        tok_sql=f"""
+  SELECT aug.doc_id, {_STEM_CASE.format(t="t.term")} AS term
+  FROM (SELECT doc_id,
+               text || CASE doc_id % 5 {" ".join(f"WHEN {i} THEN {s!r}" for i, s in enumerate(STEM_SUFFIXES[:-1]))} ELSE '' END AS text
+        FROM documents) aug,
+       unnest({SIMPLE_TOK_SQL}) AS t(term)
+  WHERE t.term NOT IN ({", ".join(repr(w) for w in STEM_STOPWORDS)})
+""",
     ) + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}",
     "bm25_explain": BM25_CTE + """
 , contrib AS (
@@ -3550,6 +3678,7 @@ QUERIES = {
     "bm25_decay": q_bm25_decay,
     "lmdir_topk": q_lmdir_topk,
     "bm25plus_topk": q_bm25plus_topk,
+    "bm25_stemmed": q_bm25_stemmed,
     "rrf_topk": q_rrf_topk,
     "hybrid_rrf": q_hybrid_rrf,
     "bm25_rerank": q_bm25_rerank,

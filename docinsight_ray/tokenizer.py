@@ -52,6 +52,21 @@ def strip_code_noise(text: str) -> str:
     return STRIP_RE.sub(" ", text)
 
 
+def s_stem(t: str) -> str:
+    """Harman (1991) S-stemmer — the light, low-error English stemmer
+    (plural conflation only): ``-ies → -y`` (unless -eies/-aies),
+    ``-es → -e`` (unless -aes/-ees/-oes), ``-s → ∅`` (unless -us/-ss).
+    Deliberately NOT Porter: every rule is a suffix test + slice, so
+    the oracle replicates it exactly as one SQL CASE expression."""
+    if t.endswith("ies"):
+        return t if t.endswith(("eies", "aies")) else t[:-3] + "y"
+    if t.endswith("es"):
+        return t if t.endswith(("aes", "ees", "oes")) else t[:-1]
+    if t.endswith("s"):
+        return t if t.endswith(("us", "ss")) else t[:-1]
+    return t
+
+
 def tokenize_text(text: str, cfg: EngineConfig) -> list[str]:
     """Tokenize one string (query path / oracle / tests)."""
     if cfg.strip_comments:
@@ -65,8 +80,16 @@ def tokenize_text(text: str, cfg: EngineConfig) -> list[str]:
     lo, hi = cfg.min_token_len, cfg.max_token_len
     if cfg.stopwords:
         stop = set(cfg.stopwords)
-        return [t for t in toks if lo <= len(t) <= hi and t not in stop]
-    return [t for t in toks if lo <= len(t) <= hi]
+        toks = [t for t in toks if lo <= len(t) <= hi and t not in stop]
+    else:
+        toks = [t for t in toks if lo <= len(t) <= hi]
+    # Analyzer-chain order contract: length + stopword filters run on
+    # the RAW token, stemming last (a stem may be shorter than
+    # min_token_len and is kept; "the" is stopped before it could stem).
+    # The SQL oracle mirrors this order exactly.
+    if cfg.stemmer == "s":
+        toks = [s_stem(t) for t in toks]
+    return toks
 
 
 def tokenize_batch(

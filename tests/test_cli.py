@@ -535,3 +535,35 @@ def test_cli_annbuild_annquery(ray_session, tmp_path, capsys):
 
     rc = main(["annquery", str(tmp_path / "missing"), emb])
     assert rc == 2
+
+
+def test_cli_stemmed_build_and_analyzer_adoption(ray_session, tmp_path_factory, capsys):
+    """build --stemmer s --stopword: plural queries hit singular docs,
+    and `query` adopts the build-time analyzer from corpus_stats.json
+    (no flags needed on the query side)."""
+    import pyarrow as pa
+
+    root = tmp_path_factory.mktemp("cli_stem")
+    corpus_path = str(root / "corpus.parquet")
+    tbl = gen_corpus(120, seed=31)
+    # plant a uniquely-identifiable singular doc
+    content = tbl["content"].to_pylist()
+    content[7] = "zebra table window merge " + content[7]
+    tbl = tbl.set_column(tbl.schema.get_field_index("content"),
+                         "content", pa.array(content, type=pa.string()))
+    pq.write_table(tbl, corpus_path)
+    idx = str(root / "index")
+    assert main(["build", corpus_path, idx, "--stemmer", "s",
+                 "--stopword", "the", "--fingerprint", "cli-stem"]) == 0
+    stats = json.load(open(os.path.join(idx, "corpus_stats.json")))
+    assert stats["stemmer"] == "s" and stats["stopwords"] == ["the"]
+    # plural query, NO analyzer flags: the CLI must adopt stemmer="s"
+    # from corpus_stats and stem zebras->zebra / tables->table
+    assert main(["query", idx, "zebras tables", "-k", "3"]) == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["hits"]
+    assert hits, "stemmed plural query found nothing"
+    top = hits[0]["doc_id"]
+    # same query in singular form must rank the same doc first
+    assert main(["query", idx, "zebra table", "-k", "3"]) == 0
+    hits2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["hits"]
+    assert hits2[0]["doc_id"] == top

@@ -71,3 +71,41 @@ def test_strip_comments_flag():
     toks = tokenize_text(src, cfg)
     assert "foo" not in toks and "str" not in toks and "lit" not in toks
     assert "int" in toks and "string" in toks  # code survives
+
+
+def test_s_stemmer_rules():
+    """Harman (1991) S-stemmer rule battery, incl. every exception
+    suffix — the same rules the SQL oracle encodes as one CASE."""
+    from docinsight_ray.tokenizer import s_stem
+
+    assert s_stem("queries") == "query"      # ies -> y
+    assert s_stem("tables") == "table"       # es -> e
+    assert s_stem("rows") == "row"           # s -> ''
+    assert s_stem("eies") == "eies"          # -eies exception
+    assert s_stem("aies") == "aies"          # -aies exception
+    assert s_stem("aes") == "aes"            # -aes exception
+    assert s_stem("trees") == "trees"        # -ees exception
+    assert s_stem("goes") == "goes"          # -oes exception
+    assert s_stem("corpus") == "corpus"      # -us exception
+    assert s_stem("class") == "class"        # -ss exception
+    assert s_stem("window") == "window"      # no suffix
+    assert s_stem("es") == "e"               # 2-char es still stems
+
+
+def test_stemmer_analyzer_chain_order():
+    """Order contract: length + stopword filters run on the RAW token,
+    stemming last — 'the' stops before it could stem; a stem shorter
+    than min_token_len is kept; doc and query sides conflate."""
+    cfg = EngineConfig(tokenizer="simple", stemmer="s", stopwords=("the",))
+    assert tokenize_text("the tables", cfg) == ["table"]
+    # "as" -> stem "a" (shorter than min_token_len=2) is KEPT: the
+    # filter already ran on the raw token
+    assert tokenize_text("as", cfg) == ["a"]
+    # index side and query side produce identical stems
+    assert tokenize_text("queries rows", cfg) == tokenize_text("query row", cfg) == ["query", "row"]
+    # stemming merges tf for conflating tokens downstream (one term,
+    # counted twice by tokenize_batch)
+    from docinsight_ray.tokenizer import tokenize_batch
+
+    terms, doc_idx, tfs, doc_lens = tokenize_batch(["table tables"], cfg)
+    assert list(terms) == ["table"] and list(tfs) == [2] and list(doc_lens) == [2]
