@@ -716,6 +716,36 @@ def cmd_spell(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    """Merge N committed indexes into one standalone index (Lucene
+    addIndexes shape; pipelines/merge.py). Flags mirror `build`: the
+    config must match what the sources were built with (checked via
+    config_hash)."""
+    _init_ray(args.num_cpus)
+    from .config import EngineConfig
+    from .pipelines.merge import merge_indexes
+
+    cfg = EngineConfig(
+        tokenizer=args.tokenizer,
+        num_buckets=args.num_buckets,
+        doc_id_mode=args.doc_id_mode,
+        dedup=not args.no_dedup,
+        stemmer=args.stemmer,
+        stopwords=tuple(args.stopword or ()),
+    )
+    try:
+        res = merge_indexes(args.sources, args.out_dir, cfg)
+    except (FileNotFoundError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(json.dumps({
+        "out_dir": args.out_dir, "sources": args.sources,
+        "n_docs": res.n_docs, "total_len": res.total_len,
+        "n_dup_losers": res.n_dup_losers,
+    }))
+    return 0
+
+
 def cmd_reindex(args) -> int:
     """Rebuild from the source lake into a new dir, verify the content
     digest vs the old index, optionally swap the serving alias — the
@@ -966,6 +996,18 @@ def main(argv=None) -> int:
     sp.add_argument("--max-dist", type=int, default=2)
     sp.add_argument("--tokenizer", default="code", choices=["code", "simple"])
     sp.set_defaults(fn=cmd_spell)
+
+    mg = sub.add_parser("merge", parents=[common],
+                        help="merge N committed indexes into one standalone index")
+    mg.add_argument("out_dir")
+    mg.add_argument("sources", nargs="+")
+    mg.add_argument("--tokenizer", default="code", choices=["code", "simple"])
+    mg.add_argument("--num-buckets", type=int, default=32)
+    mg.add_argument("--doc-id-mode", default="hash", choices=["hash", "column"])
+    mg.add_argument("--no-dedup", action="store_true")
+    mg.add_argument("--stemmer", default="none", choices=["none", "s"])
+    mg.add_argument("--stopword", action="append", default=None)
+    mg.set_defaults(fn=cmd_merge)
 
     ri = sub.add_parser("reindex", parents=[common],
                         help="rebuild into a new dir, verify content digest, swap alias")

@@ -473,6 +473,149 @@ def q_bm25_decay(sf_dir: str) -> pa.Table:
     )
 
 
+class _AttachField:
+    """Actor-pool hydration stage: load the narrow (doc_id, field)
+    columns ONCE per actor in ``__init__`` (8 bytes/doc — the scorer's
+    doc_len memory class) and append the field to each result batch,
+    vectorized searchsorted. The building block for field-ordered
+    serving (Elasticsearch ``sort``) and function_score variants."""
+
+    def __init__(self, sf_dir: str, field: str):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", field]
+        )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(ids)
+        self._ids = ids[order]
+        self._vals = t[field].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        self._field = field
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        vals = (
+            self._vals[np.searchsorted(self._ids, d)]
+            if batch.num_rows
+            else np.empty(0, dtype=np.int64)
+        )
+        return batch.append_column(self._field, pa.array(vals, type=pa.int64()))
+
+
+def q_bm25_sort_field(sf_dir: str) -> pa.Table:
+    """Elasticsearch ``sort``-by-field retrieval: the BM25 candidate
+    set per query (docs matching ≥1 indexed term), ordered by a
+    DOCUMENT FIELD (n_chars DESC, doc_id ASC) instead of relevance,
+    with the BM25 score still carried as a column — the
+    newest-matching / largest-matching serving shape. The field
+    hydrates via a per-actor array (loaded once), the final order is
+    integer-exact (no score rounding in the sort key)."""
+    idx = ensure_index(sf_dir)
+    n_docs = BM25Scorer(idx, SQL_PARITY_CONFIG).n_docs
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q for q, _ in DOC_QUERIES], type=pa.int64()),
+            "text": pa.array([t for _, t in DOC_QUERIES], type=pa.string()),
+            "k": pa.array([n_docs] * len(DOC_QUERIES), type=pa.uint32()),
+        }
+    )
+    res = (
+        query_index(ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG,
+                    mode="maxscore", concurrency=2)
+        .map_batches(
+            _AttachField,
+            fn_constructor_args=(sf_dir, "n_chars"),
+            batch_format="pyarrow",
+            concurrency=1,
+            num_cpus=1,
+        )
+        .to_pandas()
+    )
+    qids, ranks, dids, fields, scores = [], [], [], [], []
+    for qid, _text in DOC_QUERIES:
+        g = res[res.query_id == qid]
+        d = g["doc_id"].to_numpy().astype(np.uint64)
+        f = g["n_chars"].to_numpy().astype(np.int64)
+        s6 = np.round(g["score"].to_numpy(), 6)
+        order = np.lexsort((d, -f))[:TOPK]
+        qids += [qid] * min(TOPK, d.size)
+        ranks += list(range(min(TOPK, d.size)))
+        dids.append(d[order].astype(np.int64))
+        fields.append(f[order])
+        scores.append(s6[order])
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(dids), type=pa.int64()),
+            "n_chars": pa.array(np.concatenate(fields), type=pa.int64()),
+            "score": pa.array(np.concatenate(scores), type=pa.float64()),
+        }
+    )
+
+
+def q_bm25_merged(sf_dir: str) -> pa.Table:
+    """Index-merge lifecycle END-TO-END (pipelines/merge.py, the
+    Lucene addIndexes shape): the documents table splits by doc_id
+    parity into two INDEPENDENTLY built indexes, merge_indexes folds
+    them into one standalone index, and the merged index serves the
+    fixed query set — the oracle is the SAME full-corpus BM25 SQL as
+    bm25_topk, so the gate proves the whole decode→re-merge→serve path
+    lossless against the single-build semantics."""
+    from .merge import merge_indexes
+
+    cfg = SQL_PARITY_CONFIG
+    key = f"merged:{sf_dir}:{cfg.config_hash()}"
+    if key not in _INDEX_CACHE:
+        safe = sf_dir.strip("/").replace("/", "_")
+        base = os.path.join("/tmp", "docinsight_ray_idx", f"merged-{safe}-{cfg.config_hash()}")
+        halves = []
+        for par in (0, 1):
+            half_dir = os.path.join(base, f"half{par}")
+            def _parity(batch: pa.Table, par=par) -> pa.Table:
+                keep = pc.equal(pc.bit_wise_and(batch["doc_id"], 1), par)
+                return batch.filter(keep)
+
+            half = documents_as_corpus(sf_dir).map_batches(
+                _parity, batch_format="pyarrow", zero_copy_batch=True
+            )
+            build_index(half, half_dir, cfg, fingerprint=f"mergehalf{par}:{sf_dir}")
+            halves.append(half_dir)
+        out = os.path.join(base, "merged")
+        merge_indexes(halves, out, cfg)
+        _INDEX_CACHE[key] = out
+    idx = _INDEX_CACHE[key]
+    n_docs = BM25Scorer(idx, cfg).n_docs
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q for q, _ in DOC_QUERIES], type=pa.int64()),
+            "text": pa.array([t for _, t in DOC_QUERIES], type=pa.string()),
+            "k": pa.array([n_docs] * len(DOC_QUERIES), type=pa.uint32()),
+        }
+    )
+    res = query_index(
+        ray.data.from_arrow(qtbl), idx, cfg, mode="maxscore", concurrency=2
+    ).to_pandas()
+    qids, ranks, dids, scores = [], [], [], []
+    for qid, _text in DOC_QUERIES:
+        g = res[res.query_id == qid]
+        d = g["doc_id"].to_numpy().astype(np.uint64)
+        s6 = np.round(g["score"].to_numpy(), 6)
+        order = np.lexsort((d, -s6))[:TOPK]
+        qids += [qid] * min(TOPK, d.size)
+        ranks += list(range(min(TOPK, d.size)))
+        dids.append(d[order].astype(np.int64))
+        scores.append(s6[order])
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(dids), type=pa.int64()),
+            "score": pa.array(np.concatenate(scores), type=pa.float64()),
+        }
+    )
+
+
 RRF_C = 60  # the standard reciprocal-rank-fusion constant (Cormack et al.)
 
 
@@ -2564,6 +2707,8 @@ JOIN ranked r ON r.query_id = c.query_id AND r.doc_id = c.doc_id
 WHERE r.rank < {K}
 """.replace("{K}", "5"),
     "bm25_topk_bmw": BM25_CTE + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}",
+    # merged halves must reproduce the full-corpus ranking exactly
+    "bm25_merged": BM25_CTE + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}",
     "bm25_topk_lazy": BM25_CTE + f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}",
     # function_score: BM25 raw scores × linear n_chars decay (multiply
     # boost mode), clamped at 0; re-ranked by the round-6 protocol
@@ -2619,6 +2764,17 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}
 """.replace("{values}", _BM25_VALUES).replace("{mu}", repr(SQL_PARITY_CONFIG.mu)),
+    # sort-by-field serving: candidates ranked by (n_chars DESC,
+    # doc_id ASC), BM25 score carried as a column
+    "bm25_sort_field": BM25_CTE + f"""
+, srt AS (
+  SELECT s.query_id,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY d.n_chars DESC, s.doc_id ASC) - 1 AS rank,
+         s.doc_id, d.n_chars::BIGINT AS n_chars, round(s.raw, 6) AS score
+  FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT query_id, rank, doc_id, n_chars, score FROM srt WHERE rank < {TOPK}
+""",
     "bm25_hydrated": BM25_CTE + f"""
         SELECT r.query_id, r.rank, r.doc_id, r.score, d.lang, d.source
         FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
@@ -3679,6 +3835,8 @@ QUERIES = {
     "lmdir_topk": q_lmdir_topk,
     "bm25plus_topk": q_bm25plus_topk,
     "bm25_stemmed": q_bm25_stemmed,
+    "bm25_sort_field": q_bm25_sort_field,
+    "bm25_merged": q_bm25_merged,
     "rrf_topk": q_rrf_topk,
     "hybrid_rrf": q_hybrid_rrf,
     "bm25_rerank": q_bm25_rerank,
