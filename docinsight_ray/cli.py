@@ -340,7 +340,11 @@ def _validate_positional(args) -> int:
         from .config import EngineConfig
         from .ids import doc_id_from_key
 
-        cfg = EngineConfig(tokenizer=stats.get("tokenizer", "code"))
+        cfg = EngineConfig(
+            tokenizer=stats.get("tokenizer", "code"),
+            stemmer=stats.get("stemmer", "none"),
+            stopwords=tuple(stats.get("stopwords", ())),
+        )
         sample = ray.data.read_parquet(args.corpus).limit(args.spot_checks).to_pandas()
         for row in sample.itertuples():
             did = int(doc_id_from_key([row.repo], [row.path], [row.commit])[0])

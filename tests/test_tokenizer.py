@@ -109,3 +109,26 @@ def test_stemmer_analyzer_chain_order():
 
     terms, doc_idx, tfs, doc_lens = tokenize_batch(["table tables"], cfg)
     assert list(terms) == ["table"] and list(tfs) == [2] and list(doc_lens) == [2]
+
+
+def test_s_stemmer_matches_sql_case():
+    """Cross-engine analyzer contract: the Python s_stem and the SQL
+    CASE the DuckDB oracle uses must agree on arbitrary tokens
+    (property-based — the same discipline as the DSIR hash contract)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from docinsight_ray.pipelines.documents import _STEM_CASE
+    from docinsight_ray.tokenizer import s_stem
+
+    con = duckdb.connect()
+    expr = _STEM_CASE.format(t="t")
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="aeiosuy", min_size=1, max_size=8))
+    def check(tok):
+        got = con.execute(f"SELECT {expr} FROM (SELECT ? AS t)", [tok]).fetchone()[0]
+        assert got == s_stem(tok), f"{tok!r}: sql={got!r} py={s_stem(tok)!r}"
+
+    check()
