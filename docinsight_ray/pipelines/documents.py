@@ -2823,6 +2823,38 @@ LEFT JOIN nrel n USING (query_id)
 LEFT JOIN hits h USING (query_id)
 """
 
+# AP@k over the shared BM25 ranking with conjunctive-containment
+# relevance; integer precision terms ((i·1e6)//(rank+1)) and an integer
+# final quotient so both engines produce identical int64s
+ORACLE_SQL["map_eval"] = _bm25_cte(_BM25_VALUES) + f"""
+, nq AS (SELECT query_id, count(*)::BIGINT AS m FROM qt GROUP BY query_id),
+rel AS (
+  SELECT qt.query_id, tf.doc_id
+  FROM qt JOIN tf ON tf.term = qt.term
+  GROUP BY qt.query_id, tf.doc_id
+  HAVING count(*) = (SELECT m FROM nq WHERE nq.query_id = qt.query_id)
+),
+nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM rel GROUP BY query_id),
+topk AS (SELECT query_id, rank, doc_id FROM ranked WHERE rank < {TOPK}),
+relhits AS (
+  SELECT t.query_id, t.rank
+  FROM topk t JOIN rel r ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+),
+prec AS (
+  SELECT query_id,
+         (row_number() OVER (PARTITION BY query_id ORDER BY rank) * 1000000) // (rank + 1) AS p_micro
+  FROM relhits
+),
+ap AS (SELECT query_id, sum(p_micro)::BIGINT AS sum_p FROM prec GROUP BY query_id)
+SELECT qq.query_id::BIGINT AS query_id,
+       coalesce(n.n_rel, 0)::BIGINT AS n_rel,
+       CASE WHEN a.sum_p IS NULL OR coalesce(least(n.n_rel, {TOPK}), 0) = 0 THEN 0
+            ELSE a.sum_p // least(n.n_rel, {TOPK}) END::BIGINT AS ap_micro
+FROM (SELECT DISTINCT query_id FROM qt) qq
+LEFT JOIN nrel n USING (query_id)
+LEFT JOIN ap a USING (query_id)
+"""
+
 # nDCG@k with graded relevance (grade = distinct query terms contained):
 # DCG over the shared BM25 ranking, ideal DCG from the corpus-wide grade
 # ordering, integer micro contributions, ppm quotient by integer division.
@@ -3600,6 +3632,61 @@ def q_retrieval_eval(sf_dir: str) -> pa.Table:
     were hit (top-k doc→rank maps broadcast once via ``ray.put``;
     counts sum, bitmasks OR) — so the reduce is O(queries), never
     O(relevant docs)."""
+    parts = _relevance_partials(sf_dir)
+    rows = []
+    for qid, _ in DOC_QUERIES:
+        g = parts[parts.query_id == qid]
+        n_rel = int(g["n_rel"].sum())
+        mask = int(np.bitwise_or.reduce(g["hit_mask"].to_numpy())) if len(g) else 0
+        hits = bin(mask).count("1")
+        first = (mask & -mask).bit_length() - 1 if mask else -1
+        rr = int(np.round(1e6 / (first + 1))) if first >= 0 else 0
+        rows.append((qid, n_rel, hits, first, rr))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "n_rel": pa.array([r[1] for r in rows], type=pa.int64()),
+            "hits_at_k": pa.array([r[2] for r in rows], type=pa.int64()),
+            "first_rel_rank": pa.array([r[3] for r in rows], type=pa.int64()),
+            "rr_micro": pa.array([r[4] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def q_map_eval(sf_dir: str) -> pa.Table:
+    """Average Precision @k per query (the MAP building block,
+    completing the eval suite next to RR / hits@k / nDCG): over the
+    engine's own BM25 top-``TOPK`` with conjunctive-containment
+    relevance, AP@k = (Σ_{i-th relevant hit at rank r} P@(r+1)) /
+    min(n_rel, k). Integer protocol: each precision term is
+    ``((i+1)·1e6) // (r+1)`` and the final quotient is integer
+    division, so both engines compute identical int64s. Same
+    constant-size distributed partials as retrieval_eval (count sums +
+    rank bitmask ORs)."""
+    parts = _relevance_partials(sf_dir)
+    rows = []
+    for qid, _ in DOC_QUERIES:
+        g = parts[parts.query_id == qid]
+        n_rel = int(g["n_rel"].sum())
+        mask = int(np.bitwise_or.reduce(g["hit_mask"].to_numpy())) if len(g) else 0
+        ranks = [r for r in range(TOPK) if mask >> r & 1]
+        sum_p = sum(((i + 1) * 1_000_000) // (r + 1) for i, r in enumerate(ranks))
+        denom = min(n_rel, TOPK)
+        ap = sum_p // denom if (ranks and denom) else 0
+        rows.append((qid, n_rel, ap))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "n_rel": pa.array([r[1] for r in rows], type=pa.int64()),
+            "ap_micro": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def _relevance_partials(sf_dir: str):
+    """Shared distributed pass for the eval gates: per-batch partials
+    of (relevant-doc count, bitmask of hit top-k ranks) per query,
+    with the top-k doc→rank maps broadcast once via ``ray.put``."""
     import pandas as pd
 
     topk = q_bm25_topk(sf_dir).to_pandas()
@@ -3654,24 +3741,7 @@ def q_retrieval_eval(sf_dir: str) -> pa.Table:
         ).map_batches(partial, batch_format="pandas"),
         empty,
     ).to_pandas()
-    rows = []
-    for qid, _ in DOC_QUERIES:
-        g = parts[parts.query_id == qid]
-        n_rel = int(g["n_rel"].sum())
-        mask = int(np.bitwise_or.reduce(g["hit_mask"].to_numpy())) if len(g) else 0
-        hits = bin(mask).count("1")
-        first = (mask & -mask).bit_length() - 1 if mask else -1
-        rr = int(np.round(1e6 / (first + 1))) if first >= 0 else 0
-        rows.append((qid, n_rel, hits, first, rr))
-    return pa.table(
-        {
-            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
-            "n_rel": pa.array([r[1] for r in rows], type=pa.int64()),
-            "hits_at_k": pa.array([r[2] for r in rows], type=pa.int64()),
-            "first_rel_rank": pa.array([r[3] for r in rows], type=pa.int64()),
-            "rr_micro": pa.array([r[4] for r in rows], type=pa.int64()),
-        }
-    )
+    return parts
 
 
 def q_ndcg_eval(sf_dir: str) -> pa.Table:
@@ -3874,6 +3944,7 @@ QUERIES = {
     "bm25_doc_query": q_bm25_doc_query,
     "exact_dedup": q_exact_dedup,
     "retrieval_eval": q_retrieval_eval,
+    "map_eval": q_map_eval,
     "ndcg_eval": q_ndcg_eval,
 }
 

@@ -156,6 +156,8 @@ def build_positional_index(
     stats = {
         "num_buckets": int(cfg.num_buckets),
         "tokenizer": cfg.tokenizer,
+        "stemmer": cfg.stemmer,
+        "stopwords": list(cfg.stopwords),
         "fingerprint": fingerprint,
     }
     write_bytes_atomic(os.path.join(out_dir, "pos_stats.json"), json.dumps(stats).encode())
