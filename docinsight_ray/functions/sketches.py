@@ -75,14 +75,9 @@ def _read(sf_dir: str, cols: list[str]) -> "ray.data.Dataset":
 # ---- HyperLogLog distinct terms -------------------------------------------
 
 
-def _hll_partial(batch: pd.DataFrame) -> pd.DataFrame:
-    """One row per batch: the 4096-register array (int64 list col would
-    re-enter the two-fixed-col transport hazard — ship as bytes plus a
-    checksum provenance column, ROADMAP §6b discipline)."""
+def _hll_regs(vocab: set[str]) -> np.ndarray:
+    """HLL register array for one set of distinct values."""
     regs = np.zeros(HLL_M, dtype=np.uint8)
-    vocab: set[str] = set()
-    for ts in _tokens_of(batch):
-        vocab.update(ts)
     if vocab:
         h = _hash64(np.array(sorted(vocab), dtype=object), key=b"hll-seed-0")
         idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
@@ -98,7 +93,17 @@ def _hll_partial(batch: pd.DataFrame) -> pd.DataFrame:
                 break
         rank = np.minimum(lz + 1, 64 - HLL_P + 1).astype(np.uint8)
         np.maximum.at(regs, idx, rank)
-    blob = regs.tobytes()
+    return regs
+
+
+def _hll_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    """One row per batch: the 4096-register array (int64 list col would
+    re-enter the two-fixed-col transport hazard — ship as bytes plus a
+    checksum provenance column, ROADMAP §6b discipline)."""
+    vocab: set[str] = set()
+    for ts in _tokens_of(batch):
+        vocab.update(ts)
+    blob = _hll_regs(vocab).tobytes()
     return pd.DataFrame(
         {
             "regs": [blob],
@@ -144,6 +149,59 @@ def q_distinct_terms_hll(sf_dir: str) -> pa.Table:
             "n_distinct_est": pa.array([int(round(est))], type=pa.int64()),
             "n_registers": pa.array([HLL_M], type=pa.int64()),
             "n_partials": pa.array([parts.num_rows], type=pa.int64()),
+        }
+    )
+
+
+def _hll_group_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    """≤|langs in batch| rows: per-lang register partials — the
+    Elasticsearch ``cardinality`` SUB-aggregation shape (terms bucket ×
+    distinct count). Group count is bounded (languages), so partials
+    stay constant-size per batch."""
+    vocabs: dict[str, set] = {}
+    for lang, ts in zip(batch["lang"].tolist(), _tokens_of(batch)):
+        vocabs.setdefault(lang, set()).update(ts)
+    rows = []
+    for lang in sorted(vocabs):
+        blob = _hll_regs(vocabs[lang]).tobytes()
+        rows.append((lang, blob, hashlib.sha256(blob).hexdigest()[:16]))
+    return pd.DataFrame(
+        {
+            "lang": [r[0] for r in rows],
+            "regs": [r[1] for r in rows],
+            "checksum": [r[2] for r in rows],
+        }
+    )
+
+
+def q_distinct_terms_by_lang(sf_dir: str) -> pa.Table:
+    """Approximate distinct-term count PER LANGUAGE (ES terms agg with
+    a cardinality sub-agg): per-batch per-lang register partials merge
+    by elementwise max on the driver (|batches|·|langs| rows). Same
+    HLL as the global gate; exact comparison lives in pytest."""
+    empty = pa.schema(
+        [("lang", pa.string()), ("regs", pa.binary()), ("checksum", pa.string())]
+    )
+    parts = collect_table(
+        _read(sf_dir, ["lang", "text"]).map_batches(
+            _hll_group_partial, batch_format="pandas"
+        ),
+        empty,
+    )
+    merged: dict[str, np.ndarray] = {}
+    for lang, blob, chk in zip(
+        parts["lang"].to_pylist(), parts["regs"].to_pylist(), parts["checksum"].to_pylist()
+    ):
+        assert hashlib.sha256(blob).hexdigest()[:16] == chk  # transport integrity
+        cur = merged.setdefault(lang, np.zeros(HLL_M, dtype=np.uint8))
+        np.maximum(cur, np.frombuffer(blob, dtype=np.uint8), out=cur)
+    langs = sorted(merged)
+    return pa.table(
+        {
+            "lang": pa.array(langs, type=pa.string()),
+            "n_distinct_est": pa.array(
+                [int(round(hll_estimate(merged[l]))) for l in langs], type=pa.int64()
+            ),
         }
     )
 
@@ -492,6 +550,7 @@ def q_terms_agg_approx(sf_dir: str) -> pa.Table:
 
 QUERIES = {
     "distinct_terms_hll": q_distinct_terms_hll,
+    "distinct_terms_by_lang": q_distinct_terms_by_lang,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "value_quantiles_sketch": q_value_quantiles_sketch,
     "value_quantiles_by_type": q_value_quantiles_by_type,

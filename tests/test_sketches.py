@@ -146,3 +146,21 @@ def test_grouped_quantiles_rank_error():
         for q, est in zip(sub["q"], sub["est"]):
             r = np.searchsorted(vals, est, side="left") / n
             assert abs(r - q) <= 0.03, f"{et} q={q}: rank {r:.4f}"
+
+
+def test_hll_per_lang_within_error_bound():
+    from docinsight_ray.functions.sketches import q_distinct_terms_by_lang
+
+    t = q_distinct_terms_by_lang(SF).to_pandas()
+    con = _con()
+    exact = dict(
+        con.sql(
+            f"SELECT lang, count(DISTINCT term) FROM "
+            f"(SELECT lang, unnest({TOK_SQL}) AS term FROM documents) GROUP BY lang"
+        ).fetchall()
+    )
+    assert sorted(t["lang"]) == sorted(exact)
+    for lang, est in zip(t["lang"], t["n_distinct_est"]):
+        assert abs(int(est) - exact[lang]) <= max(3, 0.06 * exact[lang]), lang
+    # deterministic
+    assert t.equals(q_distinct_terms_by_lang(SF).to_pandas())
