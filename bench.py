@@ -211,6 +211,24 @@ def _run_suite(sf_dir: str, num_cpus: int) -> dict:
                              concurrency_per_shard=max(1, num_cpus // 8)).count()
     extra["sharded_qps"] = round(len(queries) / timings["sharded_serving"], 1)
 
+    # ---- index merge: fold the two shard sub-indexes back into ONE
+    # standalone index (Lucene addIndexes; pipelines/merge.py) —
+    # postings decode, fragment staging, full merge shuffle, no
+    # re-tokenization
+    from docinsight_ray.pipelines.merge import merge_indexes
+
+    with timed("index_merge"):
+        import dataclasses as _dc
+
+        mrg_dir = f"/tmp/docinsight_bench/mrg-{num_cpus}-{os.getpid()}"
+        # shard sub-builds run with dedup=False (global dedup already
+        # applied by the split) — merge under the same config
+        mres = merge_indexes(
+            [os.path.join(sh_dir, "shard=0"), os.path.join(sh_dir, "shard=1")],
+            mrg_dir, _dc.replace(cfg, dedup=False),
+        )
+    extra["merge_docs_per_sec"] = round(mres.n_docs / timings["index_merge"], 1)
+
     # ---- windowed incremental lifecycle: two appends → tombstone
     # deletes → serving with serve-time exclusion → segment compaction
     # (the ops path a long-running 100-TB deployment exercises daily)

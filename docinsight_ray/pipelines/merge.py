@@ -99,8 +99,11 @@ def merge_indexes(
         # decode postings → SPIMI fragments (+ df sidecars); sidecar
         # pigeonhole soundness across sources is the compaction
         # argument verbatim (one parts file per term per source)
+        # shard sub-indexes carry GLOBAL n_docs after stat distribution;
+        # the sidecar wants the SOURCE-local doc count (shard_n_docs) —
+        # same fallback as compaction
         items = [
-            {"file": f, "wdir": d, "wdocs": int(s["n_docs"])}
+            {"file": f, "wdir": d, "wdocs": int(s.get("shard_n_docs", s["n_docs"]))}
             for d, s in zip(sources, stats)
             for f in glob_parquet(os.path.join(d, "parts"))
         ]
