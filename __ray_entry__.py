@@ -60,12 +60,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docinsight_ray.functions.vecstats import QUERIES as VEC_Q
     from docinsight_ray.functions.graph import QUERIES as GRAPH_Q
     from docinsight_ray.pipelines.ann import QUERIES as ANN_Q
+    from docinsight_ray.functions.unigram import QUERIES as UNI_Q
 
     from docinsight_ray.pipelines.conformance import q_reference_topk
 
     out: dict[str, Callable[[str], Any]] = {}
     for d in (DOC_Q, TEXT_Q, DEDUP_Q, KNN_Q, WIN_Q, MM_Q, CHUNK_Q, REL_Q, CORPUS_Q, SEMI_Q,
-              SKETCH_Q, PREP_Q, BPE_Q, CLS_Q, VEC_Q, GRAPH_Q, ANN_Q):
+              SKETCH_Q, PREP_Q, BPE_Q, CLS_Q, VEC_Q, GRAPH_Q, ANN_Q, UNI_Q):
         out.update(d)
     # the reference query set on the REAL reference corpus (ignores
     # sf_dir; no SQL oracle — rank-identity + plagiarism conformance
