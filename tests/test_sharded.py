@@ -303,3 +303,23 @@ def test_sharded_msm_synonyms_boosts_match_single_index(sharded, tmp_path):
             np.testing.assert_array_equal(sub.score.to_numpy(), osc)
             nonempty += 1 if od.size else 0
         assert nonempty >= 1, kwargs
+
+
+def test_sharded_bm25plus_rank_identity(sharded):
+    """BM25+ carries through the sharded fan-out: per-shard scorers use
+    the distributed GLOBAL df/avgdl, so the +idf·delta floors equal the
+    single-corpus oracle's bitwise."""
+    import ray.data
+
+    corpus, idx = sharded
+    queries = gen_queries(corpus, n_keyword=8, seed=13)
+    qds = ray.data.from_arrow(queries_table(queries))
+    out = query_sharded(qds, idx, N_SHARDS, CFG, mode="bm25plus").to_pandas()
+    oracle = OracleIndex(corpus, CFG)
+    for qid, text, k in queries:
+        od, osc = oracle.score_bm25plus(text, k)
+        sub = out[out.query_id == qid].sort_values("rank")
+        np.testing.assert_array_equal(
+            sub.doc_id.to_numpy(dtype=np.uint64), od, err_msg=f"q{qid}"
+        )
+        np.testing.assert_array_equal(sub.score.to_numpy(), osc, err_msg=f"q{qid}")
