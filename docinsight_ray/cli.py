@@ -22,6 +22,26 @@ import os
 import sys
 
 
+def _analyzer_cfg(index_dir: str, tokenizer_arg: str | None,
+                  stats_name: str = "corpus_stats.json"):
+    """EngineConfig with the ANALYZER adopted from the index's stats
+    file (tokenizer unless --tokenizer was given; stemmer/stopwords
+    always) — a query tokenized differently from the index silently
+    misses terms. URI-aware via fsio; falls back to defaults when the
+    stats file is missing (the per-command existence check still
+    reports a clean error)."""
+    from .config import EngineConfig
+    from .state.fsio import read_bytes
+
+    raw = read_bytes(os.path.join(index_dir, stats_name))
+    stats = json.loads(raw) if raw is not None else {}
+    return EngineConfig(
+        tokenizer=tokenizer_arg or stats.get("tokenizer", "code"),
+        stemmer=stats.get("stemmer", "none"),
+        stopwords=tuple(stats.get("stopwords", ())),
+    )
+
+
 def _init_ray(num_cpus: int | None):
     import ray
 
@@ -142,10 +162,9 @@ def cmd_annquery(args) -> int:
 
 def cmd_phrase(args) -> int:
     _init_ray(args.num_cpus)
-    from .config import EngineConfig
     from .pipelines.positional import PhraseScorer
 
-    cfg = EngineConfig(tokenizer=args.tokenizer)
+    cfg = _analyzer_cfg(args.pos_dir, args.tokenizer, stats_name="pos_stats.json")
     try:
         sc = PhraseScorer(args.pos_dir, cfg)
     except FileNotFoundError as e:
@@ -172,16 +191,7 @@ def cmd_query(args) -> int:
         print(f"error: {args.index_dir!r} is not a built index "
               f"(no corpus_stats.json — run `build` first)", file=sys.stderr)
         return 2
-    # adopt the build-time analyzer from corpus_stats (tokenizer when
-    # --tokenizer is not given; stemmer/stopwords always) — a query
-    # tokenized differently from the index silently misses terms
-    with open(os.path.join(args.index_dir, "corpus_stats.json")) as f:
-        _stats = json.load(f)
-    cfg = EngineConfig(
-        tokenizer=args.tokenizer or _stats.get("tokenizer", "code"),
-        stemmer=_stats.get("stemmer", "none"),
-        stopwords=tuple(_stats.get("stopwords", ())),
-    )
+    cfg = _analyzer_cfg(args.index_dir, args.tokenizer)
     synonyms = None
     if getattr(args, "synonyms", None):
         # thesaurus file: JSON object {token: [expansion, ...], ...}
@@ -653,10 +663,9 @@ def cmd_search(args) -> int:
     """Structured query: terms, -negations, col:value filters and
     "quoted phrases" in one string (querylang grammar)."""
     _init_ray(args.num_cpus)
-    from .config import EngineConfig
     from .querylang import structured_search
 
-    cfg = EngineConfig(tokenizer=args.tokenizer)
+    cfg = _analyzer_cfg(args.index_dir, args.tokenizer)
     synonyms = None
     if getattr(args, "synonyms", None):
         with open(args.synonyms) as f:
@@ -701,9 +710,8 @@ def cmd_spell(args) -> int:
     (edit distance ≤ --max-dist, Lucene DirectSpellChecker ranking)."""
     from .scorer import spell_suggest
     from .tokenizer import tokenize_text
-    from .config import EngineConfig
 
-    cfg = EngineConfig(tokenizer=args.tokenizer)
+    cfg = _analyzer_cfg(args.index_dir, args.tokenizer)
     out = []
     try:
         for tok in tokenize_text(args.text, cfg):
@@ -953,7 +961,7 @@ def main(argv=None) -> int:
     ph.add_argument("-k", type=int, default=10)
     ph.add_argument("--slop", type=int, default=0,
                     help="max extra tokens allowed in each gap (0 = exact phrase)")
-    ph.add_argument("--tokenizer", default="code", choices=["code", "simple"])
+    ph.add_argument("--tokenizer", default=None, choices=["code", "simple"])
     ph.set_defaults(fn=cmd_phrase)
 
     r = sub.add_parser("run", parents=[common],
@@ -973,7 +981,7 @@ def main(argv=None) -> int:
     se.add_argument("-k", type=int, default=10)
     se.add_argument("--mode", default="maxscore",
                     choices=["taat", "maxscore", "bmw", "conjunctive"])
-    se.add_argument("--tokenizer", default="code", choices=["code", "simple"])
+    se.add_argument("--tokenizer", default=None, choices=["code", "simple"])
     se.add_argument("--pos-dir", default=None,
                     help="positional index dir (required for phrase constraints)")
     se.add_argument("--min-should-match", type=int, default=None,
@@ -998,7 +1006,7 @@ def main(argv=None) -> int:
     sp.add_argument("index_dir")
     sp.add_argument("text")
     sp.add_argument("--max-dist", type=int, default=2)
-    sp.add_argument("--tokenizer", default="code", choices=["code", "simple"])
+    sp.add_argument("--tokenizer", default=None, choices=["code", "simple"])
     sp.set_defaults(fn=cmd_spell)
 
     mg = sub.add_parser("merge", parents=[common],
