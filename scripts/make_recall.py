@@ -194,6 +194,45 @@ def main() -> int:
         ),
     }
 
+    # HLL cardinality sketches (global + per-lang): relative error vs
+    # the exact DuckDB distinct counts — the rows-only gates'
+    # quantitative evidence (4096 registers → ~1.6 % standard error)
+    import duckdb
+
+    from docinsight_ray.functions.sketches import (
+        q_distinct_terms_by_lang,
+        q_distinct_terms_hll,
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    tok = "list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> length(t) >= 2)"
+    exact_g = con.sql(
+        f"SELECT count(DISTINCT term) FROM (SELECT unnest({tok}) AS term FROM documents)"
+    ).fetchone()[0]
+    est_g = int(q_distinct_terms_hll(sf).to_pandas()["n_distinct_est"].iloc[0])
+    out["distinct_terms_hll"] = {
+        "metric": "relative error vs exact distinct-term count",
+        "exact": int(exact_g), "estimate": est_g,
+        "rel_error": round(abs(est_g - exact_g) / exact_g, 4),
+    }
+    exact_l = dict(con.sql(
+        f"SELECT lang, count(DISTINCT term) FROM "
+        f"(SELECT lang, unnest({tok}) AS term FROM documents) GROUP BY lang"
+    ).fetchall())
+    bylang = q_distinct_terms_by_lang(sf).to_pandas()
+    errs = {
+        str(lang): round(abs(int(est) - exact_l[lang]) / exact_l[lang], 4)
+        for lang, est in zip(bylang["lang"], bylang["n_distinct_est"])
+    }
+    out["distinct_terms_by_lang"] = {
+        "metric": "per-lang relative error vs exact distinct-term counts",
+        "rel_error_by_lang": errs,
+        "max_rel_error": max(errs.values()),
+    }
+
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "RECALL.json")
     with open(path, "w") as f:
