@@ -539,17 +539,28 @@ def cmd_compact(args) -> int:
     compaction; pipelines/incremental.py:compact_windows)."""
     _init_ray(args.num_cpus)
     from .config import EngineConfig
-    from .pipelines.incremental import compact_windows
+    from .pipelines.incremental import compact_windows, plan_compaction
 
     cfg = EngineConfig(tokenizer=args.tokenizer)
+    windows = args.windows or None
+    if args.policy:
+        plan = plan_compaction(
+            args.index_root, max_windows=args.max_windows,
+            tier_factor=args.tier_factor,
+        )
+        if not plan:
+            print(json.dumps({"plan": [], "compacted_to": None}))
+            return 0
+        windows = plan
     out = compact_windows(
         args.index_root,
-        window_ids=args.windows or None,
+        window_ids=windows,
         out_window_id=args.out_id,
         cfg=cfg,
         delete_sources=not args.keep_sources,
     )
-    print(json.dumps({"compacted_to": out}))
+    print(json.dumps({"plan": windows, "compacted_to": out}
+                     if args.policy else {"compacted_to": out}))
     return 0
 
 
@@ -886,6 +897,12 @@ def main(argv=None) -> int:
     c.add_argument("--out-id", default=None, help="id for the compacted window")
     c.add_argument("--keep-sources", action="store_true",
                    help="leave source windows on disk (query-excluded by marker)")
+    c.add_argument("--policy", action="store_true",
+                   help="tiered merge policy: pick the smallest windows so "
+                        "fan-out drops to --max-windows (Lucene "
+                        "TieredMergePolicy shape); no-op when already under")
+    c.add_argument("--max-windows", type=int, default=4)
+    c.add_argument("--tier-factor", type=float, default=4.0)
     c.add_argument("--tokenizer", default="code", choices=["code", "simple"])
     c.set_defaults(fn=cmd_compact)
 

@@ -392,6 +392,53 @@ class _PostingsDecoder:
         return pa.table({"n_terms": pa.array([n_terms_out], type=pa.int64())})
 
 
+def plan_compaction(
+    index_root: str,
+    max_windows: int = 4,
+    tier_factor: float = 4.0,
+) -> list[str]:
+    """Tiered merge policy (the Lucene TieredMergePolicy analogue for
+    window sub-indexes): decide WHICH windows to compact instead of
+    always folding everything. Long-running deployments accumulate one
+    window per append; merging all of them every time rewrites the big
+    old segments over and over (O(n²) total write amplification). The
+    policy keeps per-query fan-out ≤ ``max_windows`` while never
+    rewriting a window more than ``tier_factor`` times its own size
+    ladder (each window participates in O(log_tier(total)) merges over
+    its lifetime):
+
+    - if the live window count is ≤ max_windows → no merge (empty plan);
+    - otherwise merge the maximal SMALLEST-first prefix (by n_docs,
+      ties by name) whose members stay within one size tier: each next
+      window must be ≤ tier_factor × the largest already picked.
+      A tier gap STOPS the plan even if the fan-out target is not yet
+      met (best effort — folding a giant segment into a merge of
+      minnows is the write-amplification Lucene's policy exists to
+      avoid; the giant gets merged when its own tier fills up).
+
+    Returns window ids (without the ``window=`` prefix) for
+    ``compact_windows(window_ids=...)``; plans of size 1 return empty
+    (nothing to merge with). Pure planning — no I/O beyond stats reads."""
+    excluded = _compacted_sources(index_root)
+    live = sorted(
+        (int(s.get("shard_n_docs", s["n_docs"])), os.path.basename(d))
+        for d in _window_dirs(index_root)
+        if os.path.basename(d) not in excluded and (s := _window_stats(d)) is not None
+    )
+    if len(live) <= max_windows:
+        return []
+    pick = [live[0]]
+    biggest = live[0][0]
+    for n, name in live[1:]:
+        if n > tier_factor * max(biggest, 1):
+            break  # tier gap — never merge across it
+        pick.append((n, name))
+        biggest = n  # live is sorted ascending
+    if len(pick) < 2:
+        return []
+    return [name.removeprefix("window=") for _, name in pick]
+
+
 def compact_windows(
     index_root: str,
     window_ids: list[str] | None = None,

@@ -315,3 +315,39 @@ def test_windowed_msm_synonyms_boosts_match_single_index(ray_session, tmp_path):
             np.testing.assert_array_equal(sub.score.to_numpy(), osc)
             nonempty += 1 if od.size else 0
         assert nonempty >= 1, kwargs
+
+
+def test_tiered_compaction_policy(ray_session, tmp_path):
+    """plan_compaction (Lucene TieredMergePolicy shape): merges the
+    SMALLEST windows down to the fan-out target, leaves big segments
+    alone, and serving stays identical after the policy-driven
+    compaction."""
+    import ray.data
+
+    from docinsight_ray.pipelines.incremental import compact_windows, plan_compaction
+
+    corpus = gen_corpus(320, seed=41)
+    root = str(tmp_path / "tier")
+    # one big window (200 docs) + four small ones (30 each)
+    slices = [(0, 200), (200, 30), (230, 30), (260, 30), (290, 30)]
+    for i, (off, ln) in enumerate(slices):
+        append_window(ray.data.from_arrow(corpus.slice(off, ln)), root, f"{i:03d}", CFG)
+
+    plan = plan_compaction(root, max_windows=3, tier_factor=4.0)
+    # 5 live -> pick 3 smallest to reach 3 windows; the next-smallest
+    # (30 docs <= 4x90) folds in too; the 200-doc window stays
+    assert sorted(plan) == ["001", "002", "003", "004"]
+
+    queries = gen_queries(corpus, n_keyword=8, seed=3)
+    qds = ray.data.from_arrow(queries_table(queries))
+    before = query_windows(qds, root, CFG, mode="taat").to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    compact_windows(root, window_ids=plan, cfg=CFG)
+    qds = ray.data.from_arrow(queries_table(queries))
+    after = query_windows(qds, root, CFG, mode="taat").to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert before.equals(after)
+    # fan-out dropped to the target and the policy is now satisfied
+    assert plan_compaction(root, max_windows=3, tier_factor=4.0) == []
+    # a huge next window would NOT fold in under the tier bound
+    assert plan_compaction(root, max_windows=1, tier_factor=1.5) == []
