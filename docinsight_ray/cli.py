@@ -739,6 +739,23 @@ def cmd_spell(args) -> int:
     return 0
 
 
+def cmd_tokbuild(args) -> int:
+    """Train a subword tokenizer (BPE or unigram-LM) over a documents
+    table and persist the artifact (vocab.parquet + verified stats
+    sidecar; functions/tokenizer_store.py)."""
+    _init_ray(args.num_cpus)
+    from .functions.tokenizer_store import save_tokenizer
+
+    try:
+        stats = save_tokenizer(args.sf_dir, args.out_dir, algo=args.algo,
+                               fingerprint=args.fingerprint)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(json.dumps({"out_dir": args.out_dir, **stats}))
+    return 0
+
+
 def cmd_merge(args) -> int:
     """Merge N committed indexes into one standalone index (Lucene
     addIndexes shape; pipelines/merge.py). Flags mirror `build`: the
@@ -1025,6 +1042,14 @@ def main(argv=None) -> int:
     sp.add_argument("--max-dist", type=int, default=2)
     sp.add_argument("--tokenizer", default=None, choices=["code", "simple"])
     sp.set_defaults(fn=cmd_spell)
+
+    tb = sub.add_parser("tokbuild", parents=[common],
+                        help="train + persist a subword tokenizer (BPE/unigram)")
+    tb.add_argument("sf_dir", help="directory containing documents.parquet")
+    tb.add_argument("out_dir")
+    tb.add_argument("--algo", default="bpe", choices=["bpe", "unigram"])
+    tb.add_argument("--fingerprint", default="")
+    tb.set_defaults(fn=cmd_tokbuild)
 
     mg = sub.add_parser("merge", parents=[common],
                         help="merge N committed indexes into one standalone index")
