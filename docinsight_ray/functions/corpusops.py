@@ -1456,6 +1456,48 @@ ORACLE_SQL["bigram_surprisal"] = f"""
 # ---- corpus data card -------------------------------------------------------
 
 
+SHUFFLE_SEED = "ep0"
+
+
+def q_corpus_shuffle(sf_dir: str) -> pa.Table:
+    """Deterministic SEEDED corpus shuffle — the training-order pass
+    that fixes an epoch's document order reproducibly across runs,
+    engines and cluster sizes (``ds.random_shuffle`` is none of
+    those): the shuffle key is sha256(seed ':' text), the order is
+    (key asc, doc_id asc), and changing the seed re-deals the order.
+
+    Scale shape: one map_batches computes keys, ``Dataset.sort`` does
+    the all-to-all range exchange, and a training writer would stream
+    the sorted blocks straight to partitioned output (ranks implicit
+    in file order) — the final explicit rank column here is gate
+    protocol over the collected (small) result."""
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "shuffle_key": [
+                    s[:16]
+                    for s in sha256_hex(
+                        [f"{SHUFFLE_SEED}:{t}" for t in batch["text"].tolist()]
+                    )
+                ],
+            }
+        )
+
+    ds = (
+        _read(sf_dir, ["doc_id", "text"])
+        .map_batches(keyed, batch_format="pandas")
+        .sort(["shuffle_key", "doc_id"])
+    )
+    empty = pa.schema([("doc_id", pa.int64()), ("shuffle_key", pa.string())])
+    out = collect_table(ds, empty).to_pandas()
+    out = out.sort_values(["shuffle_key", "doc_id"]).reset_index(drop=True)
+    out["rank"] = np.arange(len(out), dtype=np.int64)
+    return pa.Table.from_pandas(out[["rank", "doc_id", "shuffle_key"]],
+                                preserve_index=False)
+
+
 def q_corpus_report(sf_dir: str) -> pa.Table:
     """The corpus DATA CARD: one (metric, value) table summarizing the
     ingest — doc/lang/source counts, token and char totals, exact-dup
@@ -1539,6 +1581,19 @@ def q_corpus_report(sf_dir: str) -> pa.Table:
         }
     )
 
+
+# seeded deterministic shuffle: same sha256(seed ':' text) key contract
+# as dataset_split (DuckDB sha256 == hashlib, proven by the split gate)
+ORACLE_SQL["corpus_shuffle"] = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         substr(sha256('{SHUFFLE_SEED}' || ':' || text), 1, 16) AS shuffle_key
+  FROM documents
+)
+SELECT row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS rank,
+       doc_id, shuffle_key
+FROM keyed
+"""
 
 ORACLE_SQL["corpus_report"] = f"""
 WITH t AS (SELECT doc_id, lang, source, n_chars, {_TOK_SQL} AS toks, sha256(text) AS sha
@@ -1928,4 +1983,5 @@ QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_pairs": q_winnow_pairs,
     "corpus_report": q_corpus_report,
+    "corpus_shuffle": q_corpus_shuffle,
 }
