@@ -171,7 +171,9 @@ def cmd_phrase(args) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
     for text in args.text:
-        if args.slop:
+        if getattr(args, "prefix", False):
+            d, c = sc.phrase_prefix_occurrences(text, args.k)
+        elif args.slop:
             d, c = sc.proximity_occurrences(text, args.k, slop=args.slop)
         else:
             d, c = sc.phrase_occurrences(text, args.k)
@@ -995,6 +997,9 @@ def main(argv=None) -> int:
     ph.add_argument("-k", type=int, default=10)
     ph.add_argument("--slop", type=int, default=0,
                     help="max extra tokens allowed in each gap (0 = exact phrase)")
+    ph.add_argument("--prefix", action="store_true",
+                    help="match_phrase_prefix: the LAST word is a term prefix "
+                         "(autocomplete-as-you-type)")
     ph.add_argument("--tokenizer", default=None, choices=["code", "simple"])
     ph.set_defaults(fn=cmd_phrase)
 

@@ -2436,6 +2436,13 @@ PHRASE_IDX_QUERIES: list[tuple[int, str]] = [
     (3, "slow big hash"),
 ]
 PHRASE_TOPK = 10
+# (phrase_id, query) — the LAST whitespace chunk is a term PREFIX
+PHRASE_PREFIX_QUERIES: list[tuple[int, str]] = [
+    (0, "data s"),        # multi-expansion: scan/slow/small/sort/spark/stream
+    (1, "the fast k"),
+    (2, "batch b"),
+    (3, "sp"),            # prefix-only (no fixed words)
+]
 _POS_CACHE: dict[str, str] = {}
 
 
@@ -2477,6 +2484,39 @@ def q_phrase_index_topk(sf_dir: str) -> pa.Table:
             "phrase_id": pa.array([p for p, _ in PHRASE_IDX_QUERIES], type=pa.int64()),
             "text": pa.array([t for _, t in PHRASE_IDX_QUERIES], type=pa.string()),
             "k": pa.array([PHRASE_TOPK] * len(PHRASE_IDX_QUERIES), type=pa.int64()),
+        }
+    )
+    from ..collect import collect_table
+
+    out = collect_table(
+        query_phrases(ray.data.from_arrow(ptbl), pos_dir, SQL_PARITY_CONFIG)
+    ).to_pandas()
+    out = out.sort_values(["phrase_id", "rank"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "phrase_id": pa.array(out["phrase_id"].astype(np.int64), type=pa.int64()),
+            "rank": pa.array(out["rank"].astype(np.int64), type=pa.int64()),
+            "doc_id": pa.array(out["doc_id"].astype(np.int64), type=pa.int64()),
+            "n_occ": pa.array(out["n_occ"].astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+def q_phrase_prefix_topk(sf_dir: str) -> pa.Table:
+    """match_phrase_prefix (Elasticsearch autocomplete-as-you-type):
+    fixed words in order immediately followed by ANY vocabulary term
+    starting with the trailing prefix (expansions capped in sorted
+    term order), served from the positional index through the
+    PhraseScorer actor pool."""
+    from .positional import query_phrases
+
+    pos_dir = ensure_positional(sf_dir)
+    ptbl = pa.table(
+        {
+            "phrase_id": pa.array([p for p, _ in PHRASE_PREFIX_QUERIES], type=pa.int64()),
+            "text": pa.array([t for _, t in PHRASE_PREFIX_QUERIES], type=pa.string()),
+            "k": pa.array([PHRASE_TOPK] * len(PHRASE_PREFIX_QUERIES), type=pa.int64()),
+            "prefix": pa.array([True] * len(PHRASE_PREFIX_QUERIES), type=pa.bool_()),
         }
     )
     from ..collect import collect_table
@@ -3388,6 +3428,60 @@ ORACLE_SQL["phrase_index_topk"] = f"""
         FROM r WHERE rank < {PHRASE_TOPK}
 """
 
+def _phrase_prefix_occ_sql() -> str:
+    """Per-query chain joins with the last position matched against
+    the capped prefix-expansion set (same sorted-asc LIMIT the engine
+    applies); one token per position ⇒ plain count(*) is already
+    distinct starts."""
+    parts = []
+    for pid, text in PHRASE_PREFIX_QUERIES:
+        chunks = text.lower().split()
+        prefix = "".join(c for c in chunks[-1] if c.isalnum())
+        fixed = tokenize_text(" ".join(chunks[:-1]), SQL_PARITY_CONFIG)
+        exps = (f"(SELECT term FROM (SELECT DISTINCT term FROM ptok "
+                f"WHERE term LIKE '{prefix}%' ORDER BY term LIMIT 50))")
+        if fixed:
+            joins = "".join(
+                f"\n          JOIN ptok t{i} ON t{i}.doc_id = t0.doc_id "
+                f"AND t{i}.pos = t0.pos + {i} AND t{i}.term = '{w}'"
+                for i, w in enumerate(fixed[1:], start=1)
+            )
+            joins += (
+                f"\n          JOIN ptok tl ON tl.doc_id = t0.doc_id "
+                f"AND tl.pos = t0.pos + {len(fixed)} AND tl.term IN {exps}"
+            )
+            where = f"WHERE t0.term = '{fixed[0]}'"
+        else:
+            joins = ""
+            where = f"WHERE t0.term IN {exps}"
+        parts.append(
+            f"""SELECT {pid} AS phrase_id, t0.doc_id AS doc_id, count(*)::BIGINT AS n_occ
+          FROM ptok t0{joins}
+          {where}
+          GROUP BY t0.doc_id"""
+        )
+    return "\n        UNION ALL\n        ".join(parts)
+
+
+ORACLE_SQL["phrase_prefix_topk"] = f"""
+        WITH ptok AS (
+          SELECT doc_id,
+                 unnest({SIMPLE_TOK_SQL}) AS term,
+                 unnest(range(len({SIMPLE_TOK_SQL}))) AS pos
+          FROM documents
+        ), occ AS (
+        {_phrase_prefix_occ_sql()}
+        ), r AS (
+          SELECT phrase_id, doc_id, n_occ,
+                 row_number() OVER (PARTITION BY phrase_id
+                                    ORDER BY n_occ DESC, doc_id ASC) - 1 AS rank
+          FROM occ
+        )
+        SELECT phrase_id, rank::BIGINT AS rank, doc_id, n_occ
+        FROM r WHERE rank < {PHRASE_TOPK}
+"""
+
+
 def _prox_occ_sql() -> str:
     """Per-phrase windowed chain-join chain counts, UNION ALL."""
     parts = []
@@ -3934,6 +4028,7 @@ QUERIES = {
     "significant_terms": q_significant_terms,
     "percolate": q_percolate,
     "phrase_index_topk": q_phrase_index_topk,
+    "phrase_prefix_topk": q_phrase_prefix_topk,
     "proximity_topk": q_proximity_topk,
     "bm25_more_like_this": q_bm25_more_like_this,
     "bm25_conjunctive": q_bm25_conjunctive,

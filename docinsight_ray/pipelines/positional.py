@@ -260,6 +260,96 @@ class PhraseScorer:
         self._cache[term] = out
         return out
 
+    def _vocab_prefix(self, prefix: str, limit: int) -> list[str]:
+        """First ``limit`` index-vocabulary terms starting with
+        ``prefix`` (sorted asc — the deterministic expansion order the
+        oracle replicates). Column-only scan: every bucket's ``term``
+        column, no positions decoded."""
+        hits: set[str] = set()
+        for files in self._bucket_files.values():
+            for f in files:
+                col = pq.read_table(f, columns=["term"])["term"]
+                for t in col.to_pylist():
+                    if t.startswith(prefix):
+                        hits.add(t)
+        return sorted(hits)[:limit]
+
+    def _start_keys(self, entry, offset: int, cand_docs: np.ndarray) -> np.ndarray:
+        """All (candidate-doc, start-position) composite keys a term at
+        phrase offset ``offset`` admits — vectorized gather of the
+        candidates' position slices (keys are local-doc-index·2^32 +
+        (pos - offset))."""
+        SHIFT = np.uint64(1) << np.uint64(32)
+        docs, flat, offsets = entry
+        sel = np.searchsorted(docs, cand_docs)
+        # candidates absent from this term's postings contribute nothing
+        present = (sel < docs.size)
+        present[present] = docs[sel[present]] == cand_docs[present]
+        lens = np.where(present, offsets[np.minimum(sel, docs.size - 1) + 1]
+                        - offsets[np.minimum(sel, docs.size - 1)], 0)
+        total = int(lens.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.uint64)
+        starts_rep = np.repeat(offsets[np.minimum(sel, docs.size - 1)], lens)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+        )
+        ps = flat[starts_rep + within]
+        owner = np.repeat(np.arange(cand_docs.size, dtype=np.uint64), lens)
+        if offset:
+            keep = ps >= np.uint64(offset)
+            ps, owner = ps[keep], owner[keep]
+        return owner * SHIFT + (ps - np.uint64(offset))
+
+    def phrase_prefix_occurrences(
+        self, text: str, k: int, max_expansions: int = 50
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Elasticsearch ``match_phrase_prefix``: the LAST whitespace
+        chunk of ``text`` is a term PREFIX; a doc matches where the
+        fixed words occur in order immediately followed by ANY
+        vocabulary term starting with the prefix (first
+        ``max_expansions`` expansions in sorted term order — ES's
+        deterministic cap). Counts are distinct start positions (one
+        token occupies a position, so expansions never double-count a
+        start). The autocomplete-as-you-type serving shape."""
+        chunks = text.lower().split()
+        if not chunks:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        prefix = "".join(c for c in chunks[-1] if c.isalnum())
+        fixed = tokenize_text(" ".join(chunks[:-1]), self.cfg)
+        if not prefix:
+            return self.phrase_occurrences(" ".join(chunks[:-1]), k)
+        exps = self._vocab_prefix(prefix, max_expansions)
+        if not exps:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        posts_f = [self._term_positions(w) for w in fixed]
+        if any(p[0].size == 0 for p in posts_f):
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        exp_posts = [self._term_positions(e) for e in exps]
+        exp_docs = np.unique(np.concatenate([p[0] for p in exp_posts]))
+        cand_docs = exp_docs
+        for docs, _f, _o in posts_f:
+            cand_docs = _intersect_sorted(cand_docs, docs)
+        if cand_docs.size == 0:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        last_off = len(fixed)
+        last = np.unique(
+            np.concatenate([self._start_keys(p, last_off, cand_docs) for p in exp_posts])
+        )
+        starts = last
+        for i, p in enumerate(posts_f):
+            if starts.size == 0:
+                break
+            starts = _intersect_sorted(starts, self._start_keys(p, i, cand_docs))
+        if starts.size == 0:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        SHIFT = np.uint64(1) << np.uint64(32)
+        local = (starts // SHIFT).astype(np.int64)
+        uniq, counts = np.unique(local, return_counts=True)
+        docs_out = cand_docs[uniq]
+        order = np.lexsort((docs_out, -counts))[:k]
+        return docs_out[order], counts[order].astype(np.int64)
+
     def phrase_occurrences(self, text: str, k: int) -> tuple[np.ndarray, np.ndarray]:
         """Top-k (doc_ids, n_occurrences) for the phrase, ranked by
         (n_occ desc, doc_id asc). Overlapping occurrences count."""
@@ -392,11 +482,18 @@ class PhraseScorer:
             if "slop" in batch.column_names
             else [0] * batch.num_rows
         )
-        for pid, text, k, slop in zip(
+        prefixes = (
+            batch["prefix"].to_pylist()
+            if "prefix" in batch.column_names
+            else [False] * batch.num_rows
+        )
+        for pid, text, k, slop, pref in zip(
             batch["phrase_id"].to_pylist(), batch["text"].to_pylist(),
-            batch["k"].to_pylist(), slops,
+            batch["k"].to_pylist(), slops, prefixes,
         ):
-            if slop:
+            if pref:
+                d, c = self.phrase_prefix_occurrences(text, int(k))
+            elif slop:
                 d, c = self.proximity_occurrences(text, int(k), slop=int(slop))
             else:
                 d, c = self.phrase_occurrences(text, int(k))
