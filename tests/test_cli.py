@@ -567,3 +567,39 @@ def test_cli_stemmed_build_and_analyzer_adoption(ray_session, tmp_path_factory, 
     assert main(["query", idx, "zebra table", "-k", "3"]) == 0
     hits2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["hits"]
     assert hits2[0]["doc_id"] == top
+
+
+def test_snapshot_is_layout_generic(ray_session, tmp_path, capsys):
+    """snapshot/restore works for ANY artifact tree, not just BM25
+    indexes: a positional index and a persisted tokenizer round-trip
+    byte-identically and keep serving after restore."""
+    import numpy as np
+    import pyarrow.parquet as pqm
+
+    from docinsight_ray.config import EngineConfig
+    from docinsight_ray.functions.tokenizer_store import load_tokenizer, save_tokenizer
+    from docinsight_ray.pipelines.positional import PhraseScorer, build_positional_index
+    from docinsight_ray.state.snapshot import restore_index, snapshot_index
+
+    import ray.data
+
+    corpus_path = str(tmp_path / "corpus.parquet")
+    pqm.write_table(gen_corpus(120, seed=9), corpus_path)
+    cfg = EngineConfig(num_buckets=8)
+    pos = str(tmp_path / "pos")
+    build_positional_index(ray.data.read_parquet(corpus_path), pos, cfg, fingerprint="s")
+    want_d, want_c = PhraseScorer(pos, cfg).phrase_occurrences("public static", 5)
+
+    snap, dest = str(tmp_path / "snap"), str(tmp_path / "restored")
+    snapshot_index(pos, snap)
+    restore_index(snap, dest)
+    got_d, got_c = PhraseScorer(dest, cfg).phrase_occurrences("public static", 5)
+    np.testing.assert_array_equal(got_d, want_d)
+    np.testing.assert_array_equal(got_c, want_c)
+
+    tok = str(tmp_path / "tok")
+    save_tokenizer("/root/testdata/sf0.001", tok, algo="bpe")
+    tsnap, tdest = str(tmp_path / "tsnap"), str(tmp_path / "trestored")
+    snapshot_index(tok, tsnap)
+    restore_index(tsnap, tdest)
+    assert load_tokenizer(tdest) == load_tokenizer(tok)
