@@ -170,6 +170,10 @@ def cmd_phrase(args) -> int:
     except FileNotFoundError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
+    if getattr(args, "prefix", False) and args.slop:
+        print("error: --prefix does not support --slop (prefix matches are "
+              "exact-adjacency)", file=sys.stderr)
+        return 2
     for text in args.text:
         if getattr(args, "prefix", False):
             d, c = sc.phrase_prefix_occurrences(text, args.k)
@@ -540,12 +544,32 @@ def cmd_compact(args) -> int:
     """Merge committed window sub-indexes into one (crash-safe segment
     compaction; pipelines/incremental.py:compact_windows)."""
     _init_ray(args.num_cpus)
-    from .config import EngineConfig
-    from .pipelines.incremental import compact_windows, plan_compaction
+    from .pipelines.incremental import (
+        _window_dirs,
+        _window_stats,
+        compact_windows,
+        plan_compaction,
+    )
 
-    cfg = EngineConfig(tokenizer=args.tokenizer)
+    # the compacted rebuild must run under the ANALYZER the windows
+    # were built with (else the new corpus_stats would claim the
+    # default analyzer and query-side adoption would mis-tokenize) —
+    # adopt from the first committed window
+    cfg = None
+    for d in _window_dirs(args.index_root):
+        if _window_stats(d) is not None:
+            cfg = _analyzer_cfg(d, args.tokenizer)
+            break
+    if cfg is None:
+        print(f"error: no committed windows under {args.index_root!r}",
+              file=sys.stderr)
+        return 2
     windows = args.windows or None
     if args.policy:
+        if windows:
+            print("error: --policy and --windows are mutually exclusive "
+                  "(the policy picks the window set)", file=sys.stderr)
+            return 2
         plan = plan_compaction(
             args.index_root, max_windows=args.max_windows,
             tier_factor=args.tier_factor,

@@ -408,17 +408,20 @@ def plan_compaction(
     its lifetime):
 
     - if the live window count is ≤ max_windows → no merge (empty plan);
-    - otherwise merge the maximal SMALLEST-first prefix (by n_docs,
-      ties by name) whose members stay within one size tier: each next
-      window must be ≤ tier_factor × the largest already picked.
-      A tier gap STOPS the plan even if the fan-out target is not yet
-      met (best effort — folding a giant segment into a merge of
-      minnows is the write-amplification Lucene's policy exists to
-      avoid; the giant gets merged when its own tier fills up).
+    - otherwise merge the first (smallest-start) RUN of size-sorted
+      windows whose members stay within one size tier: each next
+      window must be ≤ tier_factor × the largest already in the run.
+      A tier gap ends the run; a run of one is skipped (a lone minnow
+      below a gap must never block the tier above it), and the scan
+      resumes at the gap. No mergeable run → empty plan even if the
+      fan-out target is not met (best effort — folding a giant
+      segment into a merge of minnows is the write-amplification
+      Lucene's policy exists to avoid; the giant merges when its own
+      tier fills up).
 
     Returns window ids (without the ``window=`` prefix) for
-    ``compact_windows(window_ids=...)``; plans of size 1 return empty
-    (nothing to merge with). Pure planning — no I/O beyond stats reads."""
+    ``compact_windows(window_ids=...)``; pure planning — no I/O beyond
+    stats reads."""
     excluded = _compacted_sources(index_root)
     live = sorted(
         (int(s.get("shard_n_docs", s["n_docs"])), os.path.basename(d))
@@ -427,16 +430,19 @@ def plan_compaction(
     )
     if len(live) <= max_windows:
         return []
-    pick = [live[0]]
-    biggest = live[0][0]
-    for n, name in live[1:]:
-        if n > tier_factor * max(biggest, 1):
-            break  # tier gap — never merge across it
-        pick.append((n, name))
-        biggest = n  # live is sorted ascending
-    if len(pick) < 2:
-        return []
-    return [name.removeprefix("window=") for _, name in pick]
+    start = 0
+    while start < len(live) - 1:
+        pick = [live[start]]
+        biggest = live[start][0]
+        for n, name in live[start + 1:]:
+            if n > tier_factor * max(biggest, 1):
+                break  # tier gap — never merge across it
+            pick.append((n, name))
+            biggest = n  # live is sorted ascending
+        if len(pick) >= 2:
+            return [name.removeprefix("window=") for _, name in pick]
+        start += 1  # lone window below a gap: skip it, scan the next tier
+    return []
 
 
 def compact_windows(

@@ -63,6 +63,11 @@ def merge_indexes(
     cfg = cfg or EngineConfig()
     if len(sources) < 1:
         raise ValueError("merge_indexes: need at least one source index")
+    if os.path.abspath(out_dir) in {os.path.abspath(s) for s in sources}:
+        raise ValueError(
+            f"merge_indexes: out_dir {out_dir!r} is one of the sources — "
+            "staging would destroy it (same guard as compact_windows)"
+        )
     stats = []
     for d in sources:
         raw = read_bytes(os.path.join(d, "corpus_stats.json"))

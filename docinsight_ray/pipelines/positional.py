@@ -263,16 +263,22 @@ class PhraseScorer:
     def _vocab_prefix(self, prefix: str, limit: int) -> list[str]:
         """First ``limit`` index-vocabulary terms starting with
         ``prefix`` (sorted asc — the deterministic expansion order the
-        oracle replicates). Column-only scan: every bucket's ``term``
-        column, no positions decoded."""
-        hits: set[str] = set()
-        for files in self._bucket_files.values():
-            for f in files:
-                col = pq.read_table(f, columns=["term"])["term"]
-                for t in col.to_pylist():
-                    if t.startswith(prefix):
-                        hits.add(t)
-        return sorted(hits)[:limit]
+        oracle replicates). The sorted vocabulary is a column-only scan
+        cached ONCE per actor (this is the per-keystroke autocomplete
+        path — re-reading every bucket's term column per query would
+        be full-index I/O); lookups are a bisect range."""
+        vocab = getattr(self, "_vocab", None)
+        if vocab is None:
+            terms: set[str] = set()
+            for files in self._bucket_files.values():
+                for f in files:
+                    terms.update(pq.read_table(f, columns=["term"])["term"].to_pylist())
+            vocab = self._vocab = sorted(terms)
+        import bisect
+
+        lo = bisect.bisect_left(vocab, prefix)
+        hi = bisect.bisect_left(vocab, prefix[:-1] + chr(ord(prefix[-1]) + 1))
+        return vocab[lo:hi][:limit]
 
     def _start_keys(self, entry, offset: int, cand_docs: np.ndarray) -> np.ndarray:
         """All (candidate-doc, start-position) composite keys a term at

@@ -351,3 +351,20 @@ def test_tiered_compaction_policy(ray_session, tmp_path):
     assert plan_compaction(root, max_windows=3, tier_factor=4.0) == []
     # a huge next window would NOT fold in under the tier bound
     assert plan_compaction(root, max_windows=1, tier_factor=1.5) == []
+
+
+def test_tiered_policy_skips_lone_minnow(ray_session, tmp_path):
+    """A lone tier-gapped small window must not stall the policy: the
+    mergeable tier ABOVE it still gets planned (review finding)."""
+    import ray.data
+
+    from docinsight_ray.pipelines.incremental import plan_compaction
+
+    corpus = gen_corpus(215, seed=43)
+    root = str(tmp_path / "minnow")
+    # one 5-doc minnow + three 70-doc windows, gapped at factor 4
+    slices = [(0, 5), (5, 70), (75, 70), (145, 70)]
+    for i, (off, ln) in enumerate(slices):
+        append_window(ray.data.from_arrow(corpus.slice(off, ln)), root, f"{i:03d}", CFG)
+    plan = plan_compaction(root, max_windows=2, tier_factor=4.0)
+    assert sorted(plan) == ["001", "002", "003"]  # minnow skipped, tier merged
