@@ -398,11 +398,89 @@ def q_gopher_rules(sf_dir: str) -> pa.Table:
     )
 
 
+def q_extended_stats(sf_dir: str) -> pa.Table:
+    """Elasticsearch ``extended_stats`` aggregation per language over
+    ``n_chars``: count / min / max / sum / sum-of-squares / variance /
+    stddev. The distributed reduce is a constant-size per-batch partial
+    of INTEGER sums (count, sum, sumsq, min, max) — exactly mergeable
+    in any order, no float-accumulation drift — and the float variance
+    derives from those integers by one identical expression on both
+    engines: ((n·sumsq − sum²) / n²), so the result is bit-stable."""
+    import numpy as np
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("lang")["n_chars"]
+        v = batch.assign(sq=batch["n_chars"].astype("int64") ** 2).groupby("lang")["sq"]
+        return pd.DataFrame(
+            {
+                "lang": g.count().index,
+                "n": g.count().to_numpy(dtype=np.int64),
+                "s": g.sum().to_numpy(dtype=np.int64),
+                "sq": v.sum().to_numpy(dtype=np.int64),
+                "mn": g.min().to_numpy(dtype=np.int64),
+                "mx": g.max().to_numpy(dtype=np.int64),
+            }
+        )
+
+    from ..collect import collect_table
+
+    empty = pa.schema(
+        [("lang", pa.string()), ("n", pa.int64()), ("s", pa.int64()),
+         ("sq", pa.int64()), ("mn", pa.int64()), ("mx", pa.int64())]
+    )
+    parts = collect_table(
+        _read_documents(sf_dir).map_batches(partial, batch_format="pandas"), empty
+    ).to_pandas()
+    agg = parts.groupby("lang").agg(
+        n=("n", "sum"), s=("s", "sum"), sq=("sq", "sum"),
+        mn=("mn", "min"), mx=("mx", "max"),
+    ).reset_index().sort_values("lang")
+    n = agg["n"].to_numpy(dtype="int64")
+    s = agg["s"].to_numpy(dtype="int64")
+    sq = agg["sq"].to_numpy(dtype="int64")
+    # integer numerator/denominator first, ONE float division — the
+    # oracle computes the identical expression
+    var = (n * sq - s * s).astype("float64") / (n * n).astype("float64")
+    import numpy as np
+
+    return pa.table(
+        {
+            "lang": pa.array(agg["lang"], type=pa.string()),
+            "n_docs": pa.array(n, type=pa.int64()),
+            "min_chars": pa.array(agg["mn"].to_numpy(dtype="int64"), type=pa.int64()),
+            "max_chars": pa.array(agg["mx"].to_numpy(dtype="int64"), type=pa.int64()),
+            "sum_chars": pa.array(s, type=pa.int64()),
+            "sumsq_chars": pa.array(sq, type=pa.int64()),
+            "variance": pa.array(var, type=pa.float64()),
+            "stddev": pa.array(np.sqrt(var), type=pa.float64()),
+        }
+    )
+
+
 def _in_list_sql(words: tuple[str, ...]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
 ORACLE_SQL = {
+    # same integer-sums-then-one-float-division expression as the
+    # engine: variance = (n*sumsq - sum^2) / n^2, bit-stable
+    "extended_stats": """
+        WITH a AS (
+          SELECT lang,
+                 count(*)::BIGINT AS n_docs,
+                 min(n_chars)::BIGINT AS min_chars,
+                 max(n_chars)::BIGINT AS max_chars,
+                 sum(n_chars)::BIGINT AS sum_chars,
+                 sum(n_chars::BIGINT * n_chars::BIGINT)::BIGINT AS sumsq_chars
+          FROM documents GROUP BY lang
+        )
+        SELECT lang, n_docs, min_chars, max_chars, sum_chars, sumsq_chars,
+               (n_docs * sumsq_chars - sum_chars * sum_chars)::DOUBLE
+                 / (n_docs * n_docs)::DOUBLE AS variance,
+               sqrt((n_docs * sumsq_chars - sum_chars * sum_chars)::DOUBLE
+                 / (n_docs * n_docs)::DOUBLE) AS stddev
+        FROM a
+    """,
     "token_count": """
         SELECT doc_id, lang,
                len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_ws_tokens,
@@ -527,4 +605,5 @@ QUERIES = {
     "phrase_match": q_phrase_match,
     "pii_redact": q_pii_redact,
     "gopher_rules": q_gopher_rules,
+    "extended_stats": q_extended_stats,
 }
