@@ -726,18 +726,30 @@ def cmd_search(args) -> int:
 
 def cmd_suggest(args) -> int:
     """Autocomplete: top-n vocabulary completions of a prefix, ranked
-    by document frequency. Pure index-side column scan — no Ray
-    session, no postings decode."""
-    from .scorer import suggest_terms
-
+    by document frequency (pure index-side column scan). With
+    --pos-dir, the argument is a PHRASE whose last word is the prefix
+    and completions rank by completed-phrase occurrence count
+    (search_as_you_type)."""
     try:
-        out = suggest_terms(args.index_dir, args.prefix, n=args.n)
+        if getattr(args, "pos_dir", None):
+            from .pipelines.positional import PhraseScorer
+
+            cfg = _analyzer_cfg(args.pos_dir, None, stats_name="pos_stats.json")
+            out = PhraseScorer(args.pos_dir, cfg).phrase_prefix_completions(
+                args.prefix, n=args.n
+            )
+            key = "n_occ"
+        else:
+            from .scorer import suggest_terms
+
+            out = suggest_terms(args.index_dir, args.prefix, n=args.n)
+            key = "df"
     except FileNotFoundError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
     print(json.dumps({
         "prefix": args.prefix,
-        "suggestions": [{"term": t, "df": d} for t, d in out],
+        "suggestions": [{"term": t, key: c} for t, c in out],
     }))
     return 0
 
@@ -1060,8 +1072,13 @@ def main(argv=None) -> int:
     sg = sub.add_parser("suggest", parents=[common],
                         help="autocomplete a prefix from the index vocabulary")
     sg.add_argument("index_dir")
-    sg.add_argument("prefix")
+    sg.add_argument("prefix",
+                    help="prefix, or with --pos-dir a phrase whose last word "
+                         "is the prefix (context-aware completion)")
     sg.add_argument("-n", type=int, default=5)
+    sg.add_argument("--pos-dir", default=None,
+                    help="positional index: rank completions by completed-"
+                         "phrase occurrence count (search_as_you_type)")
     sg.set_defaults(fn=cmd_suggest)
 
     sp = sub.add_parser("spell", parents=[common],

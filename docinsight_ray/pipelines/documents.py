@@ -2535,6 +2535,40 @@ def q_phrase_prefix_topk(sf_dir: str) -> pa.Table:
     )
 
 
+SUGGEST_PHRASE_QUERIES: list[tuple[int, str]] = [
+    (0, "data s"),
+    (1, "the fast k"),
+    (2, "b"),            # context-free: rank b* terms by collection tf
+]
+SUGGEST_PHRASE_N = 5
+
+
+def q_suggest_phrase(sf_dir: str) -> pa.Table:
+    """Contextual autocomplete (ES search_as_you_type): complete the
+    trailing prefix ranked by COMPLETED-PHRASE occurrence count (the
+    context-aware sibling of the df-ranked ``suggest`` gate), from the
+    positional index."""
+    from .positional import PhraseScorer
+
+    pos_dir = ensure_positional(sf_dir)
+    sc = PhraseScorer(pos_dir, SQL_PARITY_CONFIG)
+    qids, ranks, terms, occs = [], [], [], []
+    for qid, text in SUGGEST_PHRASE_QUERIES:
+        for r, (t, c) in enumerate(sc.phrase_prefix_completions(text, SUGGEST_PHRASE_N)):
+            qids.append(qid)
+            ranks.append(r)
+            terms.append(t)
+            occs.append(c)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "term": pa.array(terms, type=pa.string()),
+            "n_occ": pa.array(occs, type=pa.int64()),
+        }
+    )
+
+
 # (phrase_id, phrase, slop): ordered proximity with bounded gaps
 PROX_QUERIES: list[tuple[int, str, int]] = [
     (0, "data stream", 2),
@@ -3463,6 +3497,57 @@ def _phrase_prefix_occ_sql() -> str:
     return "\n        UNION ALL\n        ".join(parts)
 
 
+def _suggest_phrase_sql() -> str:
+    parts = []
+    for qid, text in SUGGEST_PHRASE_QUERIES:
+        chunks = text.lower().split()
+        prefix = "".join(c for c in chunks[-1] if c.isalnum())
+        fixed = tokenize_text(" ".join(chunks[:-1]), SQL_PARITY_CONFIG)
+        exps = (f"(SELECT term FROM (SELECT DISTINCT term FROM ptok "
+                f"WHERE term LIKE '{prefix}%' ORDER BY term LIMIT 50))")
+        if fixed:
+            joins = "".join(
+                f"\n          JOIN ptok t{i} ON t{i}.doc_id = t0.doc_id "
+                f"AND t{i}.pos = t0.pos + {i} AND t{i}.term = '{w}'"
+                for i, w in enumerate(fixed[1:], start=1)
+            )
+            joins += (
+                f"\n          JOIN ptok tl ON tl.doc_id = t0.doc_id "
+                f"AND tl.pos = t0.pos + {len(fixed)} AND tl.term IN {exps}"
+            )
+            where = f"WHERE t0.term = '{fixed[0]}'"
+            grp = "tl.term"
+        else:
+            joins = ""
+            where = f"WHERE t0.term IN {exps}"
+            grp = "t0.term"
+        parts.append(
+            f"""SELECT {qid} AS query_id, {grp} AS term, count(*)::BIGINT AS n_occ
+          FROM ptok t0{joins}
+          {where}
+          GROUP BY {grp}"""
+        )
+    return "\n        UNION ALL\n        ".join(parts)
+
+
+ORACLE_SQL["suggest_phrase"] = f"""
+        WITH ptok AS (
+          SELECT doc_id,
+                 unnest({SIMPLE_TOK_SQL}) AS term,
+                 unnest(range(len({SIMPLE_TOK_SQL}))) AS pos
+          FROM documents
+        ), occ AS (
+        {_suggest_phrase_sql()}
+        ), r AS (
+          SELECT query_id, term, n_occ,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY n_occ DESC, term ASC) - 1 AS rank
+          FROM occ
+        )
+        SELECT query_id, rank::BIGINT AS rank, term, n_occ
+        FROM r WHERE rank < {SUGGEST_PHRASE_N}
+"""
+
 ORACLE_SQL["phrase_prefix_topk"] = f"""
         WITH ptok AS (
           SELECT doc_id,
@@ -4029,6 +4114,7 @@ QUERIES = {
     "percolate": q_percolate,
     "phrase_index_topk": q_phrase_index_topk,
     "phrase_prefix_topk": q_phrase_prefix_topk,
+    "suggest_phrase": q_suggest_phrase,
     "proximity_topk": q_proximity_topk,
     "bm25_more_like_this": q_bm25_more_like_this,
     "bm25_conjunctive": q_bm25_conjunctive,

@@ -356,6 +356,52 @@ class PhraseScorer:
         order = np.lexsort((docs_out, -counts))[:k]
         return docs_out[order], counts[order].astype(np.int64)
 
+    def phrase_prefix_completions(
+        self, text: str, n: int = 5, max_expansions: int = 50
+    ) -> list[tuple[str, int]]:
+        """Contextual autocomplete (search_as_you_type): complete the
+        trailing prefix of ``text`` ranked by how often the COMPLETED
+        PHRASE occurs in the corpus — "data s" → [("stream", 41),
+        ("scan", 17), …] — not by bare document frequency (that is
+        ``suggest_terms``). Ties break by term asc. Reuses the
+        phrase-prefix machinery: per expansion, count the start
+        positions where the fixed words immediately precede it."""
+        chunks = text.lower().split()
+        if not chunks:
+            return []
+        prefix = "".join(c for c in chunks[-1] if c.isalnum())
+        fixed = tokenize_text(" ".join(chunks[:-1]), self.cfg)
+        if not prefix:
+            return []
+        exps = self._vocab_prefix(prefix, max_expansions)
+        if not exps:
+            return []
+        posts_f = [self._term_positions(w) for w in fixed]
+        if any(p[0].size == 0 for p in posts_f):
+            return []
+        out = []
+        for e in exps:
+            ep = self._term_positions(e)
+            if not fixed:
+                total = int(ep[2][-1])  # all positions of the bare term
+                out.append((e, total))
+                continue
+            cand = ep[0]
+            for docs, _f, _o in posts_f:
+                cand = _intersect_sorted(cand, docs)
+            if cand.size == 0:
+                out.append((e, 0))
+                continue
+            starts = self._start_keys(ep, len(fixed), cand)
+            for i, p in enumerate(posts_f):
+                if starts.size == 0:
+                    break
+                starts = _intersect_sorted(starts, self._start_keys(p, i, cand))
+            out.append((e, int(starts.size)))
+        out = [(t, c) for t, c in out if c > 0]
+        out.sort(key=lambda tc: (-tc[1], tc[0]))
+        return out[:n]
+
     def phrase_occurrences(self, text: str, k: int) -> tuple[np.ndarray, np.ndarray]:
         """Top-k (doc_ids, n_occurrences) for the phrase, ranked by
         (n_occ desc, doc_id asc). Overlapping occurrences count."""

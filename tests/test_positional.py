@@ -170,3 +170,26 @@ def test_positions_probe_gate_parity(ray_session):
     con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
     want = con.sql(ORACLE_SQL["positions_probe"]).df()
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False)
+
+
+def test_phrase_prefix_completions_context(pos_index):
+    """Contextual completion ranks by completed-PHRASE count, not df,
+    and every count equals the exact phrase-occurrence total."""
+    texts, root = pos_index
+    from docinsight_ray.pipelines.positional import PhraseScorer
+
+    sc = PhraseScorer(root, CFG)
+    # context-free: counts are collection term frequencies
+    free = dict(sc.phrase_prefix_completions("a", n=50))
+    assert free.get("aa", 0) > 0
+    # contextual: every returned completion must actually follow the
+    # fixed word, with count == exact phrase occurrences
+    ctx = sc.phrase_prefix_completions("aa b", n=50)
+    assert ctx, "no completions for 'aa b'"
+    for term, c in ctx:
+        _d, occ = sc.phrase_occurrences(f"aa {term}", 10**6)
+        assert int(occ.sum()) == c, term
+    # contextual counts can never exceed the context-free tf
+    free_b = dict(sc.phrase_prefix_completions("b", n=50))
+    for term, c in ctx:
+        assert c <= free_b.get(term, 0)
