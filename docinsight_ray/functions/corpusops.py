@@ -1456,6 +1456,84 @@ ORACLE_SQL["bigram_surprisal"] = f"""
 # ---- corpus data card -------------------------------------------------------
 
 
+VOCAB_GROWTH_STEPS = (50, 100, 200, 300, 400, 500, 1000, 5000, 50000)
+
+
+def q_vocab_growth(sf_dir: str) -> pa.Table:
+    """Vocabulary-growth curve (Heaps' law): distinct terms among the
+    first N documents (doc_id < N), for a fixed threshold ladder — the
+    corpus-analysis pass that tells a pipeline when vocabulary stops
+    growing. The inherently-sequential prefix scan is rewritten as a
+    pure aggregation: a term's FIRST-SEEN doc_id (groupby(term).min)
+    turns each threshold into a count, so the shuffle is bounded by
+    the vocabulary and the thresholds cost one vectorized histogram."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows: dict[str, int] = {}
+        for did, toks in zip(
+            batch["doc_id"].astype("int64"),
+            batch["text"].str.lower().str.findall(r"[a-z0-9]{2,}"),
+        ):
+            for t in set(toks):
+                cur = rows.get(t)
+                if cur is None or did < cur:
+                    rows[t] = int(did)
+        return pd.DataFrame(
+            {"term": list(rows), "first_seen": np.fromiter(rows.values(), dtype=np.int64,
+                                                           count=len(rows))}
+        )
+
+    from ..collect import collect_table
+
+    empty = pa.schema([("term", pa.string()), ("first_seen", pa.int64())])
+    parts = collect_table(
+        _read(sf_dir, ["doc_id", "text"]).map_batches(partial, batch_format="pandas"),
+        empty,
+    ).to_pandas()
+    first = parts.groupby("term")["first_seen"].min().to_numpy(dtype="int64")
+    steps = np.asarray(VOCAB_GROWTH_STEPS, dtype=np.int64)
+    counts = (first[None, :] < steps[:, None]).sum(axis=1).astype("int64")
+    return pa.table(
+        {
+            "n_docs": pa.array(steps, type=pa.int64()),
+            "n_distinct_terms": pa.array(counts, type=pa.int64()),
+        }
+    )
+
+
+def q_term_freq_spectrum(sf_dir: str) -> pa.Table:
+    """Term-frequency spectrum: how many distinct terms occur exactly
+    k times in the corpus, k = 1..10 plus an 11+ bucket (hapax/dis
+    legomena counts — the lexicographic health check for tokenizer and
+    dedup decisions). One (term → total tf) aggregation bounded by the
+    vocabulary, then a constant histogram."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cnt: dict[str, int] = {}
+        for toks in batch["text"].str.lower().str.findall(r"[a-z0-9]{2,}"):
+            for t in toks:
+                cnt[t] = cnt.get(t, 0) + 1
+        return pd.DataFrame(
+            {"term": list(cnt), "tf": np.fromiter(cnt.values(), dtype=np.int64,
+                                                  count=len(cnt))}
+        )
+
+    from ..collect import collect_table
+
+    empty = pa.schema([("term", pa.string()), ("tf", pa.int64())])
+    parts = collect_table(
+        _read(sf_dir, ["text"]).map_batches(partial, batch_format="pandas"), empty
+    ).to_pandas()
+    tf = parts.groupby("term")["tf"].sum().to_numpy(dtype="int64")
+    k = np.clip(tf, 1, 11)
+    ks = np.arange(1, 12, dtype=np.int64)
+    counts = (k[None, :] == ks[:, None]).sum(axis=1).astype("int64")
+    return pa.table(
+        {"tf_bucket": pa.array(ks, type=pa.int64()),
+         "n_terms": pa.array(counts, type=pa.int64())}
+    )
+
+
 SHUFFLE_SEED = "ep0"
 
 
@@ -1581,6 +1659,31 @@ def q_corpus_report(sf_dir: str) -> pa.Table:
         }
     )
 
+
+ORACLE_SQL["vocab_growth"] = f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> length(x) >= 2)) AS t(term)
+),
+first_seen AS (SELECT term, min(doc_id) AS fs FROM tok GROUP BY term),
+steps(n_docs) AS (VALUES {", ".join(f"({s})" for s in VOCAB_GROWTH_STEPS)})
+SELECT s.n_docs::BIGINT AS n_docs,
+       (SELECT count(*) FROM first_seen f WHERE f.fs < s.n_docs)::BIGINT AS n_distinct_terms
+FROM steps s
+"""
+
+ORACLE_SQL["term_freq_spectrum"] = """
+WITH tok AS (
+  SELECT t.term
+  FROM documents, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> length(x) >= 2)) AS t(term)
+),
+tf AS (SELECT term, count(*)::BIGINT AS tf FROM tok GROUP BY term),
+ks(tf_bucket) AS (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11))
+SELECT ks.tf_bucket::BIGINT AS tf_bucket,
+       (SELECT count(*) FROM tf
+        WHERE least(tf.tf, 11) = ks.tf_bucket)::BIGINT AS n_terms
+FROM ks
+"""
 
 # seeded deterministic shuffle: same sha256(seed ':' text) key contract
 # as dataset_split (DuckDB sha256 == hashlib, proven by the split gate)
@@ -1984,4 +2087,6 @@ QUERIES = {
     "winnow_pairs": q_winnow_pairs,
     "corpus_report": q_corpus_report,
     "corpus_shuffle": q_corpus_shuffle,
+    "vocab_growth": q_vocab_growth,
+    "term_freq_spectrum": q_term_freq_spectrum,
 }
