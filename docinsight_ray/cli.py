@@ -399,6 +399,19 @@ def cmd_validate(args) -> int:
         os.path.join(idx, "corpus_stats.json")
     ):
         return _validate_positional(args)
+    # tokenizer artifact dir (tok_stats.json): checksum-verify the vocab
+    if os.path.exists(os.path.join(idx, "tok_stats.json")) and not os.path.exists(
+        os.path.join(idx, "corpus_stats.json")
+    ):
+        from .functions.tokenizer_store import load_tokenizer
+
+        try:
+            algo, payload = load_tokenizer(idx)
+        except (FileNotFoundError, ValueError) as e:
+            print(json.dumps({"ok": False, "error": str(e)}))
+            return 1
+        print(json.dumps({"ok": True, "algo": algo, "n_rows": len(payload)}))
+        return 0
     # ANN index root (ann_stats.json): routing/coverage invariants
     if os.path.exists(os.path.join(idx, "ann_stats.json")) and not os.path.exists(
         os.path.join(idx, "corpus_stats.json")

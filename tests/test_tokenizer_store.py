@@ -75,3 +75,22 @@ def test_cli_tokbuild(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["algo"] == "unigram" and out["n_rows"] > 0
     assert os.path.exists(os.path.join(d, TOK_STATS))
+
+
+def test_cli_validate_tokenizer_dir(tmp_path, capsys):
+    from docinsight_ray.cli import main
+
+    d = str(tmp_path / "vtok")
+    save_tokenizer(SF, d, algo="bpe")
+    assert main(["validate", d]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["ok"] and rep["algo"] == "bpe"
+    # corrupt → rc 1 naming the problem
+    import pyarrow.parquet as pq
+
+    p = os.path.join(d, VOCAB_FILE)
+    t = pq.read_table(p)
+    pq.write_table(t.slice(0, t.num_rows - 1), p)
+    assert main(["validate", d]) == 1
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not rep["ok"] and "checksum" in rep["error"]
