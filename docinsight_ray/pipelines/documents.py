@@ -473,6 +473,123 @@ def q_bm25_decay(sf_dir: str) -> pa.Table:
     )
 
 
+BOOSTING_NEG_TERMS = ("dup",)
+BOOSTING_FACTOR = 0.5
+
+
+class _BoostingRescore:
+    """Actor-pool stage for the Elasticsearch ``boosting`` query: docs
+    matching the NEGATIVE query keep their relevance order but score ×
+    ``negative_boost`` (soft demotion — contrast hard boolean NOT,
+    gate bm25_negated). The negative doc set resolves ONCE per actor
+    from the index postings (union over negative terms), the same
+    load-once memory class as the scorer's own arrays."""
+
+    def __init__(self, index_dir: str, neg_terms: tuple, factor: float):
+        from ..scorer import BM25Scorer
+
+        sc = BM25Scorer(index_dir, SQL_PARITY_CONFIG)
+        sets = [sc._term_arrays(t)[0] for t in neg_terms if sc.has_term(t)]
+        self._neg = (
+            np.unique(np.concatenate(sets)) if sets else np.empty(0, dtype=np.uint64)
+        )
+        self._factor = np.float64(factor)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or self._neg.size == 0:
+            return batch
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        scores = batch["score"].to_numpy(zero_copy_only=False).copy()
+        sel = np.searchsorted(self._neg, d)
+        hit = (sel < self._neg.size)
+        hit[hit] = self._neg[sel[hit]] == d[hit]
+        scores[hit] = scores[hit] * self._factor
+        return batch.set_column(
+            batch.column_names.index("score"), "score",
+            pa.array(scores, type=pa.float64()),
+        )
+
+
+def q_bm25_boosting(sf_dir: str) -> pa.Table:
+    """Elasticsearch ``boosting`` query: positive BM25 relevance with
+    docs matching the negative term(s) demoted by ``negative_boost``
+    (×0.5) instead of excluded. Serving shape: the actor-pool scorer
+    streams full candidate lists, a second actor-pool stage demotes
+    against the per-actor negative doc set, round-6 re-rank."""
+    idx = ensure_index(sf_dir)
+    n_docs = BM25Scorer(idx, SQL_PARITY_CONFIG).n_docs
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q for q, _ in DOC_QUERIES], type=pa.int64()),
+            "text": pa.array([t for _, t in DOC_QUERIES], type=pa.string()),
+            "k": pa.array([n_docs] * len(DOC_QUERIES), type=pa.uint32()),
+        }
+    )
+    res = (
+        query_index(ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG,
+                    mode="maxscore", concurrency=2)
+        .map_batches(
+            _BoostingRescore,
+            fn_constructor_args=(idx, BOOSTING_NEG_TERMS, BOOSTING_FACTOR),
+            batch_format="pyarrow",
+            concurrency=1,
+            num_cpus=1,
+        )
+        .to_pandas()
+    )
+    qids, ranks, dids, scores = [], [], [], []
+    for qid, _text in DOC_QUERIES:
+        g = res[res.query_id == qid]
+        d = g["doc_id"].to_numpy().astype(np.uint64)
+        s6 = np.round(g["score"].to_numpy(), 6)
+        order = np.lexsort((d, -s6))[:TOPK]
+        qids += [qid] * min(TOPK, d.size)
+        ranks += list(range(min(TOPK, d.size)))
+        dids.append(d[order].astype(np.int64))
+        scores.append(s6[order])
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(dids), type=pa.int64()),
+            "score": pa.array(np.concatenate(scores), type=pa.float64()),
+        }
+    )
+
+
+def q_bm25_constant_score(sf_dir: str) -> pa.Table:
+    """Elasticsearch ``constant_score``: the query acts as a FILTER —
+    every matching doc scores exactly 1.0 (scoring skipped, ordering
+    by doc_id) — the cacheable-filter serving shape. Candidates are
+    the BM25 candidate convention (docs matching ≥1 indexed term)."""
+    idx = ensure_index(sf_dir)
+    n_docs = BM25Scorer(idx, SQL_PARITY_CONFIG).n_docs
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q for q, _ in DOC_QUERIES], type=pa.int64()),
+            "text": pa.array([t for _, t in DOC_QUERIES], type=pa.string()),
+            "k": pa.array([n_docs] * len(DOC_QUERIES), type=pa.uint32()),
+        }
+    )
+    res = query_index(
+        ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG, mode="taat", concurrency=2
+    ).to_pandas()
+    qids, ranks, dids = [], [], []
+    for qid, _text in DOC_QUERIES:
+        d = np.sort(res.loc[res.query_id == qid, "doc_id"].to_numpy().astype(np.uint64))[:TOPK]
+        qids += [qid] * d.size
+        ranks += list(range(d.size))
+        dids.append(d.astype(np.int64))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(dids), type=pa.int64()),
+            "score": pa.array(np.ones(len(qids)), type=pa.float64()),
+        }
+    )
+
+
 class _AttachField:
     """Actor-pool hydration stage: load the narrow (doc_id, field)
     columns ONCE per actor in ``__init__`` (8 bytes/doc — the scorer's
@@ -2838,6 +2955,36 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}
 """.replace("{values}", _BM25_VALUES).replace("{mu}", repr(SQL_PARITY_CONFIG.mu)),
+    # boosting query: negative-term docs demoted by negative_boost
+    "bm25_boosting": BM25_CTE + f"""
+, neg AS (
+  SELECT DISTINCT doc_id FROM tok
+  WHERE term IN ({", ".join(repr(t) for t in BOOSTING_NEG_TERMS)})
+),
+boosted AS (
+  SELECT s.query_id, s.doc_id,
+         CASE WHEN n.doc_id IS NOT NULL THEN s.raw * {BOOSTING_FACTOR!r}
+              ELSE s.raw END AS raw
+  FROM scores s LEFT JOIN neg n USING (doc_id)
+),
+ranked_b AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(raw, 6) DESC, doc_id ASC) - 1 AS rank,
+         doc_id, round(raw, 6) AS score
+  FROM boosted
+)
+SELECT query_id, rank, doc_id, score FROM ranked_b WHERE rank < {TOPK}
+""",
+    # constant_score: filter-only matching, every hit scores 1.0
+    "bm25_constant_score": BM25_CTE + f"""
+, cs AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY doc_id ASC) - 1 AS rank,
+         doc_id, 1.0 AS score
+  FROM scores
+)
+SELECT query_id, rank, doc_id, score FROM cs WHERE rank < {TOPK}
+""",
     # sort-by-field serving: candidates ranked by (n_chars DESC,
     # doc_id ASC), BM25 score carried as a column
     "bm25_sort_field": BM25_CTE + f"""
@@ -4086,6 +4233,8 @@ QUERIES = {
     "bm25_stemmed": q_bm25_stemmed,
     "bm25_sort_field": q_bm25_sort_field,
     "bm25_merged": q_bm25_merged,
+    "bm25_boosting": q_bm25_boosting,
+    "bm25_constant_score": q_bm25_constant_score,
     "rrf_topk": q_rrf_topk,
     "hybrid_rrf": q_hybrid_rrf,
     "bm25_rerank": q_bm25_rerank,
