@@ -488,7 +488,9 @@ class _BoostingRescore:
     def __init__(self, index_dir: str, neg_terms: tuple, factor: float):
         from ..scorer import BM25Scorer
 
-        sc = BM25Scorer(index_dir, SQL_PARITY_CONFIG)
+        # partition-LAZY: only the negative terms' buckets load, not
+        # the whole index (this stage holds no other postings state)
+        sc = BM25Scorer(index_dir, SQL_PARITY_CONFIG, max_loaded_parts=2)
         sets = [sc._term_arrays(t)[0] for t in neg_terms if sc.has_term(t)]
         self._neg = (
             np.unique(np.concatenate(sets)) if sets else np.empty(0, dtype=np.uint64)
