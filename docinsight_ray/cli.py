@@ -90,6 +90,8 @@ def cmd_posbuild(args) -> int:
         tokenizer=args.tokenizer,
         num_buckets=args.num_buckets,
         doc_id_mode=args.doc_id_mode,
+        stemmer=args.stemmer,
+        stopwords=tuple(args.stopword or ()),
     )
     stats = build_positional_index(
         ray.data.read_parquet(args.corpus), args.pos_dir, cfg,
@@ -1014,6 +1016,8 @@ def main(argv=None) -> int:
     pb.add_argument("--tokenizer", default="code", choices=["code", "simple"])
     pb.add_argument("--num-buckets", type=int, default=32)
     pb.add_argument("--doc-id-mode", default="hash", choices=["hash", "column"])
+    pb.add_argument("--stemmer", default="none", choices=["none", "s"])
+    pb.add_argument("--stopword", action="append", default=None)
     pb.add_argument("--fingerprint", default="")
     pb.set_defaults(fn=cmd_posbuild)
 

@@ -1492,6 +1492,50 @@ def q_bm25_structured(sf_dir: str) -> pa.Table:
     )
 
 
+MUST_QUERY = "+data stream table"
+
+
+def q_bm25_must(sf_dir: str) -> pa.Table:
+    """Lucene MUST clause through the structured grammar: ``+data``
+    restricts candidates to docs CONTAINING data (posting-intersection
+    include set via the lazy scorer) while all three terms score —
+    contrast bm25_msm (any m of n) and bm25_conjunctive (all terms).
+    Same over-fetch + round-6 protocol, actor-pool serving."""
+    from ..querylang import parse_structured_query
+
+    idx = ensure_index(sf_dir)
+    sq = parse_structured_query(MUST_QUERY)
+    lazy = BM25Scorer(idx, SQL_PARITY_CONFIG, max_loaded_parts=2)
+    include = None
+    for t in sq.must_terms:
+        docs = lazy._term_arrays(t)[0] if lazy.has_term(t) else np.empty(0, np.uint64)
+        include = docs if include is None else np.intersect1d(include, docs)
+    n_docs = lazy.n_docs
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([0], type=pa.int64()),
+            "text": pa.array([sq.terms], type=pa.string()),
+            "k": pa.array([n_docs], type=pa.uint32()),
+        }
+    )
+    res = query_index(
+        ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG, mode="maxscore",
+        concurrency=2, include_doc_ids=include,
+    ).to_pandas()
+    d = res["doc_id"].to_numpy().astype(np.uint64)
+    s6 = np.round(res["score"].to_numpy(), 6)
+    order = np.lexsort((d, -s6))[:TOPK]
+    d, s6 = d[order], s6[order]
+    return pa.table(
+        {
+            "query_id": pa.array([0] * d.size, type=pa.int64()),
+            "rank": pa.array(np.arange(d.size), type=pa.int64()),
+            "doc_id": pa.array(d.astype(np.int64), type=pa.int64()),
+            "score": pa.array(s6, type=pa.float64()),
+        }
+    )
+
+
 # deletion gate: deterministic tombstone set, SQL-expressible
 TOMB_MOD, TOMB_REM = 31, 7
 
@@ -2957,6 +3001,18 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank < {TOPK}
 """.replace("{values}", _BM25_VALUES).replace("{mu}", repr(SQL_PARITY_CONFIG.mu)),
+    # MUST clause: candidates restricted to docs containing the
+    # required term; all terms score
+    "bm25_must": _bm25_cte("(0, 'data stream table')") + f"""
+, must AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data'),
+rs AS (
+  SELECT s.query_id,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY round(s.raw, 6) DESC, s.doc_id ASC) - 1 AS rank,
+         s.doc_id, round(s.raw, 6) AS score
+  FROM scores s JOIN must m USING (doc_id)
+)
+SELECT query_id, rank, doc_id, score FROM rs WHERE rank < {TOPK}
+""",
     # boosting query: negative-term docs demoted by negative_boost
     "bm25_boosting": BM25_CTE + f"""
 , neg AS (
@@ -4237,6 +4293,7 @@ QUERIES = {
     "bm25_merged": q_bm25_merged,
     "bm25_boosting": q_bm25_boosting,
     "bm25_constant_score": q_bm25_constant_score,
+    "bm25_must": q_bm25_must,
     "rrf_topk": q_rrf_topk,
     "hybrid_rrf": q_hybrid_rrf,
     "bm25_rerank": q_bm25_rerank,

@@ -8,6 +8,8 @@ inverted-index engine):
     parse_structured_query('data stream -join lang:en,fr "key value"')
 
 - bare words       → BM25-scored positive terms
+- ``+word``        → REQUIRED term (Lucene MUST clause: docs lacking it
+  are excluded; still contributes to the BM25 score)
 - ``word^2.5``     → boosted positive term (Lucene term^W; contribution
   scaled by W, pruning stays exact)
 - ``-word``        → boolean NOT (docs containing it are excluded)
@@ -45,6 +47,7 @@ _BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
 @dataclass(frozen=True)
 class StructuredQuery:
     terms: str = ""
+    must_terms: tuple[str, ...] = ()
     exclude_terms: tuple[str, ...] = ()
     field_filters: tuple[tuple[str, tuple[str, ...]], ...] = ()
     phrases: tuple[str, ...] = ()
@@ -63,6 +66,7 @@ def parse_structured_query(text: str) -> StructuredQuery:
     on different columns AND together — the first rides the scorer's
     native doc_filter, the rest resolve into the include set."""
     terms: list[str] = []
+    musts: list[str] = []
     excludes: list[str] = []
     filters: dict[str, list[str]] = {}
     phrases: list[str] = []
@@ -76,6 +80,9 @@ def parse_structured_query(text: str) -> StructuredQuery:
             continue
         if bare.startswith("-") and len(bare) > 1:
             excludes.append(bare[1:].lower())
+        elif bare.startswith("+") and len(bare) > 1:
+            musts.append(bare[1:].lower())
+            terms.append(bare[1:])  # must terms still score
         elif ":" in bare and not bare.startswith(":"):
             col, _, vals = bare.partition(":")
             filters.setdefault(col, []).extend(v for v in vals.split(",") if v)
@@ -88,6 +95,7 @@ def parse_structured_query(text: str) -> StructuredQuery:
                 terms.append(bare)
     return StructuredQuery(
         terms=" ".join(terms),
+        must_terms=tuple(musts),
         exclude_terms=tuple(excludes),
         field_filters=tuple((col, tuple(vals)) for col, vals in filters.items()),
         phrases=tuple(phrases),
@@ -149,6 +157,23 @@ def structured_search(
                     [phrase_candidates((ph,), pos_dir, cfg) for ph in sq.exclude_phrases]
                 )
             )
+    if sq.must_terms:
+        # MUST clauses: intersect the required terms' posting doc_ids
+        # into the include set — resolved once per query through a
+        # partition-LAZY scorer (only the touched buckets load), the
+        # same exactness mechanism as phrase candidates
+        lazy = BM25Scorer(index_dir, cfg, max_loaded_parts=2)
+        ids: np.ndarray | None = None
+        for t in sq.must_terms:
+            docs = (
+                lazy._term_arrays(t)[0]
+                if lazy.has_term(t)
+                else np.empty(0, dtype=np.uint64)
+            )
+            ids = docs if ids is None else np.intersect1d(ids, docs)
+            if ids.size == 0:
+                break
+        include = ids if include is None else np.intersect1d(include, ids)
     if len(sq.field_filters) > 1:
         # beyond the first filter (the scorer's native doc_filter), the
         # remaining columns resolve here from the docs registry — one

@@ -366,3 +366,24 @@ def test_structured_msm_and_synonyms(doc_index):
     ref2 = BM25Scorer(idx, SQL_PARITY_CONFIG, mode="maxscore")
     d4, _ = ref2.score_maxscore("data stream", 20)
     np.testing.assert_array_equal(d3, d4)
+
+
+def test_must_clause_restricts_and_scores(doc_index):
+    """+term (Lucene MUST): every result contains the required term;
+    scores equal the unrestricted query's scores for those docs; a
+    must term missing from the index yields empty, not an error."""
+    from docinsight_ray.querylang import structured_search
+    from docinsight_ray.scorer import BM25Scorer
+
+    idx, _pos, cfg = doc_index
+    d_must, s_must = structured_search("+data stream table", idx, cfg, k=1000)
+    assert d_must.size > 0
+    sc = BM25Scorer(idx, cfg, max_loaded_parts=2)
+    req = set(sc._term_arrays("data")[0].tolist())
+    assert all(int(x) in req for x in d_must)
+    d_all, s_all = structured_search("data stream table", idx, cfg, k=10**6)
+    base = {int(a): float(b) for a, b in zip(d_all, s_all)}
+    for a, b in zip(d_must, s_must):
+        assert base[int(a)] == float(b)  # must never changes the score
+    d_none, _ = structured_search("+zzzmissing data", idx, cfg, k=10)
+    assert d_none.size == 0
