@@ -135,6 +135,69 @@ def q_knn_cosine(sf_dir: str) -> pa.Table:
     )
 
 
+RANGE_TAU = 0.25
+
+
+def q_knn_range(sf_dir: str) -> pa.Table:
+    """Vector RANGE search (the FAISS range_search / ES similarity-
+    threshold shape): ALL vectors with cosine ≥ τ per query — the
+    radius query a near-duplicate or recall-sensitive pipeline runs
+    when top-k is the wrong contract. Per-batch stage emits only the
+    matches (output bounded by the true result set, never the corpus),
+    one per-query rank pass at the end. Threshold compares round-6
+    cosine so the SQL oracle's predicate is bit-identical."""
+    qmat = _query_matrix(sf_dir)
+    q_ref = ray.put(qmat)
+
+    class RangeMatch:
+        def __init__(self, q_ref, tau: float):
+            self.qids, Q = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+            self.Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            self.tau = tau
+            self.__name__ = "RangeMatch"
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            X = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            cos6 = np.round(self.Qn @ Xn.T, 6)
+            out_q, out_v, out_c = [], [], []
+            for qi, qid in enumerate(self.qids):
+                hit = np.flatnonzero((cos6[qi] >= self.tau) & (vids != qid))
+                out_q.append(np.full(hit.size, qid, dtype=np.int64))
+                out_v.append(vids[hit].astype(np.int64))
+                out_c.append(cos6[qi][hit])
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                    "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                    "cos": pa.array(np.concatenate(out_c), type=pa.float64()),
+                }
+            )
+
+    from ..collect import collect_table
+
+    empty = pa.schema(
+        [("query_id", pa.int64()), ("vec_id", pa.int64()), ("cos", pa.float64())]
+    )
+    out = collect_table(
+        _read_embeddings(sf_dir).map_batches(
+            RangeMatch,
+            fn_constructor_args=(q_ref, RANGE_TAU),
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=2,
+        ),
+        empty,
+    ).to_pandas()
+    out = out.sort_values(["query_id", "cos", "vec_id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount().astype("int64")
+    return pa.Table.from_pandas(
+        out[["query_id", "rank", "vec_id", "cos"]], preserve_index=False
+    )
+
+
 MMR_LAMBDA = 0.7
 MMR_W = 30  # exact-relevance candidate window fed to the greedy selector
 
@@ -1282,6 +1345,21 @@ ORACLE_SQL = {
         )
         SELECT query_id, rank, vec_id, cos FROM r WHERE rank < {KNN_K}
     """,
+    "knn_range": f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+        s AS (
+          SELECT q.qid AS query_id, e.vec_id,
+                 round(
+                   list_dot_product(q.qe::DOUBLE[], e.embedding::DOUBLE[])
+                   / sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))
+                   / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6) AS cos
+          FROM q, embeddings e WHERE e.vec_id != q.qid
+        )
+        SELECT query_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) - 1 AS rank,
+               vec_id, cos
+        FROM s WHERE cos >= {RANGE_TAU!r}
+    """,
     # knn_cosine_lsh: approximate → rows-only check
     "knn_cosine_filtered": f"""
         WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
@@ -1327,6 +1405,7 @@ ORACLE_SQL = {
 
 QUERIES = {
     "knn_cosine": q_knn_cosine,
+    "knn_range": q_knn_range,
     "knn_mmr": q_knn_mmr,
     "knn_cosine_filtered": q_knn_cosine_filtered,
     "knn_cosine_sq8": q_knn_cosine_sq8,
