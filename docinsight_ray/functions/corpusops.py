@@ -1534,6 +1534,58 @@ def q_term_freq_spectrum(sf_dir: str) -> pa.Table:
     )
 
 
+MASK_MUL, MASK_STEP, MASK_MOD, MASK_PCT = 2654435761, 40503, 1000, 150
+
+
+def q_span_corruption(sf_dir: str) -> pa.Table:
+    """Masked-LM / span-corruption example statistics (the BERT/T5
+    data-generation pass): each token position masks deterministically
+    — ``(doc_id·{mul} + pos·{step}) % {mod} < {pct}`` (15 % noise
+    density), pure integer arithmetic so the mask is reproducible
+    across runs, engines and cluster sizes — and adjacent masked
+    positions merge into SPANS (the T5 objective's sentinel unit).
+    Emits per doc: n_tokens, n_masked, n_spans, corruption ppm.
+    Fully vectorized; one streaming map, no shuffle."""
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        out_n, out_m, out_s = [], [], []
+        dids = batch["doc_id"].astype("int64").to_numpy()
+        for did, toks in zip(
+            dids, batch["text"].str.lower().str.findall(r"[a-z0-9]{2,}")
+        ):
+            n = len(toks)
+            pos = np.arange(n, dtype=np.int64)
+            masked = (did * MASK_MUL + pos * MASK_STEP) % MASK_MOD < MASK_PCT
+            n_m = int(masked.sum())
+            # span starts: masked positions whose predecessor is unmasked
+            starts = masked & ~np.concatenate([[False], masked[:-1]])
+            out_n.append(n)
+            out_m.append(n_m)
+            out_s.append(int(starts.sum()))
+        n_arr = np.asarray(out_n, dtype=np.int64)
+        m_arr = np.asarray(out_m, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": dids,
+                "n_tokens": n_arr,
+                "n_masked": m_arr,
+                "n_spans": np.asarray(out_s, dtype=np.int64),
+                "corruption_ppm": np.where(
+                    n_arr > 0, m_arr * 1_000_000 // np.maximum(n_arr, 1), 0
+                ).astype(np.int64),
+            }
+        )
+
+    out = (
+        _read(sf_dir, ["doc_id", "text"])
+        .map_batches(stats, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 SHUFFLE_SEED = "ep0"
 
 
@@ -1659,6 +1711,39 @@ def q_corpus_report(sf_dir: str) -> pa.Table:
         }
     )
 
+
+ORACLE_SQL["span_corruption"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> length(x) >= 2)) AS term,
+         unnest(range(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> length(x) >= 2)))) AS pos
+  FROM documents
+),
+m AS (
+  SELECT doc_id, pos,
+         ((doc_id * {MASK_MUL} + pos * {MASK_STEP}) % {MASK_MOD}) < {MASK_PCT} AS masked
+  FROM tok
+),
+w AS (
+  SELECT doc_id, masked,
+         masked AND NOT coalesce(lag(masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS span_start
+  FROM m
+),
+agg AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_tokens,
+         count(*) FILTER (masked)::BIGINT AS n_masked,
+         count(*) FILTER (span_start)::BIGINT AS n_spans
+  FROM w GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(a.n_masked, 0)::BIGINT AS n_masked,
+       coalesce(a.n_spans, 0)::BIGINT AS n_spans,
+       CASE WHEN coalesce(a.n_tokens, 0) > 0
+            THEN a.n_masked * 1000000 // a.n_tokens ELSE 0 END::BIGINT AS corruption_ppm
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
 
 ORACLE_SQL["vocab_growth"] = f"""
 WITH tok AS (
@@ -2089,4 +2174,5 @@ QUERIES = {
     "corpus_shuffle": q_corpus_shuffle,
     "vocab_growth": q_vocab_growth,
     "term_freq_spectrum": q_term_freq_spectrum,
+    "span_corruption": q_span_corruption,
 }
