@@ -639,7 +639,96 @@ LEFT JOIN lab l USING (doc_id)
 LEFT JOIN csize cs ON cs.cluster_id = l.cluster_id
 """
 
+JAC_QUERY_DOC = 0  # the query document for the Jaccard top-k gate
+JAC_TOPK = 10
+
+
+def q_jaccard_topk(sf_dir: str) -> pa.Table:
+    """Set-similarity document search: top-k docs by TOKEN-SET Jaccard
+    against one query document (the set-based sibling of BM25
+    more-like-this — the scoring DocInsight's n-gram fallback uses for
+    whole-document comparison). Query token set broadcasts once; each
+    batch computes |A∩B|/|A∪B| vectorized via sorted-array
+    intersection counts and emits a local top-k partial."""
+    import pyarrow.parquet as pq
+
+    qtbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
+        filters=[("doc_id", "==", JAC_QUERY_DOC)],
+    )
+    qset = np.unique(np.asarray(
+        re.findall(r"[a-z0-9]{2,}", qtbl["text"][0].as_py().lower()), dtype=object
+    ))
+    q_ref = ray.put(qset)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qs = ray.get(q_ref)
+        nq = qs.size
+        dids = batch["doc_id"].astype("int64").to_numpy()
+        inter = np.zeros(dids.size, dtype=np.int64)
+        union = np.zeros(dids.size, dtype=np.int64)
+        for i, toks in enumerate(batch["text"].str.lower().str.findall(r"[a-z0-9]{2,}")):
+            ts = np.unique(np.asarray(toks, dtype=object))
+            k = np.searchsorted(qs, ts)
+            k = np.minimum(k, nq - 1)
+            n_i = int((qs[k] == ts).sum()) if nq else 0
+            inter[i] = n_i
+            union[i] = nq + ts.size - n_i
+        keep = dids != JAC_QUERY_DOC
+        # integer micro Jaccard: (inter*1e6)//union — identical on both
+        # engines, no float division order concerns
+        jac = np.where(union > 0, inter * 1_000_000 // np.maximum(union, 1), 0)
+        out = pd.DataFrame(
+            {"doc_id": dids[keep], "jaccard_micro": jac[keep].astype("int64")}
+        )
+        return out.sort_values(["jaccard_micro", "doc_id"],
+                               ascending=[False, True]).head(JAC_TOPK + 10)
+
+    from ..collect import collect_table
+
+    empty = pa.schema([("doc_id", pa.int64()), ("jaccard_micro", pa.int64())])
+    parts = collect_table(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        ).map_batches(partial, batch_format="pandas"),
+        empty,
+    ).to_pandas()
+    parts = parts.sort_values(["jaccard_micro", "doc_id"],
+                              ascending=[False, True]).head(JAC_TOPK).reset_index(drop=True)
+    parts["rank"] = np.arange(len(parts), dtype=np.int64)
+    return pa.Table.from_pandas(
+        parts[["rank", "doc_id", "jaccard_micro"]], preserve_index=False
+    )
+
+
 ORACLE_SQL = {
+    "jaccard_topk": f"""
+        WITH qs AS (
+          SELECT DISTINCT t.term
+          FROM documents, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> length(x) >= 2)) AS t(term)
+          WHERE doc_id = {JAC_QUERY_DOC}
+        ),
+        ds AS (
+          SELECT doc_id, t.term
+          FROM documents, unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> length(x) >= 2)) AS t(term)
+          WHERE doc_id != {JAC_QUERY_DOC}
+          GROUP BY doc_id, t.term
+        ),
+        sizes AS (SELECT doc_id, count(*)::BIGINT AS nd FROM ds GROUP BY doc_id),
+        inter AS (
+          SELECT ds.doc_id, count(*)::BIGINT AS ni
+          FROM ds JOIN qs USING (term) GROUP BY ds.doc_id
+        ),
+        j AS (
+          SELECT s.doc_id,
+                 coalesce(i.ni, 0) * 1000000
+                   // ((SELECT count(*) FROM qs) + s.nd - coalesce(i.ni, 0)) AS jaccard_micro
+          FROM sizes s LEFT JOIN inter i USING (doc_id)
+        )
+        SELECT row_number() OVER (ORDER BY jaccard_micro DESC, doc_id ASC) - 1 AS rank,
+               doc_id, jaccard_micro::BIGINT AS jaccard_micro
+        FROM j ORDER BY jaccard_micro DESC, doc_id ASC LIMIT {JAC_TOPK}
+    """,
     "ngram_jaccard_pairs": _PAIRS_SQL,
     "minhash_lsh_pairs": _PAIRS_SQL,
     "dup_clusters": _CLUSTERS_SQL,
@@ -647,6 +736,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "jaccard_topk": q_jaccard_topk,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dup_clusters": q_dup_clusters,
