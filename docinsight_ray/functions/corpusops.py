@@ -1534,6 +1534,75 @@ def q_term_freq_spectrum(sf_dir: str) -> pa.Table:
     )
 
 
+PMI_MIN_COUNT = 25
+PMI_TOPK = 20
+
+
+def q_pmi_collocations(sf_dir: str) -> pa.Table:
+    """Collocation extraction: top adjacent-bigram associations by
+    pointwise mutual information — ``pmi = ln(N·c_xy / (c_x·c_y))``
+    over within-document adjacent token pairs (N = total bigram count)
+    — the phrase-mining pass that feeds tokenizer merge candidates and
+    stopword diagnostics. Bigrams below ``PMI_MIN_COUNT`` are dropped
+    (the standard sparsity floor, part of the definition and the
+    oracle). Integer exactness: pmi is reported as int64 micro-nats
+    computed from exact integer counts by one identical float
+    expression on both engines.
+
+    Scale shape: per-batch partial (x, y, count) tables are bounded by
+    the batch's bigram vocabulary (combined like the df sidecars);
+    unigram counts ride the same pass. The testdata vocabulary is
+    tiny, so the driver combine is the honest gate shape — at 100 TB
+    the combine is the hot_ngrams bucket groupby."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        uni: dict[str, int] = {}
+        bi: dict[tuple[str, str], int] = {}
+        for toks in batch["text"].str.lower().str.findall(r"[a-z0-9]{2,}"):
+            for t in toks:
+                uni[t] = uni.get(t, 0) + 1
+            for a, b in zip(toks, toks[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        rows_x, rows_y, rows_c, kind = [], [], [], []
+        for t, c in uni.items():
+            rows_x.append(t); rows_y.append(""); rows_c.append(c); kind.append(0)
+        for (a, b), c in bi.items():
+            rows_x.append(a); rows_y.append(b); rows_c.append(c); kind.append(1)
+        return pd.DataFrame(
+            {"x": rows_x, "y": rows_y,
+             "c": np.asarray(rows_c, dtype=np.int64),
+             "kind": np.asarray(kind, dtype=np.int64)}
+        )
+
+    from ..collect import collect_table
+
+    empty = pa.schema([("x", pa.string()), ("y", pa.string()),
+                       ("c", pa.int64()), ("kind", pa.int64())])
+    parts = collect_table(
+        _read(sf_dir, ["text"]).map_batches(partial, batch_format="pandas"), empty
+    ).to_pandas()
+    uni = parts[parts.kind == 0].groupby("x")["c"].sum()
+    bi = parts[parts.kind == 1].groupby(["x", "y"])["c"].sum().reset_index()
+    bi = bi[bi["c"] >= PMI_MIN_COUNT]
+    n_bi = int(parts.loc[parts.kind == 1, "c"].sum())
+    cx = uni.reindex(bi["x"]).to_numpy(dtype="int64")
+    cy = uni.reindex(bi["y"]).to_numpy(dtype="int64")
+    cxy = bi["c"].to_numpy(dtype="int64")
+    # one float expression over exact ints — identical on both engines
+    pmi_micro = np.round(
+        np.log(n_bi * cxy.astype(np.float64) / (cx.astype(np.float64) * cy)) * 1e6
+    ).astype(np.int64)
+    out = pd.DataFrame(
+        {"left": bi["x"].to_numpy(), "right": bi["y"].to_numpy(),
+         "pair_count": cxy, "pmi_micro": pmi_micro}
+    ).sort_values(["pmi_micro", "left", "right"],
+                  ascending=[False, True, True]).head(PMI_TOPK).reset_index(drop=True)
+    out["rank"] = np.arange(len(out), dtype=np.int64)
+    return pa.Table.from_pandas(
+        out[["rank", "left", "right", "pair_count", "pmi_micro"]], preserve_index=False
+    )
+
+
 MASK_MUL, MASK_STEP, MASK_MOD, MASK_PCT = 2654435761, 40503, 1000, 150
 
 
@@ -1711,6 +1780,32 @@ def q_corpus_report(sf_dir: str) -> pa.Table:
         }
     )
 
+
+ORACLE_SQL["pmi_collocations"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> length(x) >= 2) AS tl
+  FROM documents
+),
+pt AS (
+  SELECT doc_id, unnest(tl) AS term, unnest(range(len(tl))) AS pos FROM toks
+),
+uni AS (SELECT term, count(*)::BIGINT AS c FROM pt GROUP BY term),
+bi AS (
+  SELECT a.term AS left_t, b.term AS right_t, count(*)::BIGINT AS c
+  FROM pt a JOIN pt b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.term, b.term
+),
+nb AS (SELECT sum(c)::BIGINT AS n FROM bi),
+p AS (
+  SELECT bi.left_t, bi.right_t, bi.c,
+         round(ln((SELECT n FROM nb) * bi.c::DOUBLE / (ux.c::DOUBLE * uy.c::DOUBLE)) * 1000000)::BIGINT AS pmi_micro
+  FROM bi JOIN uni ux ON ux.term = bi.left_t JOIN uni uy ON uy.term = bi.right_t
+  WHERE bi.c >= {PMI_MIN_COUNT}
+)
+SELECT row_number() OVER (ORDER BY pmi_micro DESC, left_t ASC, right_t ASC) - 1 AS rank,
+       left_t AS left, right_t AS right, c AS pair_count, pmi_micro
+FROM p ORDER BY pmi_micro DESC, left_t ASC, right_t ASC LIMIT {PMI_TOPK}
+"""
 
 ORACLE_SQL["span_corruption"] = f"""
 WITH tok AS (
@@ -2175,4 +2270,5 @@ QUERIES = {
     "vocab_growth": q_vocab_growth,
     "term_freq_spectrum": q_term_freq_spectrum,
     "span_corruption": q_span_corruption,
+    "pmi_collocations": q_pmi_collocations,
 }
