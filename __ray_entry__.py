@@ -72,7 +72,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sf_dir; no SQL oracle — rank-identity + plagiarism conformance
     # asserted by tests/test_reference_corpus.py and CONFORMANCE.json)
     out["reference_topk"] = q_reference_topk
-    return out
+    # The driver samples a prefix of this dict's stable ordering each
+    # round. Rotate gates it has never verified (absent from
+    # CORRECTNESS_r01..r03) to the front so each round's sample covers
+    # the newest surface; new gates are unsampled by definition and
+    # enumerate first automatically. (VERDICT r3, Next round #2.)
+    front = {k: v for k, v in out.items() if k not in _DRIVER_SAMPLED_R1_R3}
+    front.update((k, v) for k, v in out.items() if k in _DRIVER_SAMPLED_R1_R3)
+    return front
+
+
+# Gates the driver has already full-oracle-verified in rounds 1-3
+# (union of CORRECTNESS_r0{1,2,3}.json keys — historical fact, frozen).
+_DRIVER_SAMPLED_R1_R3 = frozenset({
+    "bm25_boosting", "bm25_collapse", "bm25_conjunctive", "bm25_constant_score",
+    "bm25_decay", "bm25_dismax", "bm25_doc_query", "bm25_explain", "bm25_facets",
+    "bm25_filtered", "bm25_fuzzy", "bm25_hydrated", "bm25_length_histogram",
+    "bm25_merged", "bm25_more_like_this", "bm25_msm", "bm25_must", "bm25_negated",
+    "bm25_page2", "bm25_prefix", "bm25_range", "bm25_regex", "bm25_rerank",
+    "bm25_rm3", "bm25_sort_field", "bm25_stemmed", "bm25_structured",
+    "bm25_tombstone", "bm25_topk", "bm25_topk_bmw", "bm25_topk_lazy",
+    "bm25_total_hits", "bm25plus_topk", "chunk_docs", "corpus_stats",
+    "doc_filter", "doc_fingerprint", "docs_registry", "embedding_near_dup",
+    "embedding_near_dup_lsh", "exact_dedup", "highlight", "hybrid_rrf",
+    "index_stats", "knn_cosine", "knn_cosine_ivf", "knn_cosine_lsh", "lang_id",
+    "lineitem_agg", "lmdir_topk", "minhash_lsh_pairs", "multimodal_features",
+    "ngram_jaccard_pairs", "orders_by_nation", "percolate", "phrase_index_topk",
+    "phrase_prefix_topk", "positions_probe", "postings_probe", "proximity_topk",
+    "quality_score", "reference_topk", "rrf_topk", "sessionize",
+    "significant_terms", "simhash64", "spellcheck", "suggest", "suggest_phrase",
+    "term_df_top100", "token_count", "top_parts_by_size", "windowed_agg",
+})
 
 
 def oracle_sql() -> dict[str, str]:
