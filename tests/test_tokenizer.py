@@ -132,3 +132,63 @@ def test_s_stemmer_matches_sql_case():
         assert got == s_stem(tok), f"{tok!r}: sql={got!r} py={s_stem(tok)!r}"
 
     check()
+
+
+def test_simple_polars_matches_python():
+    """Parity pin for the vectorized simple-mode tokenizer: the polars
+    columnar path must equal a per-doc tokenize_text + Counter
+    reference — same triples, same ORDER (doc-major first-occurrence,
+    so SPIMI fragment bytes are unchanged), same doc_lens — across
+    stemmer / stopword / strip_comments configs and arbitrary text."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from docinsight_ray.tokenizer import _tokenize_batch_simple_polars
+
+    cfgs = [
+        EngineConfig(tokenizer="simple"),
+        EngineConfig(tokenizer="simple", stemmer="s", stopwords=("the", "of")),
+        EngineConfig(tokenizer="simple", strip_comments=True),
+        EngineConfig(tokenizer="simple", min_token_len=1, max_token_len=4),
+    ]
+
+    def reference(docs, cfg):
+        terms, idx, tfs = [], [], []
+        lens = np.zeros(len(docs), dtype=np.int64)
+        for i, d in enumerate(docs):
+            toks = tokenize_text(d, cfg)
+            lens[i] = len(toks)
+            for t, f in Counter(toks).items():
+                terms.append(t); idx.append(i); tfs.append(f)
+        return terms, idx, tfs, lens
+
+    text = st.text(
+        alphabet=st.sampled_from('abz03 AZ._"\'/\\\n*és'), max_size=60
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(text, max_size=5))
+    def check(docs):
+        for cfg in cfgs:
+            wt, wi, wf, wl = reference(docs, cfg)
+            gt, gi, gf, gl = _tokenize_batch_simple_polars(docs, cfg)
+            assert list(gt) == wt and list(gi) == wi and list(gf) == wf
+            np.testing.assert_array_equal(gl, wl)
+
+    check()
+    # targeted comment/string-literal stripping edge cases (Rust-regex
+    # _PL_STRIP vs Python STRIP_RE)
+    tricky = [
+        'a "str with \\" escape" b',
+        "x /* multi\nline */ y // tail\nz",
+        "unterminated /* block",
+        "'c' '\\'' done",
+        's = "a//b" + c; // "quoted in comment"',
+    ]
+    cfg = EngineConfig(tokenizer="simple", strip_comments=True)
+    wt, wi, wf, wl = reference(tricky, cfg)
+    gt, gi, gf, gl = _tokenize_batch_simple_polars(tricky, cfg)
+    assert list(gt) == wt and list(gi) == wi and list(gf) == wf
+    np.testing.assert_array_equal(gl, wl)
