@@ -58,6 +58,7 @@ from ..functions.corpusops import (
     SPLIT_VAL_MAX,
     _grams,
     _TOK2_RE,
+    gram_hit_counts,
 )
 from ..ids import sha256_hex
 
@@ -94,7 +95,7 @@ def _narrow_table(sf_dir: str) -> pd.DataFrame:
         gs = ray.get(grams_ref)
         shas = sha256_hex(batch["text"].tolist())
         toks = batch["text"].str.lower().str.findall(_TOK2_RE)
-        n_hits = toks.map(lambda ts: len(_grams(list(ts), DECON_N) & gs))
+        n_hits = gram_hit_counts(batch["text"], gs, DECON_N)
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].astype("int64"),
@@ -104,7 +105,7 @@ def _narrow_table(sf_dir: str) -> pd.DataFrame:
                 "sha8": [s[:8] for s in shas],
                 "hexv": np.array([int(s[:8], 16) for s in shas], dtype=np.int64),
                 "n_tokens": toks.str.len().astype("int64"),
-                "n_eval_hits": n_hits.astype("int64"),
+                "n_eval_hits": n_hits,
             }
         )
 

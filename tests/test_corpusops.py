@@ -487,3 +487,41 @@ def test_corpus_report_oracle_exact():
     m = dict(zip(mine["metric"], mine["value"]))
     assert m["n_docs"] > 0 and m["total_tokens"] > 0
     assert 0 <= m["n_dup_docs"] < m["n_docs"]
+
+
+def test_gram_hit_counts_matches_python_reference():
+    """Parity pin for the columnar n-gram overlap kernel vs the per-doc
+    set-algebra reference it replaced (distinct grams, row-boundary
+    windows masked, duplicates deduped)."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from docinsight_ray.functions.corpusops import (
+        DECON_N, _TOK2_RE, _grams, gram_hit_counts,
+    )
+
+    grams = frozenset({"aa bb cc", "bb cc aa", "dd ee ff", "xx yy zz"})
+
+    def reference(texts):
+        out = []
+        for t in texts:
+            toks = _TOK2_RE.findall(t.lower())
+            out.append(len(_grams(toks, DECON_N) & grams))
+        return out
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "xx", "q", "The"])
+    text = st.lists(word, max_size=12).map(" ".join)
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(text, max_size=6))
+    def check(texts):
+        got = gram_hit_counts(pd.Series(texts, dtype=object), grams, DECON_N)
+        assert list(got) == reference(texts)
+
+    check()
+    # duplicate grams in one doc count once; short docs count zero
+    got = gram_hit_counts(
+        pd.Series(["aa bb cc aa bb cc", "aa bb", "", "dd ee ff xx yy zz"]), grams
+    )
+    assert list(got) == [2, 0, 0, 2]

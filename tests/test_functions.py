@@ -1527,3 +1527,33 @@ def test_gopher_rules_parity_and_boundaries(ray_session):
     )
     flags = gopher_rule_flags(gopher_rule_counts(crafted))
     assert list(flags["r_mean_word_len"]) == [False, False, True]
+
+
+def test_columnar_token_kernels_match_python():
+    """Parity for the polars list kernels that replaced the per-doc
+    Series.map lambdas in quality/lang_id/gopher counters."""
+    import pandas as pd
+
+    from docinsight_ray.functions.textstats import (
+        EN_STOP, count_distinct_in_set, count_tokens_in_set,
+        pl_token_lists, total_token_len,
+    )
+
+    texts = pd.Series([
+        "The cat of the hat", "el la de que", "", "a of of of zz9 the",
+    ])
+    toks = pl_token_lists(texts)
+    ref_lists = [
+        ["the", "cat", "of", "the", "hat"], ["el", "la", "de", "que"], [],
+        ["a", "of", "of", "of", "zz9", "the"],
+    ]
+    stop = set(EN_STOP)
+    assert list(count_tokens_in_set(toks, EN_STOP)) == [
+        sum(1 for t in ts if t in stop) for ts in ref_lists
+    ]
+    assert list(count_distinct_in_set(toks, EN_STOP)) == [
+        len(set(ts) & stop) for ts in ref_lists
+    ]
+    assert list(total_token_len(toks)) == [
+        sum(len(t) for t in ts) for ts in ref_lists
+    ]
