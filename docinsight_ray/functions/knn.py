@@ -33,11 +33,16 @@ def _read_embeddings(sf_dir: str):
 def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    # predicate + projection pushed into the read: only the N_QUERIES
+    # query rows' row groups leave storage, not the whole table
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", N_QUERIES)],
+    )
     vid = t["vec_id"].to_numpy()
-    mask = vid < N_QUERIES
-    q = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[mask]).astype(np.float64)
-    return vid[mask], q
+    q = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    return vid, q
 
 
 class CosineTopK:
