@@ -246,14 +246,16 @@ def _run_suite(sf_dir: str, num_cpus: int) -> dict:
     # (the ops path a long-running 100-TB deployment exercises daily)
     from docinsight_ray.ids import sha256_hex
     from docinsight_ray.pipelines.incremental import (
-        append_window, compact_windows, delete_docs, query_windows,
+        append_windows, compact_windows, delete_docs, query_windows,
     )
 
     inc_root = f"/tmp/docinsight_bench/inc-{num_cpus}-{os.getpid()}"
     with timed("incremental_append"):
+        # batched appends: N windows, ONE global-stats redistribution
         halves = ray.data.read_parquet(corpus_path).split(2, equal=True)
-        for i, h in enumerate(halves):
-            append_window(h, inc_root, f"{i:03d}", cfg)
+        append_windows(
+            [(h, f"{i:03d}") for i, h in enumerate(halves)], inc_root, cfg
+        )
     with timed("tombstone_delete"):
         head = pq_mod.read_table(corpus_path, columns=["content"]).slice(0, BENCH_DOCS // 32)
         delete_docs(inc_root, shas=list(sha256_hex(head["content"].to_pylist())))

@@ -71,9 +71,18 @@ def append_window(
     window_id: str,
     cfg: EngineConfig | None = None,
     corpus_factory=None,
+    refresh_stats: bool = True,
 ) -> list[str]:
     """Index one corpus window and refresh global stats across all
     windows. Returns the current window dir list.
+
+    ``refresh_stats=False`` defers the global-stats redistribution —
+    the batched-append path (``append_windows`` /
+    ``refresh_global_stats``): N appends pay ONE redistribution instead
+    of N. Until the explicit refresh runs, windows score with stale
+    (per-window or last-refresh) statistics, so serve only after
+    ``refresh_global_stats``. Cross-window dedup is unaffected (it
+    reads docs registries, not stats).
 
     ``corpus_factory`` (optional zero-arg callable recreating
     ``corpus_window``, e.g. a column-pruned ``read_parquet``): when
@@ -168,8 +177,49 @@ def append_window(
     ]
     # incremental df path: prior snapshot + this window's parts (falls
     # back to full re-aggregation when coverage doesn't line up)
-    distribute_global_stats(dirs, appended=d)
+    if refresh_stats:
+        distribute_global_stats(dirs, appended=d)
     return dirs
+
+
+def refresh_global_stats(index_root: str, appended: str | None = None) -> list[str]:
+    """Redistribute corpus-wide statistics across all live windows —
+    the explicit counterpart to deferred ``append_window(...,
+    refresh_stats=False)`` appends. With multiple new windows the
+    coverage marker can't match, so this is the full (term, df)
+    re-aggregation; still O(dictionary), never O(postings)."""
+    superseded = _compacted_sources(index_root)
+    dirs = [
+        w for w in _window_dirs(index_root)
+        if os.path.basename(w) not in superseded
+    ]
+    distribute_global_stats(dirs, appended=appended)
+    return dirs
+
+
+def append_windows(
+    windows,
+    index_root: str,
+    cfg: EngineConfig | None = None,
+) -> list[str]:
+    """Append N corpus windows with ONE global-stats redistribution
+    (VERDICT r3, Next round #5 — frequent-append batching).
+
+    ``windows``: iterable of ``(corpus_window, window_id)`` or
+    ``(corpus_window, window_id, corpus_factory)`` tuples, applied in
+    order (cross-window dedup sees each earlier window). Returns the
+    live window dirs after the final refresh. Rank-identity with the
+    per-append refresh path is pinned by
+    tests/test_incremental.py::test_append_windows_batched."""
+    cfg = cfg or EngineConfig()
+    for w in windows:
+        ds, window_id, *rest = w
+        append_window(
+            ds, index_root, window_id, cfg,
+            corpus_factory=rest[0] if rest else None,
+            refresh_stats=False,
+        )
+    return refresh_global_stats(index_root)
 
 
 def _drop_tombstoned(ds: "ray.data.Dataset", dead) -> "ray.data.Dataset":

@@ -368,3 +368,51 @@ def test_tiered_policy_skips_lone_minnow(ray_session, tmp_path):
         append_window(ray.data.from_arrow(corpus.slice(off, ln)), root, f"{i:03d}", CFG)
     plan = plan_compaction(root, max_windows=2, tier_factor=4.0)
     assert sorted(plan) == ["001", "002", "003"]  # minnow skipped, tier merged
+
+
+def test_append_windows_batched(ray_session, tmp_path, monkeypatch):
+    """Deferred-refresh batched appends: (a) rank-identical to the
+    per-append refresh path, and (b) exactly ONE global-stats
+    redistribution for N appends (VERDICT r3, Next round #5)."""
+    import ray.data
+
+    import docinsight_ray.pipelines.incremental as inc
+    from docinsight_ray.pipelines.incremental import append_windows
+
+    corpus = gen_corpus(360, seed=13)
+    n = corpus.num_rows
+    windows = [corpus.slice(0, n // 3), corpus.slice(n // 3, n // 3), corpus.slice(2 * (n // 3))]
+
+    # reference: eager per-append refresh
+    root_eager = str(tmp_path / "eager")
+    for i, w in enumerate(windows):
+        append_window(ray.data.from_arrow(w), root_eager, f"{i:03d}", CFG)
+
+    # batched: count redistributions
+    calls = []
+    real = inc.distribute_global_stats
+
+    def counting(dirs, appended=None):
+        calls.append(appended)
+        return real(dirs, appended=appended)
+
+    monkeypatch.setattr(inc, "distribute_global_stats", counting)
+    root_batch = str(tmp_path / "batch")
+    dirs = append_windows(
+        [(ray.data.from_arrow(w), f"{i:03d}") for i, w in enumerate(windows)],
+        root_batch, CFG,
+    )
+    assert len(calls) == 1, f"expected 1 redistribution for 3 appends, got {len(calls)}"
+    assert len(dirs) == 3
+
+    queries = gen_queries(corpus, n_keyword=10, seed=13)
+    qds = queries_table(queries)
+    out_e = query_windows(ray.data.from_arrow(qds), root_eager, CFG, mode="taat").to_pandas()
+    out_b = query_windows(ray.data.from_arrow(qds), root_batch, CFG, mode="taat").to_pandas()
+    cols = ["query_id", "rank", "doc_id", "score"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        out_e[cols].sort_values(["query_id", "rank"]).reset_index(drop=True),
+        out_b[cols].sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
