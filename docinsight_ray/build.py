@@ -55,7 +55,7 @@ from ray.data.aggregate import Sum
 from .bm25 import tf_sat_weight as _tf_sat_weight
 from .codec import varbyte_encode, varbyte_lengths
 from .config import EngineConfig
-from .ids import doc_id_from_key, sha256_hex, term_bucket
+from .ids import doc_id_from_key, sha256_hex, term_bucket, term_hash_canary
 from .state.manifest import atomic_write_bytes, committed_parts, write_manifest
 from .tokenizer import tokenize_batch
 
@@ -633,6 +633,7 @@ def build_index(
             "stopwords": list(cfg.stopwords), "config_hash": cfg.config_hash(),
             "fingerprint": fingerprint, "merge_groups": 0,
             "num_buckets": cfg.num_buckets, "hot_salt": cfg.hot_salt,
+            "term_hash_canary": term_hash_canary(),
         }
         atomic_write_bytes(os.path.join(index_dir, "corpus_stats.json"),
                            json.dumps(stats, sort_keys=True, indent=1).encode())
@@ -1007,6 +1008,9 @@ def build_index(
         "config_hash": cfg.config_hash(),
         "fingerprint": fingerprint,
         "merge_groups": int(len(merge_stats)) if merge_stats is not None else 0,
+        # cross-environment routing safety: serving verifies this before
+        # trusting term->bucket lookups (ids.check_term_hash_canary)
+        "term_hash_canary": term_hash_canary(),
     }
     atomic_write_bytes(
         os.path.join(index_dir, "corpus_stats.json"),

@@ -973,7 +973,10 @@ def main(argv=None) -> int:
                         "TieredMergePolicy shape); no-op when already under")
     c.add_argument("--max-windows", type=int, default=4)
     c.add_argument("--tier-factor", type=float, default=4.0)
-    c.add_argument("--tokenizer", default="code", choices=["code", "simple"])
+    # default=None: adopt the windows' build-time tokenizer (a "code"
+    # default would silently override a simple-tokenized window set and
+    # record the wrong analyzer in the compacted corpus_stats)
+    c.add_argument("--tokenizer", default=None, choices=["code", "simple"])
     c.set_defaults(fn=cmd_compact)
 
     dl = sub.add_parser("delete", parents=[common],

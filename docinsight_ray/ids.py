@@ -62,3 +62,41 @@ def term_hash(terms) -> np.ndarray:
 
 def term_bucket(terms, num_buckets: int) -> np.ndarray:
     return (term_hash(terms) % np.uint64(num_buckets)).astype(np.uint32)
+
+
+# Fixed probe set for the cross-environment hash canary. term_hash is
+# polars' ahash, whose output can vary not just with pl.__version__ but
+# with the PLATFORM / CPU-feature wheel build — config_hash pins only
+# the version, so an index built on one architecture and served on
+# another (shared-FS URIs, cross-machine merge_indexes) could silently
+# route terms to the wrong bucket and return empty lookups. The canary
+# makes that failure LOUD: builders persist term_hash over these probes
+# in corpus_stats/pos_stats, and every load path re-computes and
+# compares before trusting bucket routing.
+_CANARY_PROBES = (
+    "", "a", "term", "the", "0123456789",
+    "snake_case_token", "CamelCaseToken", "naïve-ünïcode-✓",
+)
+
+
+def term_hash_canary() -> str:
+    """Hex fingerprint of ``term_hash`` over a fixed probe set —
+    equal iff two environments' term hashes agree on bucket routing."""
+    h = term_hash(np.asarray(_CANARY_PROBES, dtype=object)).astype("<u8")
+    return hashlib.sha256(h.tobytes()).hexdigest()[:16]
+
+
+def check_term_hash_canary(stats: dict, where: str) -> None:
+    """Fail loudly when ``stats`` (a corpus_stats/pos_stats dict) was
+    written by an environment whose term_hash disagrees with ours.
+    Stats from pre-canary builds pass (nothing recorded to compare)."""
+    recorded = stats.get("term_hash_canary")
+    if recorded is not None and recorded != term_hash_canary():
+        raise RuntimeError(
+            f"{where}: term-hash canary mismatch (index built with "
+            f"{recorded!r}, this environment computes {term_hash_canary()!r}) "
+            "— the builder's polars string hash differs from this "
+            "platform's, so term->bucket routing would silently miss "
+            "terms. Rebuild the index in this environment or serve it "
+            "from a matching one."
+        )

@@ -44,6 +44,7 @@ def merge_indexes(
     sources: list[str],
     out_dir: str,
     cfg: EngineConfig | None = None,
+    overwrite: bool = False,
 ) -> BuildResult:
     """Merge committed indexes ``sources`` into a new standalone index
     at ``out_dir``. Staged + resumable (a crash re-enters at the merge
@@ -74,6 +75,13 @@ def merge_indexes(
         if raw is None:
             raise FileNotFoundError(f"{d}/corpus_stats.json: not a built index")
         stats.append(json.loads(raw))
+    from ..ids import check_term_hash_canary
+
+    for d, s in zip(sources, stats):
+        # cross-machine merge is the advertised use case — refuse a
+        # source whose builder hashed terms differently than we will
+        # when re-bucketing its decoded postings
+        check_term_hash_canary(s, f"merge_indexes(source={d})")
     want_hash = cfg.config_hash()
     for d, s in zip(sources, stats):
         if s.get("config_hash") != want_hash:
@@ -91,7 +99,30 @@ def merge_indexes(
     inner_fp = f"{fingerprint}:{want_hash}"
     man_dir = os.path.join(out_dir, "manifest")
     if "docs" not in committed_parts(man_dir, inner_fp):
-        # fresh staging for THIS source-set identity
+        # fresh staging for THIS source-set identity. Before wiping:
+        # out_dir may be an UNRELATED existing index (or a merge of a
+        # different source set) — the sources-identity guard above only
+        # protects out_dir being one of the sources. Refuse to destroy
+        # anything whose recorded fingerprint isn't a prior merge of
+        # these same sources unless the caller says overwrite=True.
+        if not overwrite:
+            from ..state.manifest import read_manifest
+
+            prior_fp = None
+            existing = read_bytes(os.path.join(out_dir, "corpus_stats.json"))
+            if existing is not None:
+                prior_fp = json.loads(existing).get("fingerprint")
+            else:
+                staged = read_manifest(man_dir, "docs")
+                if staged is not None:
+                    prior_fp = staged.get("fingerprint")
+            if prior_fp is not None and prior_fp not in (fingerprint, inner_fp):
+                raise ValueError(
+                    f"merge_indexes: out_dir {out_dir!r} already holds an "
+                    f"index/merge with fingerprint {prior_fp!r} that is not "
+                    f"a prior merge of these sources ({fingerprint!r}) — "
+                    "refusing to destroy it; pass overwrite=True to replace"
+                )
         fs_rmtree(out_dir)
         frag_dir = os.path.join(out_dir, "fragments")
         dfstats_dir = os.path.join(out_dir, "fragments-dfstats")

@@ -153,12 +153,15 @@ def build_positional_index(
     corpus_ds.map_batches(explode, batch_format="pyarrow").write_parquet(
         out_dir, partition_cols=["bucket"]
     )
+    from ..ids import term_hash_canary
+
     stats = {
         "num_buckets": int(cfg.num_buckets),
         "tokenizer": cfg.tokenizer,
         "stemmer": cfg.stemmer,
         "stopwords": list(cfg.stopwords),
         "fingerprint": fingerprint,
+        "term_hash_canary": term_hash_canary(),
     }
     write_bytes_atomic(os.path.join(out_dir, "pos_stats.json"), json.dumps(stats).encode())
     return stats
@@ -200,6 +203,9 @@ class PhraseScorer:
                 f"{pos_dir}/pos_stats.json: not a built positional index"
             )
         st = json.loads(raw)
+        from ..ids import check_term_hash_canary
+
+        check_term_hash_canary(st, f"PositionalSearcher({pos_dir})")
         self.num_buckets = int(st["num_buckets"])
         self._bucket_files: dict[int, list[str]] = {}
         for f in glob_parquet(pos_dir):

@@ -81,8 +81,13 @@ def parse_structured_query(text: str) -> StructuredQuery:
         if bare.startswith("-") and len(bare) > 1:
             excludes.append(bare[1:].lower())
         elif bare.startswith("+") and len(bare) > 1:
-            musts.append(bare[1:].lower())
-            terms.append(bare[1:])  # must terms still score
+            word = bare[1:]
+            bm = _BOOST_RE.match(word)
+            if bm:  # '+word^2.5' → REQUIRED and boosted; the bare word
+                word = bm.group(1)  # is both the must and scoring term
+                boosts[word.lower()] = float(bm.group(2))
+            musts.append(word.lower())
+            terms.append(word)  # must terms still score
         elif ":" in bare and not bare.startswith(":"):
             col, _, vals = bare.partition(":")
             filters.setdefault(col, []).extend(v for v in vals.split(",") if v)
@@ -161,10 +166,21 @@ def structured_search(
         # MUST clauses: intersect the required terms' posting doc_ids
         # into the include set — resolved once per query through a
         # partition-LAZY scorer (only the touched buckets load), the
-        # same exactness mechanism as phrase candidates
+        # same exactness mechanism as phrase candidates. Each must term
+        # runs through the ANALYZER first (tokenize_text): the index
+        # stores stems/split tokens, so looking up the raw surface form
+        # ('+tables' with stemmer='s') would silently miss the indexed
+        # stem and return zero results. A must term that analyzes to
+        # several tokens requires ALL of them; one that analyzes to
+        # nothing (a configured stopword) is dropped, Lucene-style.
+        from .tokenizer import tokenize_text
+
+        must_tokens: list[str] = []
+        for t in sq.must_terms:
+            must_tokens.extend(tokenize_text(t, cfg))
         lazy = BM25Scorer(index_dir, cfg, max_loaded_parts=2)
         ids: np.ndarray | None = None
-        for t in sq.must_terms:
+        for t in must_tokens:
             docs = (
                 lazy._term_arrays(t)[0]
                 if lazy.has_term(t)
@@ -173,7 +189,8 @@ def structured_search(
             ids = docs if ids is None else np.intersect1d(ids, docs)
             if ids.size == 0:
                 break
-        include = ids if include is None else np.intersect1d(include, ids)
+        if ids is not None:
+            include = ids if include is None else np.intersect1d(include, ids)
     if len(sq.field_filters) > 1:
         # beyond the first filter (the scorer's native doc_filter), the
         # remaining columns resolve here from the docs registry — one

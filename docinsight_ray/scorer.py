@@ -47,7 +47,7 @@ from .bm25 import idf as idf_fn
 from .bm25 import tf_sat_weight, topk_order
 from .codec import decode_posting, varbyte_decode
 from .config import EngineConfig
-from .ids import term_bucket
+from .ids import check_term_hash_canary, term_bucket
 from .tokenizer import tokenize_text
 
 RESULTS_SCHEMA = pa.schema(
@@ -276,7 +276,15 @@ class BM25Scorer:
         # accumulates; MaxScore upper bounds scale by the same factor,
         # so pruning stays exact. bmw/lmdir reject boosts (stored
         # block-max metadata and the LM model don't carry them).
-        self._boosts = {k: float(v) for k, v in boosts.items()} if boosts else None
+        # boost keys follow the same analyzer chain as scoring terms
+        # ('tables^2' under stemmer='s' must boost the indexed stem
+        # 'table', which is what query_terms will look up); a key that
+        # analyzes to several tokens boosts each of them
+        self._boosts = (
+            {t: float(v) for k, v in boosts.items() for t in tokenize_text(k, self.cfg)}
+            if boosts
+            else None
+        )
         if self._boosts and mode in ("bmw", "lmdir", "bm25plus"):
             raise ValueError(f"per-term boosts are not supported in mode={mode!r}")
         # query-time synonym expansion (Elasticsearch synonym-filter
@@ -318,6 +326,7 @@ class BM25Scorer:
                 f"{index_dir}/corpus_stats.json: not a built index (run build_index first)"
             )
         stats = json.loads(stats_raw)
+        check_term_hash_canary(stats, f"BM25Scorer({index_dir})")
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
         # collection length (LM Dirichlet); older stats lack it
@@ -457,16 +466,33 @@ class BM25Scorer:
         # sites: removing docs can only LOWER true scores, so stored
         # upper bounds remain safe over-estimates. Unknown excluded
         # terms are no-ops (nothing to deny).
+        # Each excluded surface form runs through the ANALYZER first
+        # (tokenize_text) — the index stores stems/split tokens, so a
+        # raw lookup of '-tables' under stemmer='s' would miss the
+        # indexed stem 'table' and silently exclude nothing. A form
+        # that analyzes to several tokens denies docs containing ALL
+        # of them (the negation of the must-clause AND semantics); one
+        # that analyzes to nothing (a stopword) is a no-op.
         self.exclude_terms = tuple(exclude_terms or ())
         if self.exclude_terms:
             denied = [np.empty(0, dtype=np.uint64)]
-            for t in self.exclude_terms:
-                hit = self._lookup(t)
-                if hit is None:
-                    continue
-                part, i = hit
-                d, _ = decode_posting(part.doc_vb(i), part.tf_vb(i), int(part.df[i]))
-                denied.append(d.astype(np.uint64))
+            for surface in self.exclude_terms:
+                form: np.ndarray | None = None
+                for t in tokenize_text(surface, self.cfg):
+                    hit = self._lookup(t)
+                    if hit is None:
+                        form = np.empty(0, dtype=np.uint64)
+                        break
+                    part, i = hit
+                    d, _ = decode_posting(
+                        part.doc_vb(i), part.tf_vb(i), int(part.df[i])
+                    )
+                    d = d.astype(np.uint64)
+                    form = d if form is None else np.intersect1d(form, d)
+                    if form.size == 0:
+                        break
+                if form is not None:
+                    denied.append(form)
             denied_ids = np.unique(np.concatenate(denied))
             base = self._allowed if self._allowed is not None else self._dl_docid
             self._allowed = np.setdiff1d(base, denied_ids)
