@@ -120,6 +120,116 @@ def q_reference_topk(sf_dir: str = "", mode: str = "maxscore") -> pa.Table:
     )
 
 
+# IR-Plag obfuscation levels as GRADED relevance for a case query:
+# the original itself is a perfect hit, L1 (verbatim copy) is the
+# easiest plagiarism grade, L6 (heaviest obfuscation) the hardest;
+# everything outside the case (and its non-plagiarized distractors)
+# is irrelevant.
+_LEVEL_GRADE = {"original": 7, "L1": 6, "L2": 5, "L3": 4, "L4": 3, "L5": 2, "L6": 1}
+
+
+def _doc_grade(case_id: str, repo: str, path: str) -> int:
+    if repo != case_id:
+        return 0
+    if path.startswith("original"):
+        return _LEVEL_GRADE["original"]
+    if path.startswith("plagiarized/"):
+        return _LEVEL_GRADE.get(path.split("/", 2)[1], 0)
+    return 0
+
+
+def _dcg(grades: np.ndarray) -> float:
+    return float(np.sum((2.0 ** grades - 1.0) / np.log2(np.arange(2, grades.size + 2))))
+
+
+def _ap_at_k(rel_mask: np.ndarray, n_rel_total: int, k: int) -> float:
+    """Binary average precision at k (TREC denominator min(R, k))."""
+    if n_rel_total == 0:
+        return 0.0
+    pos = np.nonzero(rel_mask)[0]
+    hits = np.arange(1, pos.size + 1, dtype=np.float64)
+    return float(np.sum(hits / (pos + 1)) / min(n_rel_total, k))
+
+
+def conformance_quality(k: int = 50) -> dict:
+    """Graded retrieval-quality metrics on the real reference corpus —
+    the quantitative complement to ``conformance_report``'s boolean
+    checks (VERDICT r3 #7): per-case nDCG@10 with L1–L6 graded
+    relevance, binary MAP@k over all same-case plagiarized docs, and
+    per-level recall@k / AP@k so a rank-quality regression on hard
+    levels (L5/L6) is visible even while the boolean contract holds.
+    Labels and ideal pools come from the DEDUPED docs registry (dup
+    losers can never appear in results)."""
+    import pyarrow.parquet as pq
+
+    index_dir, corpus = ensure_reference_index()
+    cfg = conformance_config()
+    qtbl, cases = reference_query_table(corpus, k=k)
+    res = (
+        query_index(ray.data.from_arrow(qtbl), index_dir, cfg, mode="maxscore", concurrency=2)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    docs = pq.read_table(
+        os.path.join(index_dir, "docs"), columns=["doc_id", "repo", "path"]
+    ).to_pandas()
+    meta = {int(d): (r, p) for d, r, p in zip(docs.doc_id, docs.repo, docs.path)}
+
+    per_case: dict[str, dict] = {}
+    for qi, case in enumerate(cases):
+        g = res[res.query_id == qi].sort_values("rank")
+        grades = np.array(
+            [_doc_grade(case, *meta[int(d)]) for d in g.doc_id], dtype=np.float64
+        )
+        pool = np.array(
+            [_doc_grade(case, r, p) for r, p in zip(docs.repo, docs.path)],
+            dtype=np.float64,
+        )
+        ideal10 = np.sort(pool)[::-1][:10]
+        ndcg10 = _dcg(grades[:10]) / _dcg(ideal10) if _dcg(ideal10) > 0 else 0.0
+        ap = _ap_at_k(grades > 0, int((pool > 0).sum()), k)
+        levels: dict[str, dict] = {}
+        for lvl, grade in _LEVEL_GRADE.items():
+            if lvl == "original":
+                continue
+            n_l = int((pool == grade).sum())
+            if n_l == 0:
+                continue
+            lmask = grades == grade
+            levels[lvl] = {
+                "n_rel": n_l,
+                "recall_at_k": round(float(lmask.sum()) / n_l, 6),
+                "ap_at_k": round(_ap_at_k(lmask, n_l, k), 6),
+            }
+        per_case[case] = {
+            "ndcg_at_10": round(ndcg10, 6),
+            "ap_at_k": round(ap, 6),
+            "levels": levels,
+        }
+
+    lvl_names = [l for l in _LEVEL_GRADE if l != "original"]
+    by_level = {
+        lvl: {
+            "map_at_k": round(
+                float(np.mean([c["levels"][lvl]["ap_at_k"] for c in per_case.values()
+                               if lvl in c["levels"]])), 6),
+            "mean_recall_at_k": round(
+                float(np.mean([c["levels"][lvl]["recall_at_k"] for c in per_case.values()
+                               if lvl in c["levels"]])), 6),
+        }
+        for lvl in lvl_names
+        if any(lvl in c["levels"] for c in per_case.values())
+    }
+    return {
+        "k": k,
+        "mean_ndcg_at_10": round(float(np.mean([c["ndcg_at_10"] for c in per_case.values()])), 6),
+        "map_at_k": round(float(np.mean([c["ap_at_k"] for c in per_case.values()])), 6),
+        "by_level": by_level,
+        "per_case": per_case,
+    }
+
+
 def conformance_report(top: pa.Table) -> dict:
     """Evaluate the plagiarism-conformance contract on a q_reference_topk
     result; returns the CONFORMANCE.json payload."""

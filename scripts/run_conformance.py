@@ -32,6 +32,7 @@ def main() -> int:
     from docinsight_ray.oracle import OracleIndex
     from docinsight_ray.pipelines.conformance import (
         conformance_config,
+        conformance_quality,
         conformance_report,
         ensure_reference_index,
         q_reference_topk,
@@ -58,6 +59,11 @@ def main() -> int:
     report["rank_identity_vs_oracle"] = rank_identity
     report["rank_identity_ok"] = all(all(v.values()) for v in rank_identity.values())
     report["n_files"] = int(corpus.num_rows)
+    # graded rank-quality metrics (nDCG@10 with L1-L6 graded relevance,
+    # MAP@50, per-level recall/AP) — catches rank-quality regressions
+    # the boolean checks above can't; floors are asserted in
+    # tests/test_reference_corpus.py
+    report["retrieval_quality"] = conformance_quality()
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "CONFORMANCE.json")
     with open(out, "w") as f:

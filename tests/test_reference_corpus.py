@@ -125,3 +125,24 @@ def test_dedup_on_real_corpus(ref_built):
     assert stats["n_docs"] == n_distinct
     assert stats["n_dup_losers"] == corpus.num_rows - n_distinct
     assert stats["n_dup_losers"] > 0
+
+
+def test_graded_retrieval_quality_floors(ref_built, ray_session):
+    """Graded rank-quality on the real corpus (VERDICT r3 #7): nDCG@10
+    with L1-L6 graded relevance and per-level recall must stay above
+    measured floors (2026-08-20: mean nDCG@10 .748, MAP@50 .788, L1
+    recall .984 declining to L6 .651), and recall must degrade with
+    obfuscation level (L1 easiest, L6 hardest) — a rank-quality
+    regression shows here even while the boolean contract still holds."""
+    from docinsight_ray.pipelines.conformance import conformance_quality
+
+    q = conformance_quality()
+    assert q["mean_ndcg_at_10"] >= 0.70, q["mean_ndcg_at_10"]
+    assert q["map_at_k"] >= 0.74, q["map_at_k"]
+    lv = q["by_level"]
+    assert lv["L1"]["mean_recall_at_k"] >= 0.93
+    assert lv["L6"]["mean_recall_at_k"] >= 0.55
+    # graded structure: verbatim copies are easier than heavy obfuscation
+    assert lv["L1"]["mean_recall_at_k"] > lv["L6"]["mean_recall_at_k"]
+    assert lv["L1"]["map_at_k"] > lv["L6"]["map_at_k"]
+    assert set(q["per_case"]) == {f"case-0{i}" for i in range(1, 8)}
