@@ -580,7 +580,69 @@ ORACLE_SQL = {
                user_id::VARCHAR || ':' || session_id::VARCHAR AS session_key
         FROM s GROUP BY user_id, session_id
     """,
+    "event_retention": """
+        WITH act AS (
+          SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        ), coh AS (
+          SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id
+        )
+        SELECT c.cohort_day,
+               date_diff('day', c.cohort_day, a.day)::BIGINT AS period,
+               strftime(c.cohort_day, '%Y-%m-%d') || ':'
+                 || date_diff('day', c.cohort_day, a.day)::VARCHAR AS cohort_key,
+               count(*)::BIGINT AS n_users
+        FROM act a JOIN coh c USING (user_id)
+        GROUP BY 1, 2, 3
+    """,
 }
+
+def q_event_retention(sf_dir: str) -> pa.Table:
+    """Retention cohorts (the classic product-analytics triangle): users
+    cohorted by FIRST active day; for each (cohort_day, period) the
+    count of cohort users active `period` days after their first day.
+
+    Scale shape, three narrow stages: (1) per-batch local distinct of
+    (user_id, day) — what leaves each batch is bounded by users×days in
+    the batch, never event count; (2) per-user ``map_groups`` (the
+    module's partitioning contract) emits one (cohort_day, period) row
+    per active day from the user's deduplicated day set; (3) a small
+    groupby((cohort_day, period)).count — output is cohorts×periods
+    rows, independent of corpus size. The string cohort_key keeps the
+    output off the all-fixed-width block layout (ROADMAP.md §6b)."""
+    import pyarrow.compute as pc
+
+    def day_distinct(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day": pc.floor_temporal(batch["ts"], unit="day"),
+            }
+        )
+        return t.group_by(["user_id", "day"]).aggregate([])  # local distinct
+
+    def retention(g: pd.DataFrame) -> pd.DataFrame:
+        days = pd.Series(g["day"].unique()).sort_values().reset_index(drop=True)
+        cohort = days.iloc[0]
+        period = (days - cohort).dt.days.astype("int64")
+        out = pd.DataFrame({"cohort_day": cohort, "period": period})
+        out["cohort_key"] = cohort.strftime("%Y-%m-%d") + ":" + out["period"].astype(str)
+        return out
+
+    retention.__name__ = "retention"
+    out = (
+        _read_events(sf_dir)
+        .select_columns(["user_id", "ts"])
+        .map_batches(day_distinct, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(retention, batch_format="pandas")
+        .groupby(["cohort_day", "period", "cohort_key"])
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    out["period"] = out["period"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
 
 QUERIES = {
     "event_funnel": q_event_funnel,
@@ -592,4 +654,5 @@ QUERIES = {
     "user_cum_spend": q_user_cum_spend,
     "sliding_agg": q_sliding_agg,
     "top_event_type": q_top_event_type,
+    "event_retention": q_event_retention,
 }

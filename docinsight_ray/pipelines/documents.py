@@ -473,6 +473,97 @@ def q_bm25_decay(sf_dir: str) -> pa.Table:
     )
 
 
+# rank_feature saturation: contribution = boost * x / (x + pivot) —
+# monotone in the feature, bounded by `boost`, half-strength at the
+# pivot (Elasticsearch's default rank_feature function)
+RANK_FEATURE_PIVOT = 256.0
+RANK_FEATURE_BOOST = 2.0
+
+
+class _RankFeatureRescore:
+    """Actor-pool stage for the Elasticsearch ``rank_feature`` query in
+    a bool ``should`` clause: every BM25-matched doc ADDS
+    boost * x/(x+pivot) of its numeric feature (n_chars) to the
+    relevance score — the static-signal pattern (pagerank, freshness,
+    popularity) that tilts ranking without gating matches. Same
+    load-once per-actor memory class as _DecayRescore (8 bytes/doc);
+    contrast bm25_decay, which MULTIPLIES (boost_mode) rather than
+    adds (should-clause sum)."""
+
+    def __init__(self, sf_dir: str, pivot: float, boost: float):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+        )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(ids)
+        self._ids = ids[order]
+        self._vals = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)[order]
+        self._pivot = float(pivot)
+        self._boost = float(boost)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = self._vals[np.searchsorted(self._ids, d)]
+        scores = batch["score"].to_numpy(zero_copy_only=False) + self._boost * (
+            x / (x + self._pivot)
+        )
+        return batch.set_column(
+            batch.column_names.index("score"), "score", pa.array(scores, type=pa.float64())
+        )
+
+
+def q_bm25_rank_feature(sf_dir: str) -> pa.Table:
+    """Elasticsearch ``rank_feature`` retrieval: BM25 relevance + an
+    additive saturation boost on a numeric document field — serving
+    shape identical to bm25_decay (full candidate stream through a
+    small rescore actor pool, round-6 re-rank to top-k), but additive
+    should-clause semantics instead of multiply boost_mode."""
+    idx = ensure_index(sf_dir)
+    n_docs = BM25Scorer(idx, SQL_PARITY_CONFIG).n_docs
+    qtbl = pa.table(
+        {
+            "query_id": pa.array([q for q, _ in DOC_QUERIES], type=pa.int64()),
+            "text": pa.array([t for _, t in DOC_QUERIES], type=pa.string()),
+            "k": pa.array([n_docs] * len(DOC_QUERIES), type=pa.uint32()),
+        }
+    )
+    res = (
+        query_index(ray.data.from_arrow(qtbl), idx, SQL_PARITY_CONFIG, mode="maxscore",
+                    concurrency=2)
+        .map_batches(
+            _RankFeatureRescore,
+            fn_constructor_args=(sf_dir, RANK_FEATURE_PIVOT, RANK_FEATURE_BOOST),
+            batch_format="pyarrow",
+            concurrency=1,
+            num_cpus=1,
+        )
+        .to_pandas()
+    )
+    qids, ranks, dids, scores = [], [], [], []
+    for qid, _text in DOC_QUERIES:
+        g = res[res.query_id == qid]
+        d = g["doc_id"].to_numpy().astype(np.uint64)
+        s6 = np.round(g["score"].to_numpy(), 6)
+        order = np.lexsort((d, -s6))[:TOPK]
+        d, s6 = d[order], s6[order]
+        qids += [qid] * d.size
+        ranks += list(range(d.size))
+        dids.append(d.astype(np.int64))
+        scores.append(s6)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(dids), type=pa.int64()),
+            "score": pa.array(np.concatenate(scores), type=pa.float64()),
+        }
+    )
+
+
 BOOSTING_NEG_TERMS = ("dup",)
 BOOSTING_FACTOR = 0.5
 
@@ -2963,6 +3054,22 @@ ranked_dec AS (
 )
 SELECT query_id, rank, doc_id, score FROM ranked_dec WHERE rank < {TOPK}
 """,
+    # rank_feature: BM25 + boost * x/(x+pivot) additive saturation on
+    # n_chars (should-clause sum — contrast bm25_decay's multiply)
+    "bm25_rank_feature": BM25_CTE + f"""
+, rf AS (
+  SELECT s.query_id, s.doc_id,
+         s.raw + {RANK_FEATURE_BOOST!r} * (d.n_chars::DOUBLE / (d.n_chars::DOUBLE + {RANK_FEATURE_PIVOT!r})) AS raw
+  FROM scores s JOIN documents d USING (doc_id)
+),
+ranked_rf AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(raw, 6) DESC, doc_id ASC) - 1 AS rank,
+         doc_id, round(raw, 6) AS score
+  FROM rf
+)
+SELECT query_id, rank, doc_id, score FROM ranked_rf WHERE rank < {TOPK}
+""",
     # LM Dirichlet query likelihood (sparse rewrite; candidates = docs
     # matching >=1 indexed query term, the convention scorer.score_lmdir
     # documents). MU mirrors EngineConfig.mu.
@@ -4286,6 +4393,7 @@ QUERIES = {
     "bm25_topk_bmw": q_bm25_topk_bmw,
     "bm25_topk_lazy": q_bm25_topk_lazy,
     "bm25_decay": q_bm25_decay,
+    "bm25_rank_feature": q_bm25_rank_feature,
     "lmdir_topk": q_lmdir_topk,
     "bm25plus_topk": q_bm25plus_topk,
     "bm25_stemmed": q_bm25_stemmed,

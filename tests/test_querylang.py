@@ -387,3 +387,48 @@ def test_must_clause_restricts_and_scores(doc_index):
         assert base[int(a)] == float(b)  # must never changes the score
     d_none, _ = structured_search("+zzzmissing data", idx, cfg, k=10)
     assert d_none.size == 0
+
+
+def test_bm25_rank_feature_gate_parity(doc_index):
+    """bm25_rank_feature equals its additive-saturation oracle, and the
+    boost is additive: every hit's score is >= the plain BM25 score of
+    the same (query, doc) plus a positive bounded increment."""
+    from docinsight_ray.pipelines.documents import (
+        RANK_FEATURE_BOOST,
+        q_bm25_rank_feature,
+        q_bm25_topk,
+    )
+
+    got = _gate_vs_oracle(q_bm25_rank_feature, "bm25_rank_feature")
+    base = q_bm25_topk(SF).to_pandas()
+    merged = got.merge(base, on=["query_id", "doc_id"], suffixes=("_rf", "_b"))
+    inc = merged["score_rf"] - merged["score_b"]
+    assert (inc > 0).all() and (inc <= RANK_FEATURE_BOOST + 1e-6).all()
+
+
+def test_event_retention_gate_parity(ray_session):
+    """event_retention equals its cohort-triangle oracle; period-0 row
+    exists for every cohort and counts every cohort member."""
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.functions.windows import ORACLE_SQL, q_event_retention
+
+    got = q_event_retention(SF).to_pandas()
+    assert len(got) > 0
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    want = con.sql(ORACLE_SQL["event_retention"]).df()
+    cols = sorted(got.columns)
+    key = ["cohort_day", "period"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(key).reset_index(drop=True),
+        want[cols].sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+    p0 = got[got.period == 0]
+    cohorts = got["cohort_day"].unique()
+    assert set(p0["cohort_day"]) == set(cohorts)
+    # period-0 has every cohort member active (their first day)
+    per_cohort_max = got.groupby("cohort_day")["n_users"].max()
+    assert (p0.set_index("cohort_day")["n_users"] >= per_cohort_max).all()
