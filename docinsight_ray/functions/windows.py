@@ -594,7 +594,75 @@ ORACLE_SQL = {
         FROM act a JOIN coh c USING (user_id)
         GROUP BY 1, 2, 3
     """,
+    "windowed_delta": """
+        WITH w AS (
+          SELECT event_type, date_trunc('hour', ts) AS window_start,
+                 count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+          FROM events GROUP BY 1, 2
+        ), d AS (
+          SELECT event_type, window_start,
+                 n - lag(n) OVER (PARTITION BY event_type ORDER BY window_start) AS delta_n,
+                 round(sum_value - lag(sum_value) OVER (PARTITION BY event_type ORDER BY window_start), 6) AS delta_sum_value
+          FROM w
+        )
+        SELECT event_type, window_start, delta_n::BIGINT AS delta_n, delta_sum_value
+        FROM d WHERE delta_n IS NOT NULL
+    """,
 }
+
+def q_windowed_delta(sf_dir: str) -> pa.Table:
+    """Derivative pipeline aggregation (Elasticsearch ``derivative``
+    over a date_histogram): per event_type, the change in hourly event
+    count and value sum versus the previous PRESENT bucket. Scale
+    shape: the tumbling aggregation shrinks the stream to hours×types
+    rows first (same stages as windowed_agg), then a per-type
+    ``map_groups`` ordered scan computes consecutive differences —
+    group size is bounded by the time range, never event count. The
+    first bucket of each type has no predecessor and is omitted
+    (Elasticsearch emits no derivative there)."""
+    import pyarrow.compute as pc
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_start": pc.floor_temporal(batch["ts"], unit="hour"),
+                "value": batch["value"],
+            }
+        )
+
+    def delta(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("window_start").reset_index(drop=True)
+        out = pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "window_start": g["window_start"],
+                "delta_n": g["n"].diff(),
+                "delta_sum_value": np.round(g["sum_value"].diff(), 6),
+            }
+        ).iloc[1:]
+        out["delta_n"] = out["delta_n"].astype("int64")
+        return out
+
+    delta.__name__ = "delta"
+    out = (
+        _read_events(sf_dir)
+        .map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.column_names.index("sum_value"), "sum_value",
+                pa.array(np.round(t["sum_value"].to_numpy(zero_copy_only=False), 6)),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("event_type")
+        .map_groups(delta, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
 
 def q_event_retention(sf_dir: str) -> pa.Table:
     """Retention cohorts (the classic product-analytics triangle): users
@@ -655,4 +723,5 @@ QUERIES = {
     "sliding_agg": q_sliding_agg,
     "top_event_type": q_top_event_type,
     "event_retention": q_event_retention,
+    "windowed_delta": q_windowed_delta,
 }

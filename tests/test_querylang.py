@@ -432,3 +432,32 @@ def test_event_retention_gate_parity(ray_session):
     # period-0 has every cohort member active (their first day)
     per_cohort_max = got.groupby("cohort_day")["n_users"].max()
     assert (p0.set_index("cohort_day")["n_users"] >= per_cohort_max).all()
+
+
+def test_windowed_delta_gate_parity(ray_session):
+    """windowed_delta equals its lag-window oracle; per type, deltas
+    telescope back to last-minus-first bucket count."""
+    import duckdb
+    import pandas as pd
+
+    from docinsight_ray.functions.windows import ORACLE_SQL, q_windowed_delta
+
+    got = q_windowed_delta(SF).to_pandas()
+    assert len(got) > 0
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    want = con.sql(ORACLE_SQL["windowed_delta"]).df()
+    cols = sorted(got.columns)
+    key = ["event_type", "window_start"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(key).reset_index(drop=True),
+        want[cols].sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+    # telescoping invariant against the tumbling aggregation itself
+    from docinsight_ray.functions.windows import q_windowed_agg
+
+    agg = q_windowed_agg(SF).to_pandas()
+    for et, g in got.groupby("event_type"):
+        a = agg[agg.event_type == et].sort_values("window_start")
+        assert g["delta_n"].sum() == a["n"].iloc[-1] - a["n"].iloc[0]
