@@ -481,6 +481,15 @@ def cmd_validate(args) -> int:
 
     with open(os.path.join(idx, "corpus_stats.json")) as f:
         stats = json.load(f)
+    # cross-environment routing check: a term-hash canary mismatch means
+    # every term lookup on this host would miss — report it as a problem
+    # (the scorer would refuse loudly; validate should say WHY up front)
+    from .ids import check_term_hash_canary
+
+    try:
+        check_term_hash_canary(stats, "validate")
+    except RuntimeError as e:
+        problems.append(str(e))
     docs = pq.ParquetDataset(os.path.join(idx, "docs")).read(columns=["doc_id", "doc_len"])
     total_tf = 0
     n_terms = 0

@@ -176,3 +176,27 @@ def test_cli_compact_adopts_window_tokenizer(ray_session, tmp_path, capsys):
     capsys.readouterr()
     stats = json.load(open(os.path.join(root, "window=all", "corpus_stats.json")))
     assert stats["tokenizer"] == "simple"
+
+
+def test_cli_validate_reports_canary_mismatch(stemmed_index, tmp_path, capsys):
+    """CLI validate reports a term-hash canary mismatch as a problem
+    (rc=1) instead of passing an index this host cannot serve."""
+    import shutil
+
+    from docinsight_ray.cli import main
+
+    idx, _ = stemmed_index
+    bad = str(tmp_path / "foreign_v")
+    shutil.copytree(idx, bad)
+    stats = json.loads(open(os.path.join(bad, "corpus_stats.json")).read())
+    stats["term_hash_canary"] = "deadbeefdeadbeef"
+    with open(os.path.join(bad, "corpus_stats.json"), "w") as f:
+        json.dump(stats, f)
+    rc = main(["validate", bad])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 1 and not out["ok"]
+    assert any("canary mismatch" in p for p in out["problems"])
+    # the untampered index still validates clean
+    rc = main(["validate", idx])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["ok"]
