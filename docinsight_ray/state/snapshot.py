@@ -65,20 +65,43 @@ def _copy_file(src: str, dest: str) -> bytes:
     return hashlib.sha256(data).digest()
 
 
-def snapshot_index(src: str, dest: str) -> dict:
+def snapshot_index(src: str, dest: str, incremental: bool = True) -> dict:
     """Copy an index tree to a snapshot repository; returns the
-    manifest dict (also written as ``dest/SNAPSHOT.json``, last)."""
+    manifest dict (also written as ``dest/SNAPSHOT.json``, last).
+
+    ``incremental`` (Elasticsearch snapshot semantics): when the
+    repository already holds a completed snapshot, files whose
+    (path, sha256, size) match the prior manifest are NOT re-uploaded
+    — for a multi-TB index where an append/compaction touched a few
+    partitions, the repository PUT traffic is proportional to the
+    delta, not the index. Source bytes are still fully read and
+    hashed (the manifest's integrity contract is content, never
+    mtimes). Repository files dropped from the source are GC'd after
+    the new manifest commits — a crash before GC leaves harmless
+    extras that the next snapshot removes."""
     files = _walk_files(src)
     if not files:
         raise FileNotFoundError(f"{src}: empty or missing index dir")
+    prior: dict[str, dict] = {}
+    if incremental:
+        try:
+            prior = _load_manifest(dest).get("files", {})
+        except (FileNotFoundError, ValueError):
+            prior = {}  # empty/foreign/crashed repo → full snapshot
     entries: dict[str, dict] = {}
+    n_skipped = 0
     for rel in files:
         data = fsio.read_bytes(f"{src.rstrip('/')}/{rel}")
         if data is None:
             raise FileNotFoundError(f"{src}/{rel}")
-        fsio.write_bytes_atomic(f"{dest.rstrip('/')}/{rel}", data)
+        sha = hashlib.sha256(data).hexdigest()
+        p = prior.get(rel)
+        if p is not None and p.get("sha256") == sha and p.get("size") == len(data):
+            n_skipped += 1  # byte-identical in the repository already
+        else:
+            fsio.write_bytes_atomic(f"{dest.rstrip('/')}/{rel}", data)
         entries[rel] = {
-            "sha256": hashlib.sha256(data).hexdigest(),
+            "sha256": sha,
             "size": len(data),
         }
     fingerprint = None
@@ -91,6 +114,7 @@ def snapshot_index(src: str, dest: str) -> dict:
     manifest = {
         "version": 1,
         "n_files": len(entries),
+        "n_skipped_unchanged": n_skipped,
         "fingerprint": fingerprint,
         "files": entries,
     }
@@ -98,6 +122,11 @@ def snapshot_index(src: str, dest: str) -> dict:
         f"{dest.rstrip('/')}/{MANIFEST}",
         json.dumps(manifest, indent=1, sort_keys=True).encode(),
     )
+    # post-commit GC: repository files no longer in the source (stale
+    # partitions from a prior snapshot generation). The manifest above
+    # is already the authority, so a crash mid-GC is harmless.
+    for rel in set(prior) - set(entries):
+        fsio.remove_path(f"{dest.rstrip('/')}/{rel}")
     return manifest
 
 

@@ -86,3 +86,46 @@ def test_write_is_atomic_under_reader(tmp_path):
     assert v1.num_rows == 3 and v2.num_rows == 300
     # no stray tmp files remain
     assert listdir_names(d) == ["t.parquet"]
+
+
+def test_incremental_snapshot_skips_unchanged_and_gcs_stale(tmp_path):
+    """Second snapshot into the same repository re-uploads only changed
+    files (ES incremental semantics), GCs files dropped from the
+    source, and restore reproduces the CURRENT tree exactly."""
+    import json
+    import os
+
+    from docinsight_ray.state.snapshot import (
+        restore_index,
+        snapshot_index,
+        verify_snapshot,
+    )
+
+    src = tmp_path / "tree"
+    src.mkdir()
+    (src / "a.bin").write_bytes(b"alpha" * 100)
+    (src / "b.bin").write_bytes(b"bravo" * 100)
+    (src / "sub").mkdir()
+    (src / "sub" / "c.bin").write_bytes(b"charlie")
+    repo = str(tmp_path / "repo")
+    m1 = snapshot_index(str(src), repo)
+    assert m1["n_files"] == 3 and m1["n_skipped_unchanged"] == 0
+
+    (src / "b.bin").write_bytes(b"BRAVO2")          # changed
+    os.remove(src / "sub" / "c.bin")                 # dropped
+    (src / "d.bin").write_bytes(b"delta")            # new
+    m2 = snapshot_index(str(src), repo)
+    assert m2["n_files"] == 3 and m2["n_skipped_unchanged"] == 1  # only a.bin
+    assert not os.path.exists(os.path.join(repo, "sub", "c.bin"))  # GC'd
+    assert verify_snapshot(repo)["ok"]
+
+    dest = str(tmp_path / "restored")
+    r = restore_index(repo, dest)
+    assert r["ok"] and r["n_files"] == 3
+    assert open(os.path.join(dest, "b.bin"), "rb").read() == b"BRAVO2"
+    assert open(os.path.join(dest, "d.bin"), "rb").read() == b"delta"
+    assert not os.path.exists(os.path.join(dest, "sub", "c.bin"))
+
+    # incremental=False forces a full re-upload
+    m3 = snapshot_index(str(src), repo, incremental=False)
+    assert m3["n_skipped_unchanged"] == 0 and verify_snapshot(repo)["ok"]
