@@ -655,8 +655,10 @@ def cmd_snapshot(args) -> int:
     copy. No Ray session needed."""
     from .state.snapshot import snapshot_index, verify_snapshot
 
-    m = snapshot_index(args.index_dir, args.dest)
-    out = {"ok": True, "n_files": m["n_files"], "fingerprint": m["fingerprint"]}
+    m = snapshot_index(args.index_dir, args.dest, incremental=not args.full)
+    out = {"ok": True, "n_files": m["n_files"],
+           "n_skipped_unchanged": m["n_skipped_unchanged"],
+           "fingerprint": m["fingerprint"]}
     if args.verify:
         v = verify_snapshot(args.dest)
         out["verified"] = v["ok"]
@@ -1013,6 +1015,10 @@ def main(argv=None) -> int:
     sn.add_argument("dest")
     sn.add_argument("--verify", action="store_true",
                     help="re-hash the repository after the copy")
+    sn.add_argument("--full", action="store_true",
+                    help="force a full copy (default: incremental — "
+                         "files unchanged since the repo's last "
+                         "snapshot are not re-uploaded)")
     sn.set_defaults(fn=cmd_snapshot)
 
     rs = sub.add_parser("restore", parents=[common],
