@@ -46,12 +46,19 @@ def _init_ray(num_cpus: int | None):
     import ray
 
     if not ray.is_initialized():
+        # RAY_ADDRESS decides local vs cluster: unset/"local" starts a
+        # local instance (the test/bench default); anything else (e.g.
+        # "auto" inside a `ray job submit` driver) CONNECTS to the
+        # running cluster — where per-driver num_cpus is not a valid
+        # argument, so it is only passed on the local path.
+        addr = os.environ.get("RAY_ADDRESS") or "local"
+        kwargs = {"num_cpus": num_cpus} if addr == "local" else {}
         ray.init(
-            address="local",
-            num_cpus=num_cpus,
+            address=addr,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            **kwargs,
         )
     import ray.data
 

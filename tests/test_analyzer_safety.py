@@ -200,3 +200,25 @@ def test_cli_validate_reports_canary_mismatch(stemmed_index, tmp_path, capsys):
     rc = main(["validate", idx])
     out = json.loads(capsys.readouterr().out)
     assert rc == 0 and out["ok"]
+
+
+def test_init_ray_cluster_address_branch(monkeypatch):
+    """_init_ray passes num_cpus only when starting a LOCAL instance;
+    a cluster address (e.g. 'auto' inside `ray job submit`) connects
+    without per-driver resource args, which Ray rejects."""
+    import ray
+
+    from docinsight_ray import cli
+
+    calls = []
+    monkeypatch.setattr(ray, "is_initialized", lambda: False)
+    monkeypatch.setattr(ray, "init", lambda **kw: calls.append(kw))
+    monkeypatch.setenv("RAY_ADDRESS", "auto")
+    cli._init_ray(8)
+    assert calls[-1]["address"] == "auto" and "num_cpus" not in calls[-1]
+    monkeypatch.setenv("RAY_ADDRESS", "local")
+    cli._init_ray(8)
+    assert calls[-1]["address"] == "local" and calls[-1]["num_cpus"] == 8
+    monkeypatch.delenv("RAY_ADDRESS")
+    cli._init_ray(None)
+    assert calls[-1]["address"] == "local"
