@@ -571,6 +571,63 @@ def cmd_validate(args) -> int:
     return 0 if not problems else 1
 
 
+def cmd_append(args) -> int:
+    """Append one or more corpus windows to a windowed index root
+    (pipelines/incremental.py) — N corpora pay ONE global-stats
+    redistribution (append_windows). The analyzer is adopted from the
+    existing windows unless --tokenizer overrides; window ids default
+    to the next free zero-padded integers."""
+    _init_ray(args.num_cpus)
+    import ray.data
+
+    from .pipelines.incremental import (
+        _window_dirs,
+        _window_stats,
+        append_windows,
+    )
+
+    cfg = None
+    for d in _window_dirs(args.index_root):
+        if _window_stats(d) is not None:
+            cfg = _analyzer_cfg(d, args.tokenizer)
+            break
+    if cfg is None:  # first window of a fresh root
+        from .config import EngineConfig
+
+        cfg = EngineConfig(tokenizer=args.tokenizer or "code")
+    if args.window_id and len(args.corpus) > 1:
+        print("error: --window-id needs exactly one corpus (ids are "
+              "auto-assigned for multi-corpus appends)", file=sys.stderr)
+        return 2
+    existing = {
+        os.path.basename(d.rstrip("/")).split("=", 1)[1]
+        for d in _window_dirs(args.index_root)
+    }
+    ids: list[str] = []
+    if args.window_id:
+        ids = [args.window_id]
+    else:
+        i = 0
+        while len(ids) < len(args.corpus):
+            cand = f"{i:03d}"
+            if cand not in existing:
+                ids.append(cand)
+                existing.add(cand)
+            i += 1
+    windows = [
+        # corpus_factory lets the dedup stage re-read the window through
+        # the Bloom shuffle-bypass tier when the seen-sha set is large
+        (ray.data.read_parquet(c), wid, (lambda c=c: ray.data.read_parquet(c)))
+        for c, wid in zip(args.corpus, ids)
+    ]
+    live = append_windows(windows, args.index_root, cfg)
+    print(json.dumps({
+        "appended": ids,
+        "live_windows": sorted(os.path.basename(d.rstrip("/")) for d in live),
+    }))
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Merge committed window sub-indexes into one (crash-safe segment
     compaction; pipelines/incremental.py:compact_windows)."""
@@ -976,6 +1033,19 @@ def main(argv=None) -> int:
     v.add_argument("--corpus", default=None, help="source corpus for sha256 spot checks")
     v.add_argument("--spot-checks", type=int, default=50)
     v.set_defaults(fn=cmd_validate)
+
+    ap = sub.add_parser("append", parents=[common],
+                        help="append corpus window(s) to a windowed index root "
+                             "(one global-stats refresh for the whole batch)")
+    ap.add_argument("index_root")
+    ap.add_argument("corpus", nargs="+",
+                    help="corpus parquet path(s), one window each")
+    ap.add_argument("--window-id", default=None,
+                    help="window id (single corpus only; default: next "
+                         "free zero-padded integer)")
+    # default=None: adopt the existing windows' build-time tokenizer
+    ap.add_argument("--tokenizer", default=None, choices=["code", "simple"])
+    ap.set_defaults(fn=cmd_append)
 
     c = sub.add_parser("compact", parents=[common],
                        help="merge window=* sub-indexes into one (segment compaction)")

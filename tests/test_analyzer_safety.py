@@ -222,3 +222,52 @@ def test_init_ray_cluster_address_branch(monkeypatch):
     monkeypatch.delenv("RAY_ADDRESS")
     cli._init_ray(None)
     assert calls[-1]["address"] == "local"
+
+
+def test_cli_append_lifecycle(ray_session, tmp_path, capsys):
+    """CLI append: fresh root gets window 000; a batch append assigns
+    the next free ids, adopts the root's analyzer, and serving equals
+    a single index over the concatenated corpora (same dedup)."""
+    import numpy as np
+    import pyarrow.parquet as pq_mod
+
+    from docinsight_ray.cli import main
+    from docinsight_ray.fixtures import gen_corpus
+    from docinsight_ray.pipelines.incremental import query_windows
+    from docinsight_ray.build import build_index
+
+    corpus = gen_corpus(120, seed=91)
+    c1, c2, c3 = (str(tmp_path / f"c{i}.parquet") for i in range(3))
+    pq_mod.write_table(corpus.slice(0, 40), c1)
+    pq_mod.write_table(corpus.slice(40, 40), c2)
+    pq_mod.write_table(corpus.slice(80), c3)
+    root = str(tmp_path / "root")
+
+    assert main(["append", root, c1, "--tokenizer", "simple"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["appended"] == ["000"] and out["live_windows"] == ["window=000"]
+    # batch append, analyzer adopted (no flag), ids continue
+    assert main(["append", root, c2, c3]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["appended"] == ["001", "002"]
+    stats = json.load(open(os.path.join(root, "window=001", "corpus_stats.json")))
+    assert stats["tokenizer"] == "simple"
+    # --window-id with multiple corpora is an error
+    assert main(["append", root, c1, c2, "--window-id", "x"]) == 2
+    capsys.readouterr()
+
+    # serving equals one index over the union
+    cfg = EngineConfig(tokenizer="simple")
+    mono = str(tmp_path / "mono")
+    build_index(ray.data.from_arrow(corpus), mono, cfg, fingerprint="mono")
+    qtbl = pa.table({
+        "query_id": pa.array([0], type=pa.int64()),
+        "text": pa.array(["public static void"], type=pa.string()),
+        "k": pa.array([10], type=pa.uint32()),
+    })
+    from docinsight_ray.scorer import query_index
+
+    got = query_windows(ray.data.from_arrow(qtbl), root, cfg).to_pandas().sort_values("rank")
+    want = query_index(ray.data.from_arrow(qtbl), mono, cfg).to_pandas().sort_values("rank")
+    np.testing.assert_array_equal(got.doc_id.to_numpy(), want.doc_id.to_numpy())
+    np.testing.assert_array_equal(got.score.to_numpy(), want.score.to_numpy())
