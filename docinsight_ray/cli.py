@@ -571,6 +571,52 @@ def cmd_validate(args) -> int:
     return 0 if not problems else 1
 
 
+def cmd_stats(args) -> int:
+    """One-look index inspection (no Ray session): corpus stats, build
+    stage metrics, postings/docs on-disk sizes, partition and hot-term
+    counts — the `_cat/indices`-style summary for any index dir."""
+    from .state.fsio import glob_parquet, read_bytes
+
+    idx = args.index_dir
+    raw = read_bytes(os.path.join(idx, "corpus_stats.json"))
+    if raw is None:
+        print(f"error: {idx!r} is not a built index (no corpus_stats.json)",
+              file=sys.stderr)
+        return 2
+    stats = json.loads(raw)
+
+    def _tree_bytes(sub: str) -> tuple[int, int]:
+        files = glob_parquet(os.path.join(idx, sub))
+        total = 0
+        for f in files:
+            try:
+                total += os.path.getsize(f)
+            except OSError:  # URI paths: size via read is wasteful; skip
+                return len(files), -1
+        return len(files), total
+
+    n_parts, parts_bytes = _tree_bytes("parts")
+    n_docs_files, docs_bytes = _tree_bytes("docs")
+    out = {
+        "n_docs": stats.get("n_docs"),
+        "total_len": stats.get("total_len"),
+        "avgdl": stats.get("avgdl"),
+        "n_dup_losers": stats.get("n_dup_losers"),
+        "tokenizer": stats.get("tokenizer"),
+        "stemmer": stats.get("stemmer"),
+        "num_buckets": stats.get("num_buckets"),
+        "hot_terms": len(stats.get("hot_terms", [])),
+        "fingerprint": stats.get("fingerprint"),
+        "postings_files": n_parts,
+        "postings_bytes": parts_bytes,
+        "docs_files": n_docs_files,
+        "docs_bytes": docs_bytes,
+        "stages": stats.get("stages"),
+    }
+    print(json.dumps(out, indent=1, sort_keys=True))
+    return 0
+
+
 def cmd_append(args) -> int:
     """Append one or more corpus windows to a windowed index root
     (pipelines/incremental.py) — N corpora pay ONE global-stats
@@ -1033,6 +1079,11 @@ def main(argv=None) -> int:
     v.add_argument("--corpus", default=None, help="source corpus for sha256 spot checks")
     v.add_argument("--spot-checks", type=int, default=50)
     v.set_defaults(fn=cmd_validate)
+
+    st = sub.add_parser("stats", parents=[common],
+                        help="print index summary (stats, stage metrics, sizes)")
+    st.add_argument("index_dir")
+    st.set_defaults(fn=cmd_stats)
 
     ap = sub.add_parser("append", parents=[common],
                         help="append corpus window(s) to a windowed index root "

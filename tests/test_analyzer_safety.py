@@ -271,3 +271,15 @@ def test_cli_append_lifecycle(ray_session, tmp_path, capsys):
     want = query_index(ray.data.from_arrow(qtbl), mono, cfg).to_pandas().sort_values("rank")
     np.testing.assert_array_equal(got.doc_id.to_numpy(), want.doc_id.to_numpy())
     np.testing.assert_array_equal(got.score.to_numpy(), want.score.to_numpy())
+
+
+def test_cli_stats_summary(stemmed_index, capsys):
+    from docinsight_ray.cli import main
+
+    idx, _ = stemmed_index
+    assert main(["stats", idx]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_docs"] == 4 and out["tokenizer"] == "simple"
+    assert out["postings_files"] > 0 and out["postings_bytes"] > 0
+    assert "tokenize_docs" in out["stages"]
+    assert main(["stats", "/nonexistent"]) == 2
