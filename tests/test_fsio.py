@@ -129,3 +129,59 @@ def test_incremental_snapshot_skips_unchanged_and_gcs_stale(tmp_path):
     # incremental=False forces a full re-upload
     m3 = snapshot_index(str(src), repo, incremental=False)
     assert m3["n_skipped_unchanged"] == 0 and verify_snapshot(repo)["ok"]
+
+
+def test_incremental_snapshot_property(tmp_path):
+    """Property: after ANY sequence of tree mutations, an incremental
+    snapshot verifies clean and restores exactly the current tree."""
+    import os
+
+    from hypothesis import given, settings, strategies as st
+
+    from docinsight_ray.state.snapshot import (
+        restore_index,
+        snapshot_index,
+        verify_snapshot,
+    )
+
+    names = st.sampled_from(["a", "b", "sub/c", "sub/d", "e"])
+    ops = st.lists(
+        st.tuples(names, st.one_of(st.none(), st.binary(min_size=0, max_size=64))),
+        min_size=1, max_size=6,
+    )
+    counter = [0]
+
+    @settings(max_examples=15, deadline=None)
+    @given(steps=st.lists(ops, min_size=1, max_size=3))
+    def run(steps):
+        counter[0] += 1
+        root = tmp_path / f"case{counter[0]}"
+        src, repo = root / "src", str(root / "repo")
+        src.mkdir(parents=True)
+        (src / "seed").write_bytes(b"seed")
+        for batch in steps:
+            for rel, data in batch:
+                p = src / rel
+                if data is None:
+                    if p.exists():
+                        os.remove(p)
+                else:
+                    p.parent.mkdir(parents=True, exist_ok=True)
+                    p.write_bytes(data)
+            if not any(f.is_file() for f in src.rglob("*")):
+                (src / "seed").write_bytes(b"seed")  # never empty
+            snapshot_index(str(src), repo)
+            assert verify_snapshot(repo)["ok"]
+        dest = root / "restored"
+        restore_index(repo, str(dest))
+        want = {
+            str(f.relative_to(src)): f.read_bytes()
+            for f in src.rglob("*") if f.is_file()
+        }
+        got = {
+            str(f.relative_to(dest)): f.read_bytes()
+            for f in dest.rglob("*") if f.is_file()
+        }
+        assert got == want
+
+    run()
