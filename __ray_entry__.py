@@ -74,11 +74,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["reference_topk"] = q_reference_topk
     # The driver samples a prefix of this dict's stable ordering each
     # round. Rotate gates it has never verified (absent from
-    # CORRECTNESS_r01..r03) to the front so each round's sample covers
+    # CORRECTNESS_r01..r04) to the front so each round's sample covers
     # the newest surface; new gates are unsampled by definition and
-    # enumerate first automatically. (VERDICT r3, Next round #2.)
-    front = {k: v for k, v in out.items() if k not in _DRIVER_SAMPLED_R1_R3}
-    front.update((k, v) for k, v in out.items() if k in _DRIVER_SAMPLED_R1_R3)
+    # enumerate first automatically. (VERDICT r3 #2, VERDICT r4 #1.)
+    sampled = _DRIVER_SAMPLED_R1_R3 | _DRIVER_SAMPLED_R4
+    front = {k: v for k, v in out.items() if k not in sampled}
+    front.update((k, v) for k, v in out.items() if k in sampled)
     return front
 
 
@@ -102,6 +103,24 @@ _DRIVER_SAMPLED_R1_R3 = frozenset({
     "quality_score", "reference_topk", "rrf_topk", "sessionize",
     "significant_terms", "simhash64", "spellcheck", "suggest", "suggest_phrase",
     "term_df_top100", "token_count", "top_parts_by_size", "windowed_agg",
+})
+
+# Gates the driver verified in round 4 (CORRECTNESS_r04.json keys —
+# historical fact, frozen; kept separate so each round's provenance
+# is auditable).
+_DRIVER_SAMPLED_R4 = frozenset({
+    'asof_join', 'bm25_boosted', 'bm25_fielded', 'bm25_rank_feature',
+    'bm25_synonyms', 'budget_select', 'custdist', 'dataset_split', 'decontaminate',
+    'doc_rollup', 'dup_clusters', 'event_funnel', 'event_pivot', 'event_retention',
+    'event_transitions', 'extended_stats', 'gopher_rules', 'hard_negatives',
+    'jaccard_topk', 'knn_cosine_filtered', 'knn_cosine_pq', 'knn_cosine_sq8',
+    'knn_graph_mutual', 'knn_mmr', 'knn_range', 'lapsed_customers', 'large_orders',
+    'length_quantiles', 'map_eval', 'multimodal_real', 'ndcg_eval', 'phrase_match',
+    'pii_redact', 'priority_semi_join', 'promo_revenue', 'range_join',
+    'retrieval_eval', 'returned_revenue', 'revenue_by_nation', 'semdedup',
+    'sequence_pack', 'simhash_near_dup', 'sliding_agg', 'term_vectors',
+    'tfidf_top_terms', 'top_event_type', 'top_unshipped_orders', 'topk_per_group',
+    'user_cum_spend', 'windowed_delta',
 })
 
 
