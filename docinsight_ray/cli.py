@@ -53,6 +53,10 @@ def _init_ray(num_cpus: int | None):
         # argument, so it is only passed on the local path.
         addr = os.environ.get("RAY_ADDRESS") or "local"
         kwargs = {"num_cpus": num_cpus} if addr == "local" else {}
+        if num_cpus is not None and addr != "local":
+            print(f"warning: --num-cpus={num_cpus} ignored — RAY_ADDRESS="
+                  f"{addr!r} connects to an existing cluster whose CPU "
+                  "capacity is fixed by its nodes", file=sys.stderr)
         ray.init(
             address=addr,
             include_dashboard=False,
@@ -649,6 +653,18 @@ def cmd_append(args) -> int:
         os.path.basename(d.rstrip("/")).split("=", 1)[1]
         for d in _window_dirs(args.index_root)
     }
+    if args.window_id and args.window_id in existing:
+        # Window fingerprints are id-based ('window:<id>'), so an
+        # append onto a committed id would silently RESUME the old
+        # window (manifest match) and never index the new corpus.
+        if not args.overwrite:
+            print(f"error: window id {args.window_id!r} already committed "
+                  f"under {args.index_root} (pass --overwrite to replace it)",
+                  file=sys.stderr)
+            return 2
+        import shutil
+
+        shutil.rmtree(os.path.join(args.index_root, f"window={args.window_id}"))
     ids: list[str] = []
     if args.window_id:
         ids = [args.window_id]
@@ -1094,6 +1110,9 @@ def main(argv=None) -> int:
     ap.add_argument("--window-id", default=None,
                     help="window id (single corpus only; default: next "
                          "free zero-padded integer)")
+    ap.add_argument("--overwrite", action="store_true",
+                    help="allow --window-id to replace an existing "
+                         "committed window (destructive)")
     # default=None: adopt the existing windows' build-time tokenizer
     ap.add_argument("--tokenizer", default=None, choices=["code", "simple"])
     ap.set_defaults(fn=cmd_append)

@@ -79,7 +79,11 @@ def parse_structured_query(text: str) -> StructuredQuery:
                 (neg_phrases if neg else phrases).append(quoted.strip())
             continue
         if bare.startswith("-") and len(bare) > 1:
-            excludes.append(bare[1:].lower())
+            word = bare[1:]
+            bm = _BOOST_RE.match(word)
+            if bm:  # '-word^2': strip the (meaningless) boost so the
+                word = bm.group(1)  # exclusion hits 'word', not 'word^2'
+            excludes.append(word.lower())
         elif bare.startswith("+") and len(bare) > 1:
             word = bare[1:]
             bm = _BOOST_RE.match(word)

@@ -279,12 +279,17 @@ class BM25Scorer:
         # boost keys follow the same analyzer chain as scoring terms
         # ('tables^2' under stemmer='s' must boost the indexed stem
         # 'table', which is what query_terms will look up); a key that
-        # analyzes to several tokens boosts each of them
-        self._boosts = (
-            {t: float(v) for k, v in boosts.items() for t in tokenize_text(k, self.cfg)}
-            if boosts
-            else None
-        )
+        # analyzes to several tokens boosts each of them. Surface forms
+        # that collide on the same analyzed token ('table^2 tables^3')
+        # combine via max — deterministic regardless of dict order.
+        if boosts:
+            analyzed: dict[str, float] = {}
+            for k, v in boosts.items():
+                for t in tokenize_text(k, self.cfg):
+                    analyzed[t] = max(analyzed.get(t, float("-inf")), float(v))
+            self._boosts = analyzed or None
+        else:
+            self._boosts = None
         if self._boosts and mode in ("bmw", "lmdir", "bm25plus"):
             raise ValueError(f"per-term boosts are not supported in mode={mode!r}")
         # query-time synonym expansion (Elasticsearch synonym-filter

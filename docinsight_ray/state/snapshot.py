@@ -96,7 +96,13 @@ def snapshot_index(src: str, dest: str, incremental: bool = True) -> dict:
             raise FileNotFoundError(f"{src}/{rel}")
         sha = hashlib.sha256(data).hexdigest()
         p = prior.get(rel)
-        if p is not None and p.get("sha256") == sha and p.get("size") == len(data):
+        # The prior manifest may assert hashes for repo files that were
+        # since deleted or corrupted externally; skipping on manifest
+        # evidence alone would commit a manifest the repository can't
+        # back. An existence probe is cheap; full re-hash stays opt-in
+        # via --verify.
+        if (p is not None and p.get("sha256") == sha and p.get("size") == len(data)
+                and fsio.exists(f"{dest.rstrip('/')}/{rel}")):
             n_skipped += 1  # byte-identical in the repository already
         else:
             fsio.write_bytes_atomic(f"{dest.rstrip('/')}/{rel}", data)

@@ -126,6 +126,38 @@ def test_boost_keys_follow_analyzer(stemmed_index):
     assert not (da.tolist() == dp.tolist() and sa.tolist() == sp.tolist())
 
 
+def test_exclude_strips_boost_suffix():
+    """'-word^2' excludes 'word' (the ^boost is meaningless on an
+    exclusion and is stripped, matching the '+word^2.5' grammar);
+    pre-fix the analyzer split 'word^2' into ('word','2') and the
+    exclusion required BOTH tokens."""
+    sq = parse_structured_query("wooden -tables^2")
+    assert sq.exclude_terms == ("tables",)
+    assert sq.boosts == ()
+
+
+def test_exclude_boost_end_to_end(stemmed_index):
+    idx, by_path = stemmed_index
+    d, _ = structured_search("wooden chair -tables^3", idx, STEM_CFG, k=10)
+    banned = {by_path["t0.txt"], by_path["t1.txt"]}
+    assert d.size > 0 and not (set(d.tolist()) & banned)
+
+
+def test_boost_surface_collision_takes_max(stemmed_index):
+    """Two surface forms that analyze to the same token combine via
+    max, independent of dict insertion order (pre-fix: last-wins)."""
+    idx, _ = stemmed_index
+    ab = BM25Scorer(idx, STEM_CFG, boosts={"table": 2.0, "tables": 3.0})
+    ba = BM25Scorer(idx, STEM_CFG, boosts={"tables": 3.0, "table": 2.0})
+    want = BM25Scorer(idx, STEM_CFG, boosts={"table": 3.0})
+    q = "wooden table chair"
+    for sc in (ab, ba):
+        d, s = sc.score_taat(q, 10)
+        dw, sw = want.score_taat(q, 10)
+        np.testing.assert_array_equal(d, dw)
+        np.testing.assert_array_equal(s, sw)
+
+
 def test_must_boost_combination_end_to_end(stemmed_index):
     """'+tables^2' requires the stem AND boosts it (pre-fix: the literal
     'tables^2.0' matched nothing and the query silently emptied)."""
@@ -255,6 +287,12 @@ def test_cli_append_lifecycle(ray_session, tmp_path, capsys):
     # --window-id with multiple corpora is an error
     assert main(["append", root, c1, c2, "--window-id", "x"]) == 2
     capsys.readouterr()
+    # re-using a committed window id is refused (pre-guard: build_index
+    # saw a fingerprint mismatch and silently rebuilt over the window)
+    assert main(["append", root, c1, "--window-id", "001"]) == 2
+    assert "already committed" in capsys.readouterr().err
+    stats_after = json.load(open(os.path.join(root, "window=001", "corpus_stats.json")))
+    assert stats_after == stats  # untouched
 
     # serving equals one index over the union
     cfg = EngineConfig(tokenizer="simple")
@@ -271,6 +309,14 @@ def test_cli_append_lifecycle(ray_session, tmp_path, capsys):
     want = query_index(ray.data.from_arrow(qtbl), mono, cfg).to_pandas().sort_values("rank")
     np.testing.assert_array_equal(got.doc_id.to_numpy(), want.doc_id.to_numpy())
     np.testing.assert_array_equal(got.score.to_numpy(), want.score.to_numpy())
+
+    # --overwrite opts in to replacing a committed window (destructive,
+    # so exercised after the serving-equality check above)
+    assert main(["append", root, c3, "--window-id", "001", "--overwrite"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["appended"] == ["001"]
+    replaced = json.load(open(os.path.join(root, "window=001", "corpus_stats.json")))
+    assert replaced != stats  # genuinely rebuilt
 
 
 def test_cli_stats_summary(stemmed_index, capsys):

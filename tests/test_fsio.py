@@ -131,6 +131,27 @@ def test_incremental_snapshot_skips_unchanged_and_gcs_stale(tmp_path):
     assert m3["n_skipped_unchanged"] == 0 and verify_snapshot(repo)["ok"]
 
 
+def test_incremental_snapshot_heals_externally_deleted_repo_file(tmp_path):
+    """A repo file deleted behind the manifest's back is re-uploaded on
+    the next incremental snapshot (not skipped on manifest evidence
+    alone), so the snapshot verifies clean without --verify."""
+    import os
+
+    from docinsight_ray.state.snapshot import snapshot_index, verify_snapshot
+
+    src = tmp_path / "tree"
+    src.mkdir()
+    (src / "a.bin").write_bytes(b"alpha" * 50)
+    (src / "b.bin").write_bytes(b"bravo" * 50)
+    repo = str(tmp_path / "repo")
+    snapshot_index(str(src), repo)
+    os.remove(os.path.join(repo, "a.bin"))  # external corruption
+    m = snapshot_index(str(src), repo)
+    assert m["n_skipped_unchanged"] == 1  # only the intact b.bin
+    assert os.path.exists(os.path.join(repo, "a.bin"))
+    assert verify_snapshot(repo)["ok"]
+
+
 def test_incremental_snapshot_property(tmp_path):
     """Property: after ANY sequence of tree mutations, an incremental
     snapshot verifies clean and restores exactly the current tree."""
