@@ -136,14 +136,36 @@ def _postings_ds(idx: str) -> "ray.data.Dataset":
 
 def q_term_df_top100(sf_dir: str) -> pa.Table:
     """Top-100 document frequencies from the merged postings (df is
-    stored on the posting row — SURVEY.md §2.5 G3)."""
+    stored on the posting row — SURVEY.md §2.5 G3).
+
+    Per-block local top-100 partials under the total order (df desc,
+    term asc) + a bounded driver merge — every global top-100 row is in
+    its own block's local top-100, so the partials are lossless and the
+    billions-of-terms vocabulary never global-sorts (the all-to-all the
+    old ``ds.sort`` paid)."""
     idx = ensure_index(sf_dir)
     ds = _postings_ds(idx).select_columns(["term", "df"])
-    out = ds.sort(["df", "term"], descending=[True, False]).limit(100).to_pandas()
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            batch, sort_keys=[("df", "descending"), ("term", "ascending")]
+        )
+        return batch.take(order[:100])
+
+    from ..collect import collect_table
+
+    partials = collect_table(
+        ds.map_batches(local_top, batch_format="pyarrow"),
+        pa.schema([("term", pa.string()), ("df", pa.uint32())]),
+    )  # ≤ 100 rows per block
+    order = pc.sort_indices(
+        partials, sort_keys=[("df", "descending"), ("term", "ascending")]
+    )
+    out = partials.take(order[:100])
     return pa.table(
         {
             "term": pa.array(out["term"], type=pa.string()),
-            "df": pa.array(out["df"].astype(np.int64), type=pa.int64()),
+            "df": pc.cast(out["df"], pa.int64()),
         }
     )
 
