@@ -575,14 +575,22 @@ def q_term_cooccurrence(sf_dir: str) -> pa.Table:
     """
 
     def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.lower().str.findall(_TOK2_RE).map(set)
-        cnt: dict[str, int] = {}
-        for ts in toks:
-            for t in ts:
-                cnt[t] = cnt.get(t, 0) + 1
-        return pd.DataFrame(
-            {"term": list(cnt), "df": np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt))}
-        )
+        # exploded-token factorize path: flatten, code, dedupe the
+        # (doc, code) pairs with one np.unique, bincount per code — no
+        # per-document set() or Python counting loop
+        toks = batch["text"].str.lower().str.findall(_TOK2_RE)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        if not lens.sum():
+            return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                 "df": pd.Series([], dtype=np.int64)})
+        from itertools import chain
+
+        flat = pd.Series(list(chain.from_iterable(toks)), dtype=object)
+        codes, uniques = pd.factorize(flat, sort=False)
+        doc_idx = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+        pair_keys = np.unique(doc_idx * np.int64(len(uniques)) + codes)
+        cnt = np.bincount(pair_keys % len(uniques), minlength=len(uniques))
+        return pd.DataFrame({"term": uniques, "df": cnt.astype(np.int64)})
 
     df_empty = pa.schema([("term", pa.string()), ("df", pa.int64())])
     df_tbl = (
