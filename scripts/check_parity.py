@@ -84,7 +84,23 @@ def main() -> int:
             continue
         wall = time.monotonic() - t0
         if name not in sqls:
-            print(f"ROWS  {name}: {len(mine)} rows (no oracle SQL) [{wall:.1f}s]")
+            from docinsight_ray.pyoracle import PY_ORACLES
+
+            chk = PY_ORACLES.get(name)
+            if chk is None:
+                print(f"ROWS  {name}: {len(mine)} rows (no oracle) [{wall:.1f}s]")
+                continue
+            try:
+                ok, msg = chk(sf_dir, mine)
+            except Exception as ex:
+                print(f"FAIL  {name}: py-oracle raised {type(ex).__name__}: {ex}")
+                n_fail += 1
+                continue
+            if ok:
+                print(f"OK    {name}: py-oracle — {msg} [{wall:.1f}s]")
+            else:
+                print(f"FAIL  {name}: py-oracle — {msg} [{wall:.1f}s]")
+                n_fail += 1
             continue
         try:
             ref = canon(con.sql(sqls[name]).df())
