@@ -259,8 +259,32 @@ class BM25Scorer:
         min_should_match: int | None = None,
         synonyms: dict[str, tuple[str, ...]] | None = None,
         boosts: dict[str, float] | None = None,
+        shared_state=None,
     ):
+        import time as _time
+
+        _t_init = _time.monotonic()
         from .state.fsio import exists as fs_exists, glob_parquet, read_bytes
+
+        # plasma-shared index state (query_index(preload=True) /
+        # load_index_state): the partition Arrow tables and the narrow
+        # docs table live in the OBJECT STORE — decoded from parquet
+        # once per cluster node instead of once per actor, and the
+        # Arrow buffers are shared-memory zero-copy views, so N pool
+        # actors on a node share one resident copy instead of holding
+        # N. Falls back to per-actor parquet reads when absent.
+        self._shared_parts: dict[str, pa.Table] = {}
+        _shared_docs: pa.Table | None = None
+        if shared_state is not None:
+            import ray as _ray
+
+            st = (
+                _ray.get(shared_state)
+                if isinstance(shared_state, _ray.ObjectRef)
+                else shared_state
+            )
+            self._shared_parts = st.get("parts", {})
+            _shared_docs = st.get("docs")
 
         # serving may go through a stable alias directory (zero-downtime
         # reindex cutover, pipelines/reindex.py) — resolve it once here
@@ -367,7 +391,11 @@ class BM25Scorer:
             self._allowed = inc if self._allowed is None else np.intersect1d(self._allowed, inc)
 
         # doc lengths (narrow columns only)
-        docs = pq.read_table(os.path.join(index_dir, "docs"), columns=["doc_id", "doc_len"])
+        docs = (
+            _shared_docs
+            if _shared_docs is not None
+            else pq.read_table(os.path.join(index_dir, "docs"), columns=["doc_id", "doc_len"])
+        )
         did = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         dl = docs["doc_len"].to_numpy(zero_copy_only=False).astype(np.uint32)
         order = np.argsort(did, kind="stable")
@@ -502,6 +530,35 @@ class BM25Scorer:
             base = self._allowed if self._allowed is not None else self._dl_docid
             self._allowed = np.setdiff1d(base, denied_ids)
 
+        # per-actor utilization accounting (scaling-analysis hook):
+        # when DOCINSIGHT_ACTOR_PROFILE names a directory, the actor
+        # keeps a per-pid JSON current with its one-time init cost and
+        # cumulative scoring-busy seconds, so a harness can compute
+        # busy-fraction = Σ busy / (actors × wall) after a run. Free
+        # when the variable is unset.
+        self._init_s = _time.monotonic() - _t_init
+        self._busy_s = 0.0
+        self._n_scored = 0
+        self._profile_dir = os.environ.get("DOCINSIGHT_ACTOR_PROFILE")
+
+    def _profile_flush(self) -> None:
+        import time as _time
+
+        path = os.path.join(self._profile_dir, f"actor-{os.getpid()}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "pid": os.getpid(),
+                    "init_s": round(self._init_s, 4),
+                    "busy_s": round(self._busy_s, 4),
+                    "n_queries": self._n_scored,
+                    "ts": _time.time(),
+                },
+                f,
+            )
+        os.replace(tmp, path)
+
     # ---- partition loading ----------------------------------------------
 
     def _load_part(self, name: str) -> _Part | None:
@@ -509,10 +566,12 @@ class BM25Scorer:
         if part is not None:
             self._parts.move_to_end(name)
             return part
-        files = self._part_files.get(name)
-        if not files:
-            return None
-        tbl = pa.concat_tables([pq.read_table(f) for f in files])
+        tbl = self._shared_parts.get(name)
+        if tbl is None:
+            files = self._part_files.get(name)
+            if not files:
+                return None
+            tbl = pa.concat_tables([pq.read_table(f) for f in files])
         part = _Part(tbl, self._global_df)
         self._parts[name] = part
         self.partitions_loaded += 1
@@ -1086,6 +1145,9 @@ class BM25Scorer:
     # ---- map_batches entry ---------------------------------------------
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time as _time
+
+        _t0 = _time.monotonic()
         score = {
             "bmw": self.score_bmw,
             "maxscore": self.score_maxscore,
@@ -1102,6 +1164,10 @@ class BM25Scorer:
             docs.append(d)
             scores.append(s)
             out_ks.append(np.full(d.size, int(k), dtype=np.uint32))
+        self._busy_s += _time.monotonic() - _t0
+        self._n_scored += batch.num_rows
+        if self._profile_dir:
+            self._profile_flush()
         if not qids:
             empty = RESULTS_SCHEMA.empty_table()
             if self.emit_k:
@@ -1292,6 +1358,40 @@ def expand_fuzzy(
     return terms if limit is None else terms[:limit]
 
 
+def load_index_state(index_dir: str):
+    """Decode an index's postings partitions + narrow docs table ONCE
+    and put them in the Ray object store; returns the ObjectRef that
+    ``query_index(..., preload=True)`` hands every pool actor.
+
+    Scale shape: the object ships to each node that schedules a scorer
+    actor ONCE (Ray object-store locality), and Arrow buffers read out
+    of plasma are shared-memory zero-copy — N actors on a node share a
+    single resident decoded copy instead of each paying the parquet
+    read + decompress and holding its own. Use for node-resident
+    indexes (the doc-sharded / windowed paths already bound per-index
+    size); the partition-lazy scorer remains the capped-RSS path when
+    an index must NOT be fully resident."""
+    import ray as _ray
+
+    from .state.fsio import glob_parquet
+
+    from .pipelines.reindex import resolve_alias
+
+    index_dir = resolve_alias(index_dir)
+    part_files: dict[str, list[str]] = {}
+    for f in glob_parquet(os.path.join(index_dir, "parts")):
+        name = f.rsplit("/parts/", 1)[-1].split("/", 1)[0]
+        part_files.setdefault(name, []).append(f)
+    parts = {
+        # combine_chunks here so per-actor _Part views are pure
+        # zero-copy (no chunk consolidation on the consumer side)
+        name: pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
+        for name, files in sorted(part_files.items())
+    }
+    docs = pq.read_table(os.path.join(index_dir, "docs"), columns=["doc_id", "doc_len"])
+    return _ray.put({"parts": parts, "docs": docs.combine_chunks()})
+
+
 def query_index(
     queries,
     index_dir: str,
@@ -1306,6 +1406,7 @@ def query_index(
     min_should_match: int | None = None,
     synonyms: dict[str, tuple[str, ...]] | None = None,
     boosts: dict[str, float] | None = None,
+    preload: bool = False,
 ):
     """queries Dataset (query_id, text, k) → results Dataset via the
     scorer actor pool. ``max_loaded_parts`` > 0 serves with the
@@ -1324,13 +1425,20 @@ def query_index(
     ``synonyms`` maps query tokens to extra terms (query-time thesaurus
     expansion; ships once per actor, composes with every mode).
     ``boosts`` maps terms to score multipliers (Lucene ``term^2``;
-    taat/maxscore/conjunctive only — pruning stays exact)."""
+    taat/maxscore/conjunctive only — pruning stays exact).
+    ``preload=True`` decodes the index ONCE into the object store
+    (``load_index_state``) so pool actors share one zero-copy resident
+    copy instead of each reading parquet — the right default for
+    node-resident indexes at high concurrency; leave off for the
+    partition-lazy capped-RSS path."""
     cfg = cfg or EngineConfig()
+    shared = load_index_state(index_dir) if preload else None
     return queries.map_batches(
         BM25Scorer,
         fn_constructor_args=(
             index_dir, cfg, mode, False, max_loaded_parts, doc_filter, exclude_terms,
             exclude_doc_ids, include_doc_ids, min_should_match, synonyms, boosts,
+            shared,
         ),
         batch_format="pyarrow",
         batch_size=cfg.query_batch_size,

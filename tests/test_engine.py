@@ -203,6 +203,25 @@ def test_query_dataset_pipeline(built, ray_session):
         np.testing.assert_array_equal(sub.score.to_numpy(), osc)
 
 
+def test_query_preload_shared_state_identical(built, ray_session):
+    """query_index(preload=True) — pool actors share one plasma-backed
+    decoded index — is rank- and score-identical to the per-actor
+    parquet-load path, and the oracle."""
+    import ray.data
+
+    corpus, idx, res = built
+    queries = gen_queries(corpus, n_keyword=5, seed=43)
+    qds = ray.data.from_arrow(queries_table(queries))
+    out = query_index(qds, idx, CFG, mode="maxscore", concurrency=2,
+                      preload=True).to_pandas()
+    oracle = OracleIndex(corpus, CFG)
+    for qid, text, k in queries:
+        od, osc = oracle.score(text, k)
+        sub = out[out.query_id == qid].sort_values("rank")
+        np.testing.assert_array_equal(sub.doc_id.to_numpy(dtype=np.uint64), od)
+        np.testing.assert_array_equal(sub.score.to_numpy(), osc)
+
+
 def test_determinism_across_parallelism(built, ray_session, tmp_path):
     """Same input at different block counts → byte-identical postings
     content (SURVEY.md §5.2 item 6)."""
