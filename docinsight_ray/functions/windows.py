@@ -58,30 +58,42 @@ def q_windowed_agg(sf_dir: str) -> pa.Table:
 def q_sessionize(sf_dir: str) -> pa.Table:
     """Gap-based sessionization per user (gap > 30 min ⇒ new session):
     (user_id, session_id, n_events, session_start, session_end)."""
-    gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
+    gap_us = np.int64(SESSION_GAP_MIN) * 60 * 1_000_000
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        brk = (g["ts"].diff() > gap) | g["ts"].diff().isna()
-        sid = brk.cumsum() - 1
-        out = g.assign(session_id=sid.astype("int64")).groupby("session_id").agg(
-            n_events=("event_id", "size"),
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
+    def sessions(g: pa.Table) -> pa.Table:
+        # Arrow-native ordered scan: sort by (ts, event_id), break a
+        # session where the gap exceeds the threshold, then per-session
+        # aggregates fall out of the break positions — first/last of the
+        # sorted timestamps — with no pandas conversion or sub-groupby
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts = ts[order]
+        us = ts.astype("datetime64[us]").astype(np.int64)
+        brk = np.r_[True, np.diff(us) > gap_us]
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], us.size]
+        uid = int(g["user_id"][0].as_py())
+        sid = np.arange(starts.size, dtype=np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(starts.size, uid, dtype=np.int64)),
+                "session_id": pa.array(sid),
+                "n_events": pa.array((ends - starts).astype(np.int64)),
+                "session_start": pa.array(ts[starts]),
+                "session_end": pa.array(ts[ends - 1]),
+                # composite string key: natural session identifier, and keeps
+                # the output out of the all-fixed-width layout (ROADMAP.md §6b)
+                "session_key": pa.array([f"{uid}:{s}" for s in sid], type=pa.string()),
+            }
         )
-        out = out.reset_index()
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        out["n_events"] = out["n_events"].astype("int64")
-        # composite string key: natural session identifier, and keeps
-        # the output out of the all-fixed-width layout (ROADMAP.md §6b)
-        out["session_key"] = out["user_id"].astype(str) + ":" + out["session_id"].astype(str)
-        return out
 
+    sessions.__name__ = "sessions"
     out = (
         _read_events(sf_dir)
         .select_columns(["user_id", "ts", "event_id"])
         .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        .map_groups(sessions, batch_format="pyarrow")
         .to_pandas()
     )
     out["user_id"] = out["user_id"].astype("int64")
@@ -430,24 +442,29 @@ def q_user_cum_spend(sf_dir: str) -> pa.Table:
     relational module's exactness discipline) so the running sum is
     order-exact regardless of aggregation order."""
 
-    def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        cents = np.floor(g["value"].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
-        seq = np.arange(len(g), dtype=np.int64)
-        out = pd.DataFrame(
+    def running(g: pa.Table) -> pa.Table:
+        # Arrow-native ordered prefix scan: sort, integer-cents cumsum
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts))
+        ts, eid = ts[order], eid[order]
+        vals = g["value"].to_numpy(zero_copy_only=False).astype(np.float64)[order]
+        cents = np.floor(vals * 100.0 + 0.5).astype(np.int64)
+        uid = int(g["user_id"][0].as_py())
+        seq = np.arange(eid.size, dtype=np.int64)
+        return pa.table(
             {
-                "user_id": g["user_id"].astype("int64"),
-                "event_id": g["event_id"].astype("int64"),
-                "ts": g["ts"],
-                "spend_cents": cents,
-                "cum_spend_cents": np.cumsum(cents),
-                "seq": seq,
+                "user_id": pa.array(np.full(eid.size, uid, dtype=np.int64)),
+                "event_id": pa.array(eid),
+                "ts": pa.array(ts),
+                "spend_cents": pa.array(cents),
+                "cum_spend_cents": pa.array(np.cumsum(cents)),
+                "seq": pa.array(seq),
+                # composite string key: keeps the output out of the
+                # all-fixed-width layout (ROADMAP.md §6b) and is the natural row id
+                "ukey": pa.array([f"{uid}:{s}" for s in seq], type=pa.string()),
             }
         )
-        # composite string key: keeps the output out of the
-        # all-fixed-width layout (ROADMAP.md §6b) and is the natural row id
-        out["ukey"] = out["user_id"].astype(str) + ":" + out["seq"].astype(str)
-        return out
 
     running.__name__ = "running"
     out = (
@@ -455,7 +472,7 @@ def q_user_cum_spend(sf_dir: str) -> pa.Table:
         .filter(expr="event_type == 'purchase'")
         .select_columns(["user_id", "ts", "event_id", "value"])
         .groupby("user_id")
-        .map_groups(running, batch_format="pandas")
+        .map_groups(running, batch_format="pyarrow")
         .to_pandas()
     )
     return pa.Table.from_pandas(out, preserve_index=False)

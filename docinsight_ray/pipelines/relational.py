@@ -70,34 +70,53 @@ def q_lineitem_agg(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _cust_nation_arrays(sf_dir: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(sorted custkeys, aligned nationkeys, nation names indexed by
+    nationkey) — the broadcast small-side of the customer⋈nation join
+    as three numpy arrays, so per-batch resolution is one vectorized
+    ``searchsorted`` + two gathers instead of per-row dict lookups."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(dtype=np.int64)
+    order = np.argsort(ck)
+    ckeys = ck[order]
+    cnk = cust["c_nationkey"].to_numpy(dtype=np.int64)[order]
+    names = np.empty(int(nation["n_nationkey"].max()) + 1, dtype=object)
+    names[nation["n_nationkey"].to_numpy(dtype=np.int64)] = nation["n_name"].to_numpy()
+    return ckeys, cnk, names
+
+
 def q_orders_by_nation(sf_dir: str) -> pa.Table:
     """Broadcast hash join: orders ⋈ customer ⋈ nation → order count +
     total price (cents) per nation. customer/nation are the small
     sides: ray.put once, dict-lookup per batch — never a shuffle join
     (SURVEY.md §2.4 J1/J5 pattern)."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    cust_map = dict(zip(cust["c_custkey"].astype(np.int64), cust["c_nationkey"].astype(np.int64)))
-    nation_map = dict(zip(nation["n_nationkey"].astype(np.int64), nation["n_name"]))
-    maps_ref = ray.put((cust_map, nation_map))
+    maps_ref = ray.put(_cust_nation_arrays(sf_dir))
 
     class JoinOrders:
         def __init__(self, ref):
-            self.cust_map, self.nation_map = ray.get(ref)
+            # sorted custkeys + aligned nationkeys + names-by-nationkey:
+            # the broadcast join resolves with ONE vectorized
+            # searchsorted per batch, no per-row dict lookups
+            self.ckeys, self.cnk, self.names = ray.get(ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            nk = batch["o_custkey"].map(self.cust_map)
-            return pd.DataFrame(
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            nk = self.cnk[np.searchsorted(self.ckeys, ck)]
+            price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+            return pa.table(
                 {
-                    "n_name": nk.map(self.nation_map),
+                    "n_name": pa.array(self.names[nk], type=pa.string()),
                     # floor(x+0.5) = round-half-away for positive prices (DuckDB round())
-                    "price_cents": np.floor(batch["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64),
+                    "price_cents": pa.array(
+                        np.floor(price * 100.0 + 0.5).astype(np.int64), type=pa.int64()
+                    ),
                 }
             )
 
     out = (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(JoinOrders, fn_constructor_args=(maps_ref,), batch_format="pandas", concurrency=2)
+        .map_batches(JoinOrders, fn_constructor_args=(maps_ref,), batch_format="pyarrow", concurrency=2)
         .groupby("n_name")
         .aggregate(Count(alias_name="n_orders"), Sum("price_cents", alias_name="total_price_cents"))
         .to_pandas()
@@ -204,24 +223,25 @@ def q_revenue_by_nation(sf_dir: str) -> pa.Table:
         orders, join_type="inner", num_partitions=REV_PARTITIONS, on=("l_orderkey",)
     )
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    cust_nat = dict(zip(cust["c_custkey"].astype(int), cust["c_nationkey"].astype(int)))
-    nat_name = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
-    maps_ref = ray.put((cust_nat, nat_name))
+    maps_ref = ray.put(_cust_nation_arrays(sf_dir))
 
     def partial(t: pa.Table) -> pa.Table:
-        cn, nn = ray.get(maps_ref)
-        df = t.select(["o_custkey", "rev_e4"]).to_pandas()
-        df["nation"] = df["o_custkey"].map(lambda c: nn[cn[int(c)]])
-        out = df.groupby("nation", as_index=False).agg(
-            revenue_e4=("rev_e4", "sum"), n_items=("rev_e4", "size")
-        )
+        # vectorized broadcast join (searchsorted) + per-nationkey
+        # integer scatter-add — the per-batch combiner stays a
+        # |nations|-row partial, no pandas conversion, no row loop
+        ckeys, cnk, names = ray.get(maps_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = cnk[np.searchsorted(ckeys, ck)]
+        rev = t["rev_e4"].to_numpy(zero_copy_only=False).astype(np.int64)
+        acc = np.zeros(names.size, dtype=np.int64)
+        np.add.at(acc, nk, rev)
+        cnt = np.bincount(nk, minlength=names.size)
+        hit = np.flatnonzero(cnt)
         return pa.table(
             {
-                "nation": pa.array(out["nation"], type=pa.string()),
-                "revenue_e4": pa.array(out["revenue_e4"].astype(np.int64), type=pa.int64()),
-                "n_items": pa.array(out["n_items"].astype(np.int64), type=pa.int64()),
+                "nation": pa.array(names[hit], type=pa.string()),
+                "revenue_e4": pa.array(acc[hit], type=pa.int64()),
+                "n_items": pa.array(cnt[hit].astype(np.int64), type=pa.int64()),
             }
         )
 
