@@ -89,11 +89,23 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
             shutil.rmtree(d, ignore_errors=True)
 
 
+def _bench_ray_init(num_cpus: int) -> None:
+    """Local by default; BENCH_RAY_ADDRESS connects to a running
+    cluster instead (the `ray job submit` path, RUNBOOK.md) — where
+    per-driver num_cpus is not a valid argument and the cluster's node
+    count IS the parallelism under test."""
+    import ray
+
+    addr = os.environ.get("BENCH_RAY_ADDRESS") or "local"
+    kwargs = {"num_cpus": num_cpus} if addr == "local" else {}
+    ray.init(address=addr, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR", **kwargs)
+
+
 def _run_suite(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
-    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+    _bench_ray_init(num_cpus)
     import numpy as np
     import ray.data
 
