@@ -166,7 +166,11 @@ def _exact_dedup(p1: "ray.data.Dataset") -> "ray.data.Dataset":
     if n_dup_shas == 0:
         return p1
     losers_count = int(dup_ds.sum("n")) - n_dup_shas
-    # rows of duplicated shas only — bounded by the duplicate row count
+    # rows of duplicated shas only — bounded by the duplicate row count.
+    # The broadcast-filter path leaves one (mostly EMPTY) block per
+    # input block; consolidate before joining — Ray 2.49's hash join
+    # SIGABRTs/ArrowInvalids on schema-less empty partition tables on
+    # EITHER side (the joins.anti_join hazard, seen left-side at sf0.1)
     dup_rows = semi_join(
         p1.select_columns(["sha", "doc_id"]),
         dup_ds,
@@ -174,7 +178,7 @@ def _exact_dedup(p1: "ray.data.Dataset") -> "ray.data.Dataset":
         n_keys=n_dup_shas,
         broadcast_limit=PREP_BROADCAST_LIMIT,
         num_partitions=PREP_NUM_PARTITIONS,
-    )
+    ).repartition(PREP_NUM_PARTITIONS)
     winners = dup_rows.groupby("sha").aggregate(RayMin("doc_id", alias_name="__win"))
     winners = winners.repartition(PREP_NUM_PARTITIONS)  # empty-block join hazard
     losers_ds = (
