@@ -85,7 +85,18 @@ PREP_MIN_CHARS = 100
 # dedup.CC_DRIVER_PAIR_LIMIT; standalone constants so the pipeline has
 # no index-config dependency)
 PREP_BROADCAST_LIMIT = 1_000_000
-PREP_NUM_PARTITIONS = 32
+PREP_MAX_PARTITIONS = 32
+
+
+def _num_partitions() -> int:
+    """Hash-join/shuffle partition count, capped by cluster CPUs: Ray's
+    hash shuffle spins one aggregator actor per partition, so asking
+    for 32 partitions inside a 4-CPU session stalls the pool (seen in
+    the pytest session); at scale the cap simply tracks the cluster."""
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    return max(2, min(PREP_MAX_PARTITIONS, cpus))
 
 
 def _eval_gram_set(sf_dir: str) -> frozenset[str]:
@@ -166,6 +177,7 @@ def _exact_dedup(p1: "ray.data.Dataset") -> "ray.data.Dataset":
     if n_dup_shas == 0:
         return p1
     losers_count = int(dup_ds.sum("n")) - n_dup_shas
+    parts = _num_partitions()
     # rows of duplicated shas only — bounded by the duplicate row count.
     # The broadcast-filter path leaves one (mostly EMPTY) block per
     # input block; consolidate before joining — Ray 2.49's hash join
@@ -177,15 +189,15 @@ def _exact_dedup(p1: "ray.data.Dataset") -> "ray.data.Dataset":
         on="sha",
         n_keys=n_dup_shas,
         broadcast_limit=PREP_BROADCAST_LIMIT,
-        num_partitions=PREP_NUM_PARTITIONS,
-    ).repartition(PREP_NUM_PARTITIONS)
+        num_partitions=parts,
+    ).repartition(parts)
     winners = dup_rows.groupby("sha").aggregate(RayMin("doc_id", alias_name="__win"))
-    winners = winners.repartition(PREP_NUM_PARTITIONS)  # empty-block join hazard
+    winners = winners.repartition(parts)  # empty-block join hazard
     losers_ds = (
         dup_rows.join(
             winners,
             join_type="inner",
-            num_partitions=PREP_NUM_PARTITIONS,
+            num_partitions=parts,
             on=("sha",),
         )
         .map_batches(
@@ -199,7 +211,7 @@ def _exact_dedup(p1: "ray.data.Dataset") -> "ray.data.Dataset":
         on="doc_id",
         n_keys=losers_count,
         broadcast_limit=PREP_BROADCAST_LIMIT,
-        num_partitions=PREP_NUM_PARTITIONS,
+        num_partitions=parts,
     )
 
 

@@ -78,3 +78,32 @@ def test_prepare_stage_semantics():
         f"SELECT doc_id, n_chars FROM read_parquet('{SF}/documents.parquet')"
     ).df().set_index("doc_id")
     assert (docs.loc[kept["doc_id"], "n_chars"] >= PREP_MIN_CHARS).all()
+
+
+def test_exact_dedup_sparse_dups_many_blocks():
+    """Regression (sf0.1 sweep, round 5): with rare duplicates spread
+    over MANY input blocks, the broadcast-filtered dup-rows Dataset is
+    mostly empty blocks and Ray 2.49's hash join raised ArrowInvalid
+    ('No match ... key field ... left side') before the repartition
+    consolidation. Pins distributed keep-first semantics on that shape."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docinsight_ray.pipelines.prepare import _exact_dedup
+
+    n = 400
+    shas = [f"sha{i:05d}" for i in range(n)]
+    shas[37] = shas[11]     # one dup pair
+    shas[399] = shas[202]   # another, far apart
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "sha": pa.array(shas, type=pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(64)  # many near-empty blocks
+    out = _exact_dedup(ds).to_pandas().sort_values("doc_id")
+    assert len(out) == n - 2
+    assert 11 in set(out["doc_id"]) and 37 not in set(out["doc_id"])
+    assert 202 in set(out["doc_id"]) and 399 not in set(out["doc_id"])
