@@ -31,7 +31,7 @@ import ray.data
 
 from ..build import build_index
 from ..config import EngineConfig
-from ..scorer import RESULTS_SCHEMA, BM25Scorer
+from ..scorer import RESULTS_SCHEMA, BM25Scorer, load_index_state
 from ..state.manifest import atomic_write_bytes
 
 
@@ -340,6 +340,7 @@ def query_sharded(
     min_should_match: int | None = None,
     synonyms: dict[str, tuple[str, ...]] | None = None,
     boosts: dict[str, float] | None = None,
+    preload: bool = False,
 ) -> "ray.data.Dataset":
     """Fan every query out to all shard scorers, then exact-merge the
     per-shard top-k candidates per query. Hash-empty shards (possible
@@ -372,6 +373,10 @@ def query_sharded(
         st = json.loads(raw)
         if st.get("shard_n_docs", st["n_docs"]) == 0:
             continue
+        # preload: each shard decodes ONCE into the object store; its
+        # pool actors share the plasma copy (scorer.load_index_state —
+        # on a real cluster, one resident copy per node per shard)
+        shared = load_index_state(d) if preload else None
         shard_results.append(
             queries.map_batches(
                 BM25Scorer,
@@ -382,6 +387,7 @@ def query_sharded(
                     "min_should_match": min_should_match,
                     "synonyms": synonyms,
                     "boosts": boosts,
+                    "shared_state": shared,
                 },
                 batch_format="pyarrow",
                 batch_size=cfg.query_batch_size,

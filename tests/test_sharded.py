@@ -55,6 +55,25 @@ def test_sharded_rank_identity(sharded):
         np.testing.assert_array_equal(sub.score.to_numpy(), osc, err_msg=f"sharded score mismatch q{qid}")
 
 
+def test_sharded_preload_rank_identity(sharded):
+    """query_sharded(preload=True): each shard's pool shares one
+    plasma-resident decoded sub-index — results identical to the
+    per-actor-load path and the oracle."""
+    import ray.data
+
+    corpus, idx = sharded
+    queries = gen_queries(corpus, n_keyword=6, seed=13)
+    qds = ray.data.from_arrow(queries_table(queries))
+    out = query_sharded(qds, idx, N_SHARDS, CFG, mode="maxscore",
+                        preload=True).to_pandas()
+    oracle = OracleIndex(corpus, CFG)
+    for qid, text, k in queries:
+        od, osc = oracle.score(text, k)
+        sub = out[out.query_id == qid].sort_values("rank")
+        np.testing.assert_array_equal(sub.doc_id.to_numpy(dtype=np.uint64), od)
+        np.testing.assert_array_equal(sub.score.to_numpy(), osc)
+
+
 def test_sharded_bmw_rank_identity(sharded):
     import ray.data
 
