@@ -579,18 +579,27 @@ def q_dup_clusters(sf_dir: str) -> pa.Table:
         label, size = _cc_labels_distributed(pairs)
     else:
         label, size = _cc_labels_union_find(pairs)
-    maps_ref = ray.put((label, size))
+    # broadcast the (pair-node-bounded) label/size maps as SORTED
+    # arrays so per-batch assignment is one vectorized searchsorted —
+    # no per-row dict lookups over the corpus-sized doc_id column
+    lab_keys = np.array(sorted(label), dtype=np.int64)
+    lab_vals = np.array([label[k] for k in lab_keys], dtype=np.int64)
+    sz_vals = np.array([size[k] for k in lab_keys], dtype=np.int64)
+    maps_ref = ray.put((lab_keys, lab_vals, sz_vals))
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
-        lab, sz = ray.get(maps_ref)
-        ids = batch["doc_id"].astype("int64")
-        cluster = ids.map(lambda d: lab.get(d, d)).astype("int64")
+        keys, vals, szs = ray.get(maps_ref)
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(keys, ids)
+        pos_c = np.minimum(pos, max(keys.size - 1, 0))
+        found = (keys.size > 0) & (pos < keys.size) & (keys[pos_c] == ids)
+        cluster = np.where(found, vals[pos_c], ids)
         return pd.DataFrame(
             {
                 "doc_id": ids,
-                "cluster_id": cluster,
-                "n_members": ids.map(lambda d: sz.get(d, 1)).astype("int64"),
-                "is_canonical": (cluster == ids).astype("int64"),
+                "cluster_id": cluster.astype(np.int64),
+                "n_members": np.where(found, szs[pos_c], 1).astype(np.int64),
+                "is_canonical": (cluster == ids).astype(np.int64),
             }
         )
 
