@@ -397,16 +397,22 @@ def q_top_event_type(sf_dir: str) -> pa.Table:
     key (user_id % 64 — thousands of tiny Ray groups cost ~1 ms each,
     ROADMAP §7), and the in-bucket pandas argmax is exact."""
 
-    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
-        out = (
-            batch.groupby(["user_id", "event_type"], sort=False, as_index=False)
-            .size()
-            .rename(columns={"size": "cnt"})
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        # composite-key factorize + one np.unique — no pandas block
+        et_uniq, et_inv = np.unique(
+            batch["event_type"].to_numpy(zero_copy_only=False), return_inverse=True
         )
-        out["user_id"] = out["user_id"].astype("int64")
-        out["cnt"] = out["cnt"].astype("int64")
-        out["bucket"] = (out["user_id"] % MODE_BUCKETS).astype("int64")
-        return out
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key, cnt = np.unique(uid * np.int64(len(et_uniq)) + et_inv, return_counts=True)
+        out_uid = key // len(et_uniq)
+        return pa.table(
+            {
+                "user_id": pa.array(out_uid, type=pa.int64()),
+                "event_type": pa.array(et_uniq[key % len(et_uniq)], type=pa.string()),
+                "cnt": pa.array(cnt.astype(np.int64), type=pa.int64()),
+                "bucket": pa.array(out_uid % MODE_BUCKETS, type=pa.int64()),
+            }
+        )
 
     def bucket_mode(g: pd.DataFrame) -> pd.DataFrame:
         tot = g.groupby(["user_id", "event_type"], as_index=False)["cnt"].sum()
@@ -419,7 +425,7 @@ def q_top_event_type(sf_dir: str) -> pa.Table:
     out = (
         _read_events(sf_dir)
         .select_columns(["user_id", "event_type"])
-        .map_batches(partial_counts, batch_format="pandas")
+        .map_batches(partial_counts, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_mode, batch_format="pandas")
         .to_pandas()

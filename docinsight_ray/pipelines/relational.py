@@ -580,18 +580,24 @@ def q_event_pivot(sf_dir: str) -> pa.Table:
     the in-bucket pandas pivot is exact. Unknown event types would be
     dropped silently, so the partial ASSERTS the closed type set."""
 
-    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
-        unknown = set(batch["event_type"].unique()) - set(EVENT_TYPES)
-        assert not unknown, f"unexpected event types: {unknown}"
-        out = (
-            batch.groupby(["user_id", "event_type"], sort=False, as_index=False)
-            .size()
-            .rename(columns={"size": "cnt"})
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        # composite-key factorize + one np.unique — no pandas block
+        et_uniq, et_inv = np.unique(
+            batch["event_type"].to_numpy(zero_copy_only=False), return_inverse=True
         )
-        out["user_id"] = out["user_id"].astype("int64")
-        out["cnt"] = out["cnt"].astype("int64")
-        out["bucket"] = (out["user_id"] % PIVOT_BUCKETS).astype("int64")
-        return out
+        unknown = set(et_uniq) - set(EVENT_TYPES)
+        assert not unknown, f"unexpected event types: {unknown}"
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key, cnt = np.unique(uid * np.int64(len(et_uniq)) + et_inv, return_counts=True)
+        out_uid = key // len(et_uniq)
+        return pa.table(
+            {
+                "user_id": pa.array(out_uid, type=pa.int64()),
+                "event_type": pa.array(et_uniq[key % len(et_uniq)], type=pa.string()),
+                "cnt": pa.array(cnt.astype(np.int64), type=pa.int64()),
+                "bucket": pa.array(out_uid % PIVOT_BUCKETS, type=pa.int64()),
+            }
+        )
 
     def bucket_pivot(g: pd.DataFrame) -> pd.DataFrame:
         tot = g.groupby(["user_id", "event_type"], as_index=False)["cnt"].sum()
@@ -608,7 +614,7 @@ def q_event_pivot(sf_dir: str) -> pa.Table:
     out = (
         ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                               columns=["user_id", "event_type"])
-        .map_batches(partial_counts, batch_format="pandas")
+        .map_batches(partial_counts, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pivot, batch_format="pandas")
         .to_pandas()
