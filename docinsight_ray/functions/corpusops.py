@@ -119,22 +119,22 @@ def q_sequence_pack(sf_dir: str) -> pa.Table:
     table stays in memory; no row-level data ever reaches the driver.
     """
 
-    def count_tokens(batch: pd.DataFrame) -> pd.DataFrame:
-        doc_id = batch["doc_id"].astype("int64")
-        return pd.DataFrame(
-            {
-                "doc_id": doc_id,
-                "n_tokens": batch["text"]
-                .str.lower()
-                .str.findall(_TOK2_RE)
-                .str.len()
-                .astype("int64"),
-                "bucket": (doc_id // PACK_BUCKET_W).astype("int64"),
-            }
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # Arrow RE2 match counting — zero-copy, no pandas block, no
+        # materialized token lists when only the COUNT is needed; the
+        # greedy [a-z0-9]{2,} yields the same maximal runs as findall
+        doc_id = pc.cast(batch["doc_id"], pa.int64())
+        n = pc.cast(
+            pc.count_substring_regex(pc.utf8_lower(batch["text"]), _TOK2_RE.pattern),
+            pa.int64(),
         )
+        bucket = pc.divide(doc_id, pa.scalar(PACK_BUCKET_W, type=pa.int64()))
+        return pa.table({"doc_id": doc_id, "n_tokens": n, "bucket": bucket})
 
     counted = _read(sf_dir, ["doc_id", "text"]).map_batches(
-        count_tokens, batch_format="pandas"
+        count_tokens, batch_format="pyarrow"
     ).materialize()
 
     # Phase 1+2: bucket totals → driver-side cumsum over buckets only.
@@ -1185,9 +1185,16 @@ def q_budget_select(sf_dir: str) -> pa.Table:
     without any global sort or shuffle of the rows themselves."""
 
     def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.compute as _pc
+
         doc_id = batch["doc_id"].astype("int64")
-        toks = (
-            batch["text"].str.lower().str.findall(_TOK2_RE).str.len().astype("int64")
+        # count-only tokenization via the Arrow RE2 kernel (greedy runs
+        # == findall's maximal runs); the rest stays integer numpy
+        toks = pd.Series(
+            _pc.count_substring_regex(
+                _pc.utf8_lower(pa.array(batch["text"])), _TOK2_RE.pattern
+            ).to_numpy(zero_copy_only=False).astype(np.int64),
+            index=batch.index,
         )
         nch = batch["n_chars"].astype("int64").clip(lower=1)
         score = (toks * 1_000_000) // nch

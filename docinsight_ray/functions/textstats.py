@@ -94,22 +94,31 @@ def q_token_count(sf_dir: str) -> pa.Table:
     """Whitespace + alnum-run token counts per document (SURVEY.md §2.8 F3:
     replaces the reference's len//4 token estimate with real counts)."""
 
-    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+    def counts(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         text = batch["text"]
         # `lang` kept as a (string) column: useful output, and it keeps
         # this table out of the all-fixed-width shape vulnerable to the
-        # Ray row re-pairing hazard (ROADMAP.md §6b)
-        return pd.DataFrame(
+        # Ray row re-pairing hazard (ROADMAP.md §6b). Counts come from
+        # the Arrow RE2 kernel — no token lists materialize when only
+        # the count is needed (greedy runs == findall's maximal runs).
+        return pa.table(
             {
-                "doc_id": batch["doc_id"].astype("int64"),
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
                 "lang": batch["lang"],
-                "n_ws_tokens": text.str.findall(_WS_RE).str.len().astype("int64"),
-                "n_alnum_tokens": text.str.lower().str.findall(_TOKEN_RE).str.len().astype("int64"),
+                "n_ws_tokens": pc.cast(
+                    pc.count_substring_regex(text, _WS_RE.pattern), pa.int64()
+                ),
+                "n_alnum_tokens": pc.cast(
+                    pc.count_substring_regex(pc.utf8_lower(text), _TOKEN_RE.pattern),
+                    pa.int64(),
+                ),
             }
         )
 
     return pa.Table.from_pandas(
-        _read_documents(sf_dir).map_batches(counts, batch_format="pandas").to_pandas(),
+        _read_documents(sf_dir).map_batches(counts, batch_format="pyarrow").to_pandas(),
         preserve_index=False,
     )
 
